@@ -1,0 +1,128 @@
+"""IRI <-> 9-part column decomposition, as pure Catalyst expressions.
+
+Replicates the reference's java.net.URI-based storage encoding
+(LoadIntoTable.java:318-351) and its R2RML template reassembly
+(R2RMLFromTables.java:139-217):
+
+- parts: scheme, scheme_specific_part, authority, user_info, host, port,
+  path, query, fragment (all strings at ingest; narrowing happens later).
+- exclusivity rule (LoadIntoTable.java:328-334): when host is non-null the
+  ssp/authority columns are NULL; when host is null only scheme/ssp/
+  authority(/fragment) are populated (opaque URIs like mailto:, urn:).
+- reassembly: scheme ':' [ssp] ['//' [userinfo '@'] host [':' port]] [path]
+  ['?' query] ['#' fragment].
+
+Everything here stays inside whole-stage codegen — no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: canonical order, matching naming.IRI_PART_SUFFIXES
+PART_KEYS = (
+    "scheme",
+    "ssp",
+    "authority",
+    "user_info",
+    "host",
+    "port",
+    "path",
+    "query",
+    "fragment",
+)
+
+
+def _nullif_empty(c: Column) -> Column:
+    return F.when(c != "", c)
+
+
+def decompose_iri(iri: Column) -> dict[str, Column]:
+    """Split an absolute IRI string column into the 9 reference parts.
+
+    Returns ``{part_key: Column}`` in :data:`PART_KEYS` order. NULL iri ->
+    all parts NULL (used for non-IRI rows in a mixed statement frame).
+    """
+    scheme = _nullif_empty(F.regexp_extract(iri, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
+    # everything after the first ':' (only defined when a scheme exists)
+    after_scheme = F.when(
+        scheme.isNotNull(),
+        iri.substr(F.length(scheme) + F.lit(2), F.length(iri)),
+    ).otherwise(iri)
+
+    has_fragment = F.instr(after_scheme, "#") > 0
+    fragment = F.when(has_fragment, F.regexp_extract(after_scheme, r"#(.*)$", 1))
+    ssp = F.when(has_fragment, F.substring_index(after_scheme, "#", 1)).otherwise(
+        after_scheme
+    )
+
+    hierarchical = ssp.startswith("//")
+    auth_rest = ssp.substr(F.lit(3), F.length(ssp))
+    authority_raw = F.regexp_extract(auth_rest, r"^([^/?#]*)", 1)
+    after_auth = auth_rest.substr(F.length(authority_raw) + F.lit(1), F.length(auth_rest))
+    path_h = F.regexp_extract(after_auth, r"^([^?]*)", 1)
+    query = F.when(
+        hierarchical & (F.instr(after_auth, "?") > 0),
+        F.regexp_extract(after_auth, r"\?(.*)$", 1),
+    )
+    has_at = F.instr(authority_raw, "@") > 0
+    user_info = F.when(hierarchical & has_at, F.substring_index(authority_raw, "@", 1))
+    hostport = F.when(has_at, F.substring_index(authority_raw, "@", -1)).otherwise(
+        authority_raw
+    )
+    port = _nullif_empty(F.regexp_extract(hostport, r":([0-9]+)$", 1))
+    host = F.when(hierarchical, _nullif_empty(F.regexp_replace(hostport, r":[0-9]+$", "")))
+
+    # exclusivity rule: host non-null -> ssp/authority NULL; host null ->
+    # only ssp/authority carry the information (plus fragment).
+    has_host = host.isNotNull()
+    out = {
+        "scheme": scheme,
+        "ssp": F.when(~has_host, ssp),
+        "authority": F.when(~has_host & hierarchical, _nullif_empty(authority_raw)),
+        "user_info": F.when(has_host, user_info),
+        "port": F.when(has_host, port),
+        "host": host,
+        "path": F.when(has_host, path_h),
+        "query": F.when(has_host, query),
+        "fragment": fragment,
+    }
+    guarded = {k: F.when(iri.isNotNull(), v) for k, v in out.items()}
+    return {k: guarded[k] for k in PART_KEYS}
+
+
+def reassemble_iri(parts: dict[str, Column]) -> Column:
+    """Inverse of :func:`decompose_iri` — the R2RML subject/object template
+    (R2RMLFromTables.java:156-217) as one concat expression."""
+
+    def opt(prefix: str, c: Column) -> Column:
+        return F.coalesce(F.when(c.isNotNull(), F.concat(F.lit(prefix), c)), F.lit(""))
+
+    scheme = parts["scheme"]
+    host_block = F.when(
+        parts["host"].isNotNull(),
+        F.concat(
+            F.lit("//"),
+            F.coalesce(
+                F.when(
+                    parts["user_info"].isNotNull(),
+                    F.concat(parts["user_info"], F.lit("@")),
+                ),
+                F.lit(""),
+            ),
+            parts["host"],
+            opt(":", parts["port"]),
+            F.coalesce(parts["path"], F.lit("")),
+            opt("?", parts["query"]),
+        ),
+    ).otherwise(F.coalesce(parts["ssp"], F.lit("")))
+    out = F.concat(
+        F.coalesce(scheme, F.lit("")),
+        F.when(scheme.isNotNull(), F.lit(":")).otherwise(F.lit("")),
+        host_block,
+        opt("#", parts["fragment"]),
+    )
+    # a row with no parts at all reassembles to NULL, not ''
+    any_part = F.coalesce(*[parts[k] for k in PART_KEYS if k in parts])
+    return F.when(any_part.isNotNull(), out)

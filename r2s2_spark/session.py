@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-oriented defaults (SURVEY.md §7.3)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "r2s2_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for the KG-construction pipeline.
+
+    Defaults chosen for scale (they matter equally on a real cluster):
+    - AQE on, including skew-join handling: predicate frequency in real RDF
+      is Zipfian (rdf:type, rdfs:label dominate), so the shuffle written by
+      the vertical-partitioning stage is skewed by construction.
+    - Arrow on: the extraction parser is a vectorized ``mapInPandas``; Arrow
+      batching is the only acceptable Python boundary (no per-row Python).
+    - shuffle partitions ~2x cores locally; on a cluster AQE coalesces.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        try:
+            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 8
+        except ValueError:
+            n = int(cpus)
+        shuffle_partitions = max(8, 2 * n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,133 @@
+"""Stage E: vectorized N-Triples parse + Catalyst IRI decomposition."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from r2s2_spark.functions.uri import PART_KEYS, decompose_iri, reassemble_iri
+from r2s2_spark.naming import RDF, RDFS, XSD, XSD_STRING
+from r2s2_spark.operators.extract import extract, parse_statements
+from r2s2_spark.sources import fixtures as fx
+from r2s2_spark.sources.ntriples import parse_batch
+
+
+def test_parse_batch_pandas_only():
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r"],
+            "path": ["p"],
+            "commit": ["c"],
+            "file_sha256": ["sha"],
+            "content": [
+                '<http://a/s> <http://a/p> "hi there" .\n'
+                "# a comment line\n"
+                "\n"
+                f'<http://a/s> <http://a/p> "v\\"q"@en-UK .\n'
+                "<http://a/s> <http://a/p> _:b1 <http://g/1> .\n"
+                "_:b1 <http://a/p> <http://a/o> .\n"
+                "this line is garbage\n"
+            ],
+        }
+    )
+    out = parse_batch(pdf, "http://default/g")
+    ok = out[out.parse_error.isna()]
+    assert len(ok) == 4
+    assert len(out[out.parse_error.notna()]) == 1
+    plain = ok.iloc[0]
+    assert plain.o_kind == "literal" and plain.o_datatype == XSD_STRING
+    assert plain.g_iri == "http://default/g"
+    lang = ok.iloc[1]
+    assert lang.o_lang == "en-UK" and lang.o_lex == 'v"q' and lang.o_datatype is None
+    quad = ok.iloc[2]
+    assert quad.o_kind == "bnode" and quad.o_lex == "b1" and quad.g_iri == "http://g/1"
+    bsubj = ok.iloc[3]
+    assert bsubj.s_kind == "bnode" and bsubj.s_lex == "b1"
+
+
+URIS = [
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+    "https://example.org/i42",
+    "http://user:pw@example.org:8080/path/x?q=1&r=2#frag",
+    "mailto:someone@example.org",
+    "urn:isbn:0451450523",
+    "file:///tmp/x.txt",
+    "https://example.org",
+    "http://example.org/a%20b?x#y",
+]
+
+
+def test_uri_roundtrip(spark):
+    df = spark.createDataFrame([(u,) for u in URIS], "iri string")
+    parts = decompose_iri(F.col("iri"))
+    out = df.select(
+        "iri",
+        reassemble_iri(parts).alias("back"),
+        *[parts[k].alias(k) for k in PART_KEYS],
+    )
+    rows = {r["iri"]: r for r in out.collect()}
+    for u in URIS:
+        assert rows[u]["back"] == u, (u, rows[u].asDict())
+    r = rows["http://user:pw@example.org:8080/path/x?q=1&r=2#frag"]
+    assert r["host"] == "example.org" and r["port"] == "8080"
+    assert r["user_info"] == "user:pw" and r["query"] == "q=1&r=2"
+    assert r["fragment"] == "frag" and r["ssp"] is None
+    m = rows["mailto:someone@example.org"]
+    assert m["host"] is None and m["ssp"] == "someone@example.org"
+    f = rows["file:///tmp/x.txt"]
+    # empty authority -> host null -> opaque-side storage (java.net.URI parity)
+    assert f["host"] is None and f["ssp"] == "///tmp/x.txt"
+    t = rows["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"]
+    assert t["fragment"] == "type" and t["host"] == "www.w3.org"
+    assert t["path"] == "/1999/02/22-rdf-syntax-ns"
+
+
+def test_extract_fixture_loading(spark):
+    stmts = extract(fx.fixture_loading(spark))
+    rows = stmts.collect()
+    assert len(rows) == 15
+    type_rows = [r for r in rows if r.p_iri == RDF + "type"]
+    assert len(type_rows) == 5
+    assert all(r.g_iri == fx.DEFAULT_GRAPH for r in rows)
+    # lang/datatype routing facts used by the target-key partitioning
+    label = [r for r in rows if r.p_iri == RDFS + "label"]
+    langs = {r.o_lang for r in label}
+    assert langs == {"cz", "en-UK", None}
+    dts = {r.o_datatype for r in label if r.o_datatype}
+    assert dts == {XSD + "boolean", XSD + "date"}
+    bn = [r for r in label if r.o_kind == "bnode"]
+    assert len(bn) == 1 and bn[0].o_bnode_id is not None
+
+
+def test_extract_multigraph(spark):
+    stmts = extract(fx.fixture_multigraph(spark))
+    rows = stmts.collect()
+    assert len(rows) == 2
+    assert {r.g_iri for r in rows} == {
+        "http://example.org/zeroGraph",
+        "http://example.org/oneGraph",
+    }
+
+
+def test_sha256_invariant(spark):
+    """Per-row invariant (north_rule): file_sha256 carried through the
+    pipeline equals sha2(content,256) recomputed from the source table."""
+    src = fx.fixture_oddeven(spark, with_labels=True)
+    stmts = parse_statements(src)
+    carried = stmts.select("path", "file_sha256").distinct()
+    fresh = src.select("path", F.sha2("content", 256).alias("expect"))
+    joined = carried.join(fresh, "path")
+    bad = joined.where(F.col("file_sha256") != F.col("expect")).count()
+    assert bad == 0 and joined.count() == 1
+
+
+def test_bnode_ids_deterministic(spark):
+    a = extract(fx.fixture_loading(spark)).where("o_kind = 'bnode'").collect()
+    b = extract(fx.fixture_loading(spark)).where("o_kind = 'bnode'").collect()
+    assert a[0].o_bnode_id == b[0].o_bnode_id
+
+
+def test_synthetic_generator(spark):
+    df = fx.synthetic_source_files(spark, n_files=4, statements_per_file=10)
+    raw = parse_statements(df)
+    assert raw.where("parse_error is not null").count() == 0
+    assert extract(df).count() == 40
