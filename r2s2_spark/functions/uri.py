@@ -67,7 +67,8 @@ def decompose_iri(iri: Column) -> dict[str, Column]:
         F.regexp_extract(after_auth, r"\?(.*)$", 1),
     )
     has_at = F.instr(authority_raw, "@") > 0
-    user_info = F.when(hierarchical & has_at, F.substring_index(authority_raw, "@", 1))
+    # greedy: everything before the LAST '@' (matches the pandas twin)
+    user_info = F.when(hierarchical & has_at, F.regexp_extract(authority_raw, r"^(.*)@", 1))
     hostport = F.when(has_at, F.substring_index(authority_raw, "@", -1)).otherwise(
         authority_raw
     )

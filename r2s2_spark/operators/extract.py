@@ -3,12 +3,17 @@
 Reference counterpart: ParseIntoSOGTables.java:100-124 (thread-pool Rio
 parse) + LoadIntoTable.java:283-368 (term decomposition). Here:
 
-  source_files --sha2(content,256) [JVM]--> mapInPandas(vectorized NT parse)
-               --Catalyst IRI decomposition--> statements DataFrame
+  source_files --sha2(content,256) [JVM]--> mapInPandas(vectorized NT parse
+               + vectorized 9-part IRI decomposition) --> statements frame
 
 Scale notes:
 - the parser is the only Python boundary in the whole load path; it is
   Arrow-batched and line-vectorized (no per-row Python).
+- IRI decomposition happens *inside the same batch* (functions.uri_pandas):
+  doing it as a Catalyst projection expands to a >64KB generated method,
+  kicking whole-stage codegen into interpreted fallback (observed OOM at
+  default driver memory). The Catalyst twin (functions.uri.decompose_iri)
+  is kept for the SQL-oracle operators and cross-checked in tests.
 - bnode labels are renumbered to cluster-stable ids with
   ``xxhash64(file_sha256, label)`` — the reference's global AtomicLong
   (ParseIntoSOGTables.java:65) is illegal under Spark retry semantics;
@@ -23,69 +28,69 @@ import functools
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.uri import decompose_iri
-from ..sources.ntriples import STATEMENT_SCHEMA, parse_iterator
+from ..functions.uri import PART_KEYS, decompose_iri
 from ..sources.fixtures import DEFAULT_GRAPH
+from ..sources.ntriples import DECOMPOSED_SCHEMA, STATEMENT_SCHEMA, parse_iterator
 
-#: flat statement-frame columns after decomposition (the Stage E output)
-S_PARTS = [f"s_{k}" for k in ("scheme", "ssp", "authority", "user_info", "host", "port", "path", "query", "fragment")]
-O_PARTS = [f"o_{k}" for k in ("scheme", "ssp", "authority", "user_info", "host", "port", "path", "query", "fragment")]
+S_PARTS = [f"s_{k}" for k in PART_KEYS]
+O_PARTS = [f"o_{k}" for k in PART_KEYS]
+
+META_COLS = ["repo", "path", "commit", "file_sha256", "line_no"]
+LEX_COLS = ["s_kind", "s_lex", "p_iri", "o_kind", "o_lex", "o_lang", "o_datatype", "g_iri"]
 
 
-def parse_statements(source_files: DataFrame, default_graph: str = DEFAULT_GRAPH) -> DataFrame:
-    """source_files -> raw statement rows (lexical terms, pre-decomposition).
+def parse_statements(
+    source_files: DataFrame,
+    default_graph: str = DEFAULT_GRAPH,
+    decompose: bool = False,
+) -> DataFrame:
+    """source_files -> statement rows (lexical terms; optionally with the
+    18 decomposed URI-part columns computed in the same Arrow batch).
 
     Rows that fail to parse are kept with ``parse_error`` set so lineage can
     count them; downstream stages filter them out.
     """
     with_sha = source_files.withColumn("file_sha256", F.sha2(F.col("content"), 256))
-    fn = functools.partial(parse_iterator, default_graph=default_graph)
+    fn = functools.partial(parse_iterator, default_graph=default_graph, decompose=decompose)
+    schema = DECOMPOSED_SCHEMA if decompose else STATEMENT_SCHEMA
     return with_sha.select(
         "repo", "path", "commit", "content", "file_sha256"
-    ).mapInPandas(fn, schema=STATEMENT_SCHEMA)
+    ).mapInPandas(fn, schema=schema)
+
+
+def _bnode_ids(df: DataFrame) -> DataFrame:
+    return df.withColumns(
+        {
+            "s_bnode_id": F.when(
+                F.col("s_kind") == "bnode",
+                F.xxhash64(F.col("file_sha256"), F.col("s_lex")),
+            ),
+            "o_bnode_id": F.when(
+                F.col("o_kind") == "bnode",
+                F.xxhash64(F.col("file_sha256"), F.col("o_lex")),
+            ),
+        }
+    )
 
 
 def decompose_statements(raw: DataFrame) -> DataFrame:
-    """Add the 9-part IRI decomposition for subject and object plus stable
-    bnode ids. Pure Catalyst — stays in whole-stage codegen."""
+    """Catalyst-side decomposition of a lexical statement frame. Used for
+    cross-checking the pandas path and by oracle-checked operators; the
+    production Stage E path decomposes in pandas (see module docstring)."""
     good = raw.where(F.col("parse_error").isNull()).drop("parse_error")
-
-    s_iri = F.when(F.col("s_kind") == "iri", F.col("s_lex"))
-    o_iri = F.when(F.col("o_kind") == "iri", F.col("o_lex"))
-    s_parts = decompose_iri(s_iri)
-    o_parts = decompose_iri(o_iri)
-
-    cols = [
-        "repo",
-        "path",
-        "commit",
-        "file_sha256",
-        "line_no",
-        "s_kind",
-        "s_lex",
-        "p_iri",
-        "o_kind",
-        "o_lex",
-        "o_lang",
-        "o_datatype",
-        "g_iri",
-    ]
+    s_parts = decompose_iri(F.when(F.col("s_kind") == "iri", F.col("s_lex")))
+    o_parts = decompose_iri(F.when(F.col("o_kind") == "iri", F.col("o_lex")))
     out = good.select(
-        *cols,
+        *META_COLS,
+        *LEX_COLS,
         *[s_parts[k].alias(f"s_{k}") for k in s_parts],
         *[o_parts[k].alias(f"o_{k}") for k in o_parts],
-        F.when(
-            F.col("s_kind") == "bnode",
-            F.xxhash64(F.col("file_sha256"), F.col("s_lex")),
-        ).alias("s_bnode_id"),
-        F.when(
-            F.col("o_kind") == "bnode",
-            F.xxhash64(F.col("file_sha256"), F.col("o_lex")),
-        ).alias("o_bnode_id"),
     )
-    return out
+    return _bnode_ids(out)
 
 
 def extract(source_files: DataFrame, default_graph: str = DEFAULT_GRAPH) -> DataFrame:
-    """Full Stage E: parse + decompose."""
-    return decompose_statements(parse_statements(source_files, default_graph))
+    """Full Stage E: parse + decompose (pandas path) + stable bnode ids."""
+    raw = parse_statements(source_files, default_graph, decompose=True)
+    good = raw.where(F.col("parse_error").isNull()).drop("parse_error")
+    return _bnode_ids(good)

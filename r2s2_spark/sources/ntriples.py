@@ -28,6 +28,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from ..functions import uri_pandas
 from ..naming import XSD_STRING
 
 # One compiled regex per line. Literal bodies honour N-Triples escapes
@@ -102,16 +103,21 @@ STATEMENT_SCHEMA = (
     "g_iri string, parse_error string"
 )
 
+_PART_COLS = [f"{role}_{k}" for role in ("s", "o") for k in uri_pandas.PART_KEYS]
+DECOMPOSED_COLUMNS = STATEMENT_COLUMNS + _PART_COLS
+DECOMPOSED_SCHEMA = STATEMENT_SCHEMA + ", " + ", ".join(f"{c} string" for c in _PART_COLS)
 
-def parse_batch(pdf: pd.DataFrame, default_graph: str) -> pd.DataFrame:
+
+def parse_batch(pdf: pd.DataFrame, default_graph: str, decompose: bool = False) -> pd.DataFrame:
     """Parse one batch of source_files rows into statement rows.
 
     ``pdf`` needs columns repo, path, commit, content, file_sha256 (the
     sha256 is computed JVM-side with ``F.sha2`` *before* the Python boundary
     so the per-row invariant is anchored to Spark, not Python).
     """
+    cols = DECOMPOSED_COLUMNS if decompose else STATEMENT_COLUMNS
     if len(pdf) == 0:
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in STATEMENT_COLUMNS})
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
 
     lines_per_file = pdf["content"].str.split("\n")
     counts = lines_per_file.str.len().to_numpy()
@@ -127,7 +133,7 @@ def parse_batch(pdf: pd.DataFrame, default_graph: str) -> pd.DataFrame:
     line_no = line_no[keep]
     file_idx = file_idx[keep.to_numpy()]
     if len(stripped) == 0:
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in STATEMENT_COLUMNS})
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
 
     g = stripped.str.extract(LINE_RE)
 
@@ -172,12 +178,23 @@ def parse_batch(pdf: pd.DataFrame, default_graph: str) -> pd.DataFrame:
             out.loc[bad, c] = None
         out.loc[bad, "g_iri"] = None
         out.loc[bad, "parse_error"] = stripped[bad].str.slice(0, 200)
-    return out[STATEMENT_COLUMNS]
+
+    if decompose:
+        s_parts = uri_pandas.decompose_series(
+            out["s_lex"].where(out["s_kind"] == "iri")
+        )
+        o_parts = uri_pandas.decompose_series(
+            out["o_lex"].where(out["o_kind"] == "iri")
+        )
+        for k in uri_pandas.PART_KEYS:
+            out[f"s_{k}"] = s_parts[k]
+            out[f"o_{k}"] = o_parts[k]
+    return out[cols]
 
 
 def parse_iterator(
-    batches: Iterator[pd.DataFrame], default_graph: str
+    batches: Iterator[pd.DataFrame], default_graph: str, decompose: bool = False
 ) -> Iterator[pd.DataFrame]:
     """Adapter for ``DataFrame.mapInPandas``."""
     for pdf in batches:
-        yield parse_batch(pdf, default_graph)
+        yield parse_batch(pdf, default_graph, decompose)

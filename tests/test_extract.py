@@ -81,6 +81,31 @@ def test_uri_roundtrip(spark):
     assert t["path"] == "/1999/02/22-rdf-syntax-ns"
 
 
+def test_pandas_catalyst_decompose_agree(spark):
+    """The vectorized-pandas decomposition (production Stage E path) and the
+    Catalyst twin (oracle-operator path) must agree part-for-part."""
+    from r2s2_spark.functions.uri_pandas import decompose_series
+
+    extra = [
+        "https://example.org/",
+        "http://example.org:80",
+        "urn:uuid:1-2-3",
+        "tel:+1-816-555-1212",
+        "http://a@b@example.org/x",
+    ]
+    corpus = URIS + extra
+    pdf_parts = decompose_series(pd.Series(corpus, dtype=object))
+    df = spark.createDataFrame([(u,) for u in corpus], "iri string")
+    parts = decompose_iri(F.col("iri"))
+    jvm = df.select("iri", *[parts[k].alias(k) for k in PART_KEYS]).collect()
+    jvm_by_iri = {r["iri"]: r for r in jvm}
+    for i, u in enumerate(corpus):
+        for k in PART_KEYS:
+            pv = pdf_parts[k].iloc[i]
+            jv = jvm_by_iri[u][k]
+            assert pv == jv, (u, k, pv, jv)
+
+
 def test_extract_fixture_loading(spark):
     stmts = extract(fx.fixture_loading(spark))
     rows = stmts.collect()

@@ -1,0 +1,135 @@
+"""End-to-end E->D->V: routing, catalog, reconstruction P/R, resume."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from r2s2_spark.naming import EX, RDF, RDFS, XSD
+from r2s2_spark.pipeline import KgPipeline
+from r2s2_spark.sources import fixtures as fx
+
+
+@pytest.fixture()
+def loaded(spark, tmp_path):
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    pipe.load(fx.fixture_loading(spark))
+    return pipe
+
+
+def expected_triples_loading():
+    """Independent oracle: the fixture's triple set, written by hand from
+    LoadingTest.java:41-53 (not through our parser)."""
+    t = []
+    for s, o in [("Bag", "Alt"), ("Alt", "Bag"), ("Alt", "Alt"), ("List", "Alt"), ("List", "Bag")]:
+        t.append((RDF + s, RDF + "type", RDF + o, None, None, "iri"))
+    lbl = RDFS + "label"
+    t += [
+        (RDF + "Alt", lbl, "true", None, XSD + "boolean", "literal"),
+        (RDF + "Alt", lbl, "false", None, XSD + "boolean", "literal"),
+        (RDF + "List", lbl, "false", None, XSD + "boolean", "literal"),
+        (RDF + "Alt", lbl, "杭州市", "cz", None, "literal"),
+        (RDF + "Bag", lbl, "杭州", "cz", None, "literal"),
+        (RDF + "Alt", lbl, "lala", "en-UK", None, "literal"),
+        (RDF + "Alt", lbl, "lala lala", "en-UK", None, "literal"),
+        (RDF + "Alt", lbl, "2023-06-23", None, XSD + "date", "literal"),
+        (RDF + "Alt", lbl, "2023-06-22", None, XSD + "date", "literal"),
+        (RDF + "Alt", lbl, "*bnode*", None, None, "bnode"),
+    ]
+    return set(t)
+
+
+def reconstructed_set(pipe, stage=None):
+    rows = pipe.triples(stage).collect()
+    out = set()
+    for r in rows:
+        o = "*bnode*" if r.o_kind == "bnode" else r.o_lex
+        out.add((r.s, r.p, o, r.o_lang, r.o_datatype, r.o_kind))
+    return out
+
+
+def precision_recall(got: set, expect: set):
+    tp = len(got & expect)
+    return tp / max(len(got), 1), tp / max(len(expect), 1)
+
+
+def test_routing_creates_expected_tables(loaded):
+    """Target-key partitioning (LoadIntoTable.java:268-281): separate tables
+    for (iri,iri) rdf:type; boolean/date/cz/en-UK rdfs:label; (iri,bnode)."""
+    cat = loaded.catalog("V")
+    keys = {
+        (p.predicate, t.subject_kind, p.obj_kind, p.lang, p.datatype)
+        for t in cat.tables
+        for p in t.predicates
+    }
+    lbl = RDFS + "label"
+    assert keys == {
+        (RDF + "type", "iri", "iri", None, None),
+        (lbl, "iri", "literal", None, XSD + "boolean"),
+        (lbl, "iri", "literal", None, XSD + "date"),
+        (lbl, "iri", "literal", "cz", None),
+        (lbl, "iri", "literal", "en-UK", None),
+        (lbl, "iri", "bnode", None, None),
+    }
+    type_table = next(
+        t for t in cat.tables if t.predicates[0].predicate == RDF + "type"
+    )
+    # rdf:type partition: 5 rows, golden from LoadingTest.java:154-175
+    assert type_table.row_count == 5
+
+
+def test_reconstruction_pr(loaded):
+    got = reconstructed_set(loaded, "V")
+    expect = expected_triples_loading()
+    p, r = precision_recall(got, expect)
+    assert p >= 0.95 and r >= 0.95, (p, r, got ^ expect)
+    # and in fact exact equality must hold at stage V
+    assert got == expect
+
+
+def test_distinct_types_flagship(spark, tmp_path):
+    """SparqlOnLoadedTest.java:111-127: SELECT DISTINCT ?type -> 2 rows."""
+    pipe = KgPipeline(spark, str(tmp_path / "oe"))
+    pipe.load(fx.fixture_oddeven(spark, with_labels=True))
+    types = {r.type for r in pipe.distinct_types("V").collect()}
+    assert types == {EX + "odd", EX + "even"}
+
+
+def test_multigraph_two_rows_precollapse(spark, tmp_path):
+    """ReintroduceRdfSetSemanticsTest.java:43-44: 2 rows before collapse."""
+    pipe = KgPipeline(spark, str(tmp_path / "mg"))
+    pipe.load(fx.fixture_multigraph(spark))
+    cat = pipe.catalog("V")
+    assert len(cat.tables) == 1 and cat.tables[0].row_count == 2
+    trips = pipe.triples_with_graph_iri("V").collect()
+    assert {t.g for t in trips} == {
+        "http://example.org/zeroGraph",
+        "http://example.org/oneGraph",
+    }
+
+
+def test_dictionaries_deterministic(loaded):
+    preds1 = [(r.id, r.iri) for r in loaded.predicates().orderBy("id").collect()]
+    assert preds1 == [(1, RDF + "type"), (2, RDFS + "label")]
+    g = [(r.id, r.iri) for r in loaded.graphs().orderBy("id").collect()]
+    assert g == [(1, fx.DEFAULT_GRAPH)]
+
+
+def test_resume_skips_committed_stages(spark, tmp_path, loaded):
+    """Loader.java:171-183 resume semantics: a second run over a committed
+    work dir recomputes nothing (manifests untouched)."""
+    wd = loaded.io.root
+    before = {s: loaded.io.manifest(s)["committed_at_unix"] for s in ("E", "D", "V")}
+    pipe2 = KgPipeline(spark, wd)
+    pipe2.load(fx.fixture_loading(spark))
+    after = {s: pipe2.io.manifest(s)["committed_at_unix"] for s in ("E", "D", "V")}
+    assert before == after
+    assert all(not ran for ran in [pipe2.runner.timings[s] for s in ("E", "D", "V")])
+
+
+def test_lineage_rows(loaded):
+    lin = loaded.io.read_lineage("V")
+    pdf = lin.toPandas()
+    assert set(["partition_id", "n_rows", "input_sha256_set", "stage"]).issubset(pdf.columns)
+    assert pdf.n_rows.sum() == 15
+    shas = {s for row in pdf.input_sha256_set for s in row}
+    assert len(shas) == 1  # single fixture file
