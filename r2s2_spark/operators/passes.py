@@ -1,0 +1,377 @@
+"""Stage O — physical-design rewrite passes over the vertical tables.
+
+Reference counterparts (reference pass order, OptimizeForR2RML.java:26-49):
+
+  1. RdfTypeSplitting            (RdfTypeSplitting.java:36-130)
+  2. IntroduceVirtualColumns     (IntroduceVirtualColumns.java:21-76)
+  3. OptimizeForDatatype         (OptimizeForDatatype.java:52-147)
+  4. OptimizeForLongestCommonSubstring (OptimizeForLCS.java:23-100)
+  5. ReintroduceRdfSetSemantics  (ReintroduceRdfSetSemantics.java:25-141)
+  plus scheme/host dictionary encoding (IntroduceIriSchemeEnum.java:27-72,
+  IntroduceHostEnums.java:27-71 — object columns only, like the reference).
+
+Spark-first fusion: the reference issues one probe query + one ALTER/UPDATE
+per column per pass (6 table rewrites). Here each table gets exactly
+  ONE aggregation job   (all probes: count/min/max/cast-guards per column)
+  ONE rewrite job       (drop-virtual + cast + prefix-strip + dict-encode +
+                         set-semantics collapse + clustering sort + write)
+which is the plan you want when a single table is terabytes.
+
+Semantic deviations from the reference (deliberate, documented):
+- int narrowing requires *every* row canonical (len-preserving round-trip),
+  not DuckDB's EXISTS-then-try-ALTER, which silently strips leading zeros
+  on mixed data (lossy).
+- the last remaining physical column is never virtualized; the reference
+  DELETEs all rows in that case (IntroduceVirtualColumns.java:63-72),
+  losing the statements entirely.
+- rdf:type splitting keys on the class value only, not class+graph
+  (the reference's DISTINCT includes the graph column and collides table
+  names when one class spans graphs, RdfTypeSplitting.java:60-69).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import naming
+from ..functions.uri import PART_KEYS
+from ..naming import RDF_TYPE, XSD
+from ..plans.catalog import Catalog, ColumnSpec, TableSpec
+from .dictionaries import build_dictionary
+
+INT_MAX = 2147483647
+
+
+# --------------------------------------------------------------------------
+# 1. rdf:type splitting ("class cracking")
+# --------------------------------------------------------------------------
+
+
+def split_type_tables(
+    spark: SparkSession,
+    catalog: Catalog,
+    v_data_path: str,
+    out_dir: str,
+) -> tuple[Catalog, dict[str, str]]:
+    """Split each (iri,iri) rdf:type table into one table per class value.
+
+    One partitionBy write per parent (not one INSERT per class like the
+    reference). Returns the updated catalog and a map table_name ->
+    parquet path for split children (others read from the V dataset).
+    """
+    paths: dict[str, str] = {}
+    new_tables: list[TableSpec] = []
+    used: set[str] = {t.name for t in catalog.tables}
+    for t in catalog.tables:
+        pm = t.predicates[0]
+        if not (
+            len(t.predicates) == 1 and pm.predicate == RDF_TYPE and pm.obj_kind == "iri"
+        ):
+            new_tables.append(t)
+            continue
+        df = spark.read.parquet(f"{v_data_path}/t={t.name}")
+        o_cols = [f"o_{k}" for k in PART_KEYS]
+        classes = df.select(*o_cols).distinct().collect()
+        # class IRI (for the table name) reassembled in Python — same
+        # template as functions.uri.reassemble_iri
+        split_dir = os.path.join(out_dir, t.name)
+        key = F.md5(F.concat_ws("\x00", *[F.coalesce(F.col(c), F.lit("\x01")) for c in o_cols]))
+        df.withColumn("_cls", key).repartition("_cls").write.mode("overwrite").partitionBy(
+            "_cls"
+        ).parquet(split_dir)
+        for i, row in enumerate(sorted(classes, key=lambda r: str(tuple(r)))):
+            cls_iri = _reassemble_py({k: row[f"o_{k}"] for k in PART_KEYS})
+            name = _type_table_name(cls_iri, catalog.namespaces, used, len(used))
+            used.add(name)
+            child = TableSpec(
+                name=name,
+                subject_kind=t.subject_kind,
+                subject_columns=[replace(c) for c in t.subject_columns],
+                predicates=[
+                    replace(
+                        pm,
+                        columns=[replace(c) for c in pm.columns],
+                        graph_column=replace(pm.graph_column),
+                    )
+                ],
+            )
+            new_tables.append(child)
+            parts_key = "\x00".join(
+                (row[f"o_{k}"] if row[f"o_{k}"] is not None else "\x01") for k in PART_KEYS
+            )
+            md5 = hashlib.md5(parts_key.encode("utf-8")).hexdigest()
+            paths[name] = f"{split_dir}/_cls={md5}"
+    catalog.tables = new_tables
+    return catalog, paths
+
+
+def _reassemble_py(parts: dict[str, str | None]) -> str:
+    out = ""
+    if parts["scheme"]:
+        out += parts["scheme"] + ":"
+    if parts["host"]:
+        out += "//"
+        if parts["user_info"]:
+            out += parts["user_info"] + "@"
+        out += parts["host"]
+        if parts["port"]:
+            out += ":" + parts["port"]
+        out += parts["path"] or ""
+        if parts["query"] is not None:
+            out += "?" + parts["query"]
+    else:
+        out += parts["ssp"] or ""
+    if parts["fragment"] is not None:
+        out += "#" + parts["fragment"]
+    return out
+
+
+def _type_table_name(
+    cls_iri: str, namespaces: dict[str, str], used: set, idx: int
+) -> str:
+    """type_<prefix>_<Local> (case preserved — LoadingTest expects
+    ``type_rdf_Bag``), else type_<n> (RdfTypeSplitting.java:139-154)."""
+    for prefix, ns in namespaces.items():
+        if prefix and cls_iri.startswith(ns):
+            cand = naming._sanitize(f"type_{prefix}_{cls_iri[len(ns):]}")
+            if cand not in used:
+                return cand
+    return f"type_{idx}"
+
+
+# --------------------------------------------------------------------------
+# 2-5. fused per-table probe + rewrite
+# --------------------------------------------------------------------------
+
+_XSD_NARROWING = {
+    XSD + "int": "int",
+    XSD + "integer": "decimal(38,18)",
+    XSD + "long": "bigint",
+    XSD + "boolean": "boolean",
+    XSD + "double": "double",
+    XSD + "float": "float",
+    XSD + "date": "date",
+    XSD + "decimal": "decimal(38,18)",
+}
+
+
+def _narrow_target(table_dt: str | None, cs: ColumnSpec) -> str | None:
+    """Narrowing target type for a column (OptimizeForDatatype.java:52-115)."""
+    if cs.part == "port":
+        return "int"
+    if cs.part in ("path", "query", "fragment"):
+        return "int"  # guarded by the all-canonical probe
+    if cs.part == "litvalue" and table_dt:
+        if table_dt == XSD + "gYear":
+            return "gyear"
+        return _XSD_NARROWING.get(table_dt)
+    return None
+
+
+def _guard_expr(c, target: str):
+    """Boolean per-row expression: value is losslessly representable.
+    try_cast throughout — Spark 4 runs ANSI mode, where a plain cast
+    *throws* on malformed input instead of returning NULL."""
+    if target == "int" or target == "bigint":
+        return c.try_cast(target).cast("string") == c
+    if target == "boolean":
+        return c.isin("true", "false")
+    if target == "date":
+        return c.try_cast("date").cast("string") == c
+    if target in ("double", "float"):
+        return c.try_cast(target).isNotNull()
+    if target.startswith("decimal"):
+        return c.rlike(r"^-?\d+(\.\d+)?$") & c.try_cast(target).isNotNull()
+    if target == "gyear":
+        return c.rlike(r"^-?[0-9]{4}$") & F.coalesce(
+            c.try_cast("int").between(-5999, 2999), F.lit(False)
+        )
+    raise ValueError(target)
+
+
+def _cast_expr(c, target: str):
+    if target == "boolean":
+        return c == "true"  # OptimizeForDatatype.java: CASE WHEN c='true'
+    if target == "gyear":
+        return c.try_cast("int")
+    return c.try_cast(target)
+
+
+def probe_table(df: DataFrame, table: TableSpec) -> dict:
+    """ONE aggregation pass computing everything every pass needs:
+    per physical column count/min/max plus narrowing guards (P1, P5, A9)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for cs in table.all_column_specs():
+        if not cs.physical:
+            continue
+        c = F.col(cs.name)
+        aggs.append(F.count(c).alias(f"{cs.name}\x00cnt"))
+        aggs.append(F.min(c).alias(f"{cs.name}\x00min"))
+        aggs.append(F.max(c).alias(f"{cs.name}\x00max"))
+        target = _narrow_target(_table_dt_for(table, cs), cs)
+        if target and cs.sql_type == "string":
+            # coalesce(False): try_cast NULLs must count as guard failure,
+            # not vanish from min() (NULL == x is NULL, min skips NULLs)
+            ok = F.when(
+                c.isNotNull(),
+                F.coalesce(_guard_expr(c, target), F.lit(False)).cast("int"),
+            )
+            aggs.append(F.min(ok).alias(f"{cs.name}\x00ok"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    return row
+
+
+def _table_dt_for(table: TableSpec, cs: ColumnSpec) -> str | None:
+    for pm in table.predicates:
+        if cs in pm.columns:
+            return pm.datatype
+    return None
+
+
+def _iri_group_parts(table: TableSpec, cs: ColumnSpec) -> bool:
+    return cs.part in PART_KEYS
+
+
+def optimize_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: TableSpec,
+    schemes: DataFrame | None = None,
+    hosts: DataFrame | None = None,
+) -> DataFrame:
+    """Apply passes 2-5 to one table. Mutates ``table``'s column specs
+    (virtual values, narrowed types, LCP prefixes, encodings, graph
+    collapse) and returns the rewritten DataFrame, ready to write."""
+    stats = probe_table(df, table)
+    n = stats["__n"]
+
+    specs = [cs for cs in table.all_column_specs()]
+    physical = [cs for cs in specs if cs.physical]
+
+    # --- pass 2: virtual (constant) columns, never emptying the table ----
+    for cs in specs:
+        if not cs.physical or cs.encoding:
+            # encoded ids stay physical: a virtual id would need a decode
+            # lookup at reconstruction; the storage win is negligible
+            continue
+        cnt = stats[f"{cs.name}\x00cnt"]
+        mn, mx = stats[f"{cs.name}\x00min"], stats[f"{cs.name}\x00max"]
+        constant = (cnt == 0) or (cnt == n and mn == mx)
+        if constant and sum(1 for x in specs if x.physical) > 1:
+            cs.physical = False
+            cs.virtual_value = None if cnt == 0 else str(mn)
+
+    # --- pass 3: datatype narrowing (guarded) -----------------------------
+    narrowed: dict[str, str] = {}
+    for cs in specs:
+        if not cs.physical or cs.sql_type != "string":
+            continue
+        target = _narrow_target(_table_dt_for(table, cs), cs)
+        ok = stats.get(f"{cs.name}\x00ok")
+        if target and ok == 1 and stats[f"{cs.name}\x00cnt"] > 0:
+            narrowed[cs.name] = target
+            if target == "gyear":
+                cs.sql_type = "int"
+                cs.encoding = "gyear"
+            else:
+                cs.sql_type = target
+
+    # --- pass 4: longest-common-prefix factoring (IRI part columns) ------
+    for cs in specs:
+        if not cs.physical or cs.sql_type != "string" or not _iri_group_parts(table, cs):
+            continue
+        mn, mx = stats[f"{cs.name}\x00min"], stats[f"{cs.name}\x00max"]
+        if mn is None or mx is None:
+            continue
+        lcp = os.path.commonprefix([mn, mx])
+        if lcp:
+            cs.lcp_prefix = lcp
+
+    # --- build the single rewrite projection ------------------------------
+    cols = []
+    for cs in specs:
+        if not cs.physical:
+            continue
+        c = F.col(cs.name)
+        if cs.name in narrowed:
+            c = _cast_expr(c, narrowed[cs.name])
+        if cs.lcp_prefix:
+            c = F.substring(c, len(cs.lcp_prefix) + 1, INT_MAX)
+        cols.append(c.alias(cs.name))
+    out = df.select(*cols)
+
+    # --- scheme/host dictionary encoding (object side only, like the
+    #     reference's enum passes) ----------------------------------------
+    for pm in table.predicates:
+        for cs in pm.columns:
+            if not cs.physical or cs.sql_type != "string":
+                continue
+            if cs.part == "scheme" and schemes is not None:
+                out = _encode(out, schemes, cs, "schemes")
+            elif cs.part == "host" and hosts is not None:
+                out = _encode(out, hosts, cs, "hosts")
+
+    # --- pass 5: set semantics + graph collapse ---------------------------
+    out = _collapse(out, table, stats, n)
+    return out
+
+
+def _encode(df: DataFrame, dictionary: DataFrame, cs: ColumnSpec, dict_name: str) -> DataFrame:
+    dim = F.broadcast(
+        dictionary.select(F.col("iri").alias(cs.name), F.col("id").alias(f"{cs.name}\x00id"))
+    )
+    df = df.join(dim, cs.name, "left").drop(cs.name).withColumnRenamed(f"{cs.name}\x00id", cs.name)
+    cs.sql_type = "bigint"
+    cs.encoding = dict_name
+    return df
+
+
+def _collapse(df: DataFrame, table: TableSpec, stats: dict, n: int) -> DataFrame:
+    """ReintroduceRdfSetSemantics: dedupe + multi-graph collapse + cluster
+    sort. Works on the post-rewrite frame."""
+    g_specs = [pm.graph_column for pm in table.predicates if pm.graph_column is not None]
+    g_phys = [g for g in g_specs if g.physical]
+    non_graph = [
+        cs.name
+        for cs in table.all_column_specs()
+        if cs.physical and cs not in g_specs
+    ]
+    if not g_phys:
+        out = df.dropDuplicates()
+    else:
+        g = g_phys[0]
+        collapsed = df.groupBy(*non_graph).agg(
+            F.sort_array(F.collect_set(F.col(g.name))).alias(g.name)
+        )
+        collapsed = collapsed.persist()
+        max_graphs = collapsed.agg(F.max(F.size(F.col(g.name)))).first()[0]
+        if max_graphs is not None and max_graphs > 1:
+            g.part = "graph_set"
+            g.sql_type = "array<bigint>"
+            out = collapsed
+        else:
+            out = collapsed.withColumn(g.name, F.element_at(F.col(g.name), 1))
+    sort_cols = [c for c in out.columns]
+    return out.sortWithinPartitions(*sort_cols) if sort_cols else out
+
+
+# --------------------------------------------------------------------------
+# global scheme/host dictionaries (A8: distinct union across tables)
+# --------------------------------------------------------------------------
+
+
+def build_scheme_host_dicts(
+    spark: SparkSession, v_data_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Distinct object schemes/hosts across ALL tables in one scan of the
+    V dataset (the reference unions per-table SELECT DISTINCTs,
+    IntroduceHostEnums.java:30-39)."""
+    v = spark.read.parquet(v_data_path).select("o_scheme", "o_host")
+    schemes = build_dictionary(v, "o_scheme")
+    hosts = build_dictionary(v, "o_host")
+    return schemes, hosts

@@ -156,9 +156,8 @@ def route_statements(
     return routed.repartition(n, "t", "_salt").drop("_salt")
 
 
-def read_table(spark: SparkSession, data_path: str, table: TableSpec, with_sha: bool = False) -> DataFrame:
-    """Read one vertical table and rename generic -> reference columns."""
-    df = spark.read.parquet(f"{data_path}/t={table.name}")
+def rename_generic(df: DataFrame, table: TableSpec, with_sha: bool = False) -> DataFrame:
+    """Select/rename generic statement columns to reference-style names."""
     cols = []
     for spec in table.all_column_specs():
         if spec.physical and spec.source:
@@ -166,3 +165,8 @@ def read_table(spark: SparkSession, data_path: str, table: TableSpec, with_sha: 
     if with_sha:
         cols.append(F.col("file_sha256"))
     return df.select(*cols)
+
+
+def read_table(spark: SparkSession, data_path: str, table: TableSpec, with_sha: bool = False) -> DataFrame:
+    """Read one vertical table and rename generic -> reference columns."""
+    return rename_generic(spark.read.parquet(f"{data_path}/t={table.name}"), table, with_sha)

@@ -92,12 +92,58 @@ class KgPipeline:
 
         self.runner.run("V", fn)
 
+    def stage_o(self) -> None:
+        """Layout passes: type split + fused per-table rewrite (steps 1-2,
+        8-9 of Loader.STEPS, Loader.java:151-159)."""
+        from .operators import passes
+
+        def fn(io: StageIO) -> dict:
+            catalog = io.read_catalog("V")
+            v_data = io.path("V", "data")
+            catalog, split_paths = passes.split_type_tables(
+                self.spark, catalog, v_data, io.path("O", "split")
+            )
+            schemes, hosts = passes.build_scheme_host_dicts(self.spark, v_data)
+            schemes.coalesce(1).write.mode("overwrite").parquet(io.path("O", "schemes"))
+            hosts.coalesce(1).write.mode("overwrite").parquet(io.path("O", "hosts"))
+            schemes = self.spark.read.parquet(io.path("O", "schemes"))
+            hosts = self.spark.read.parquet(io.path("O", "hosts"))
+            catalog.dictionaries["schemes"] = "O/schemes"
+            catalog.dictionaries["hosts"] = "O/hosts"
+
+            table_counts = {}
+            for t in catalog.tables:
+                if t.name in split_paths:
+                    src = self.spark.read.parquet(split_paths[t.name])
+                else:
+                    src = self.spark.read.parquet(f"{v_data}/t={t.name}")
+                df = vertical.rename_generic(src, t)
+                out = passes.optimize_table(self.spark, df, t, schemes, hosts)
+                out.write.mode("overwrite").parquet(io.path("O", "tables", t.name))
+                n = self.spark.read.parquet(io.path("O", "tables", t.name)).count()
+                t.row_count = n
+                table_counts[t.name] = n
+            catalog.tables = [t for t in catalog.tables if t.row_count]
+            io.write_catalog("O", catalog)
+            return {"tables": len(catalog.tables), "rows_after_collapse": sum(table_counts.values())}
+
+        self.runner.run("O", fn)
+
     # -- accessors ---------------------------------------------------------
     def predicates(self) -> DataFrame:
         return self.spark.read.parquet(self.io.path("D", "predicates"))
 
     def graphs(self) -> DataFrame:
         return self.spark.read.parquet(self.io.path("D", "graphs"))
+
+    def dicts(self, stage: str | None = None) -> dict:
+        """Dictionary DataFrames referenced by the stage's catalog."""
+        stage = stage or self.last_catalog_stage()
+        cat = self.io.read_catalog(stage)
+        out = {}
+        for name, rel in cat.dictionaries.items():
+            out[name] = self.spark.read.parquet(os.path.join(self.io.root, rel))
+        return out
 
     def catalog(self, stage: str = None) -> Catalog:
         stage = stage or self.last_catalog_stage()
@@ -127,7 +173,7 @@ class KgPipeline:
     # -- products ------------------------------------------------------
     def triples(self, stage: str | None = None) -> DataFrame:
         stage = stage or self.last_catalog_stage()
-        return reconstruct_triples(self.catalog(stage), self.reader(stage))
+        return reconstruct_triples(self.catalog(stage), self.reader(stage), self.dicts(stage))
 
     def triples_with_graph_iri(self, stage: str | None = None) -> DataFrame:
         t = self.triples(stage)
@@ -136,7 +182,7 @@ class KgPipeline:
 
     def distinct_types(self, stage: str | None = None) -> DataFrame:
         stage = stage or self.last_catalog_stage()
-        return distinct_types(self.catalog(stage), self.reader(stage))
+        return distinct_types(self.catalog(stage), self.reader(stage), self.dicts(stage))
 
     def write_mapping(self, stage: str | None = None) -> str:
         stage = stage or self.last_catalog_stage()
@@ -148,8 +194,9 @@ class KgPipeline:
 
     # -- entry ---------------------------------------------------------
     def load(self, source_files: DataFrame) -> "KgPipeline":
-        """Run E -> D -> V (stages O/M appended as they land)."""
+        """Run E -> D -> V -> O (stage M appended when it lands)."""
         self.stage_e(source_files)
         self.stage_d()
         self.stage_v()
+        self.stage_o()
         return self

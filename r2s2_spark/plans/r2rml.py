@@ -47,9 +47,9 @@ def _lexical(spec: ColumnSpec, col) -> "F.Column":
         else:
             base = base.cast("string")
     if spec.lcp_prefix:
-        base = F.when(base.isNotNull(), F.concat(F.lit(spec.lcp_prefix), base)).otherwise(
-            F.lit(spec.lcp_prefix)
-        )
+        # NULL stays NULL (a merged-in row without this term); a value that
+        # equalled the prefix was stripped to '' (non-null) and round-trips.
+        base = F.when(base.isNotNull(), F.concat(F.lit(spec.lcp_prefix), base))
     return base
 
 
@@ -78,18 +78,47 @@ def _term_exprs(
     return lex, F.lit(None).cast("string"), dt
 
 
-def table_triples(df: DataFrame, table: TableSpec, pm: PredicateMapSpec) -> DataFrame:
+def _decode_encoded(df: DataFrame, specs: list[ColumnSpec], dicts: dict[str, DataFrame]) -> DataFrame:
+    """Replace dictionary-encoded id columns with their string values
+    (broadcast decode joins) so term expressions see strings."""
+    for cs in specs:
+        if cs.physical and cs.encoding in dicts:
+            d = dicts[cs.encoding]
+            dim = F.broadcast(
+                d.select(
+                    F.col("id").alias(cs.name + "\x00id"),
+                    F.col("iri").alias(cs.name + "\x00str"),
+                )
+            )
+            df = (
+                df.join(dim, F.col(cs.name) == F.col(cs.name + "\x00id"), "left")
+                .drop(cs.name, cs.name + "\x00id")
+                .withColumnRenamed(cs.name + "\x00str", cs.name)
+            )
+    return df
+
+
+def table_triples(
+    df: DataFrame,
+    table: TableSpec,
+    pm: PredicateMapSpec,
+    dicts: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """One predicate map of one table -> its triples (graph ids exploded)."""
+    if dicts:
+        df = _decode_encoded(df, [*table.subject_columns, *pm.columns], dicts)
     s_lex, _, _ = _term_exprs(table.subject_columns, table.subject_kind)
     o_lex, o_lang, o_dt = _term_exprs(pm.columns, pm.obj_kind)
 
     g = pm.graph_column
+    explode_graphs = False
     if g is None:
         g_col = F.lit(None).cast("bigint")
     elif not g.physical:
         g_col = F.lit(int(g.virtual_value)).cast("bigint")
     elif g.part == "graph_set":
-        g_col = F.explode(F.col(g.name)).cast("bigint")
+        g_col = F.col(g.name)  # exploded below (generators can't nest)
+        explode_graphs = True
     else:
         g_col = F.col(g.name).cast("bigint")
 
@@ -103,13 +132,19 @@ def table_triples(df: DataFrame, table: TableSpec, pm: PredicateMapSpec) -> Data
         o_dt.alias("o_datatype"),
         g_col.alias("g_id"),
     )
+    if explode_graphs:
+        out = out.withColumn("g_id", F.explode("g_id")).withColumn(
+            "g_id", F.col("g_id").cast("bigint")
+        )
     # merged tables carry NULL object groups for subjects the merged-in
     # predicate doesn't describe (full-outer merge) — not triples, drop.
     return out.where(F.col("o_lex").isNotNull() & F.col("s").isNotNull())
 
 
 def reconstruct_triples(
-    catalog: Catalog, reader: Callable[[TableSpec], DataFrame]
+    catalog: Catalog,
+    reader: Callable[[TableSpec], DataFrame],
+    dicts: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Union of all tables' triples. ``reader`` supplies each table's
     DataFrame (with reference-named columns)."""
@@ -117,7 +152,7 @@ def reconstruct_triples(
     for t in catalog.tables:
         df = reader(t)
         for pm in t.predicates:
-            pieces.append(table_triples(df, t, pm))
+            pieces.append(table_triples(df, t, pm, dicts))
     if not pieces:
         raise ValueError("empty catalog")
     out = pieces[0]
@@ -126,7 +161,11 @@ def reconstruct_triples(
     return out
 
 
-def distinct_types(catalog: Catalog, reader: Callable[[TableSpec], DataFrame]) -> DataFrame:
+def distinct_types(
+    catalog: Catalog,
+    reader: Callable[[TableSpec], DataFrame],
+    dicts: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """The reference's flagship SPARQL `SELECT DISTINCT ?type WHERE {[] a ?type}`
     (SparqlOnLoadedTest.java:111-127) as a DataFrame program: union the
     object-IRI expressions of every rdf:type predicate map, distinct."""
@@ -134,8 +173,11 @@ def distinct_types(catalog: Catalog, reader: Callable[[TableSpec], DataFrame]) -
     for t in catalog.tables:
         for pm in t.predicates:
             if pm.predicate == RDF_TYPE and pm.obj_kind == "iri":
+                df = reader(t)
+                if dicts:
+                    df = _decode_encoded(df, list(pm.columns), dicts)
                 o_lex, _, _ = _term_exprs(pm.columns, pm.obj_kind)
-                pieces.append(reader(t).select(o_lex.alias("type")).where(o_lex.isNotNull()))
+                pieces.append(df.select(o_lex.alias("type")).where(o_lex.isNotNull()))
     if not pieces:
         raise ValueError("no rdf:type tables in catalog")
     out = pieces[0]

@@ -100,16 +100,27 @@ def fixture_multigraph(spark: SparkSession) -> DataFrame:
 
 
 def fixture_datatypes(spark: SparkSession) -> DataFrame:
-    def lits(name: str, values: list[str], dt: str = f"{XSD}string") -> str:
+    """Narrowing probes (OptimizeForDatatypeTest.java:23-94). The numeric
+    probe applies to IRI path/query/fragment columns (optimizeIRI), so the
+    numeric cases are object IRIs with numeric *fragments*; gYear is a
+    typed-literal case (optimizeLiteral)."""
+
+    def iris(name: str, values: list[str]) -> str:
+        return "\n".join(
+            f"<{EX}{name}{j}> <{EX}{name}> <{EX}x#{v}> ."
+            for j, v in enumerate(values)
+        )
+
+    def lits(name: str, values: list[str], dt: str) -> str:
         return "\n".join(
             f'<{EX}{name}{j}> <{EX}{name}> "{v}"^^<{dt}> .'
             for j, v in enumerate(values)
         )
 
     rows = [
-        _row("fixture-repo", "data/dt_numeric.nt", lits("numeric", [str(i) for i in range(100)])),
-        _row("fixture-repo", "data/dt_zeros.nt", lits("zeros", ["0" + str(i) for i in range(100)])),
-        _row("fixture-repo", "data/dt_mixed.nt", lits("mixed", [str(i) for i in range(100)] + ["A"])),
+        _row("fixture-repo", "data/dt_numeric.nt", iris("numeric", [str(i) for i in range(100)])),
+        _row("fixture-repo", "data/dt_zeros.nt", iris("zeros", ["0" + str(i) for i in range(100)])),
+        _row("fixture-repo", "data/dt_mixed.nt", iris("mixed", [str(i) for i in range(100)] + ["A"])),
         _row(
             "fixture-repo",
             "data/dt_gyear.nt",
