@@ -1,0 +1,178 @@
+"""Stage M — table merging (denormalization of star-shaped subjects).
+
+Reference counterpart: TableMergingConcurence.java:46-268 (step 4 of
+Loader.STEPS; TableMerging.java is dead code). Algorithm kept faithful:
+
+- merge candidates = tables whose subjects are unique (no repeating
+  subject, probed as GROUP BY subject HAVING COUNT(*)>1 LIMIT 1,
+  TableMergingConcurence.java:246-268);
+- processed type-tables-first then smallest-first ("merge into small
+  tables to generate denser columns", :81-100);
+- ``other`` merges into ``mc`` when: same subject kind, no shared
+  predicate, ``other`` not already a merge target, both non-empty, and
+  the subject sets actually overlap (:201-230);
+- the merge pulls ``other``'s physical object columns into ``mc`` for
+  matching subjects (reference: UPDATE..FROM, :180-190) and removes the
+  consumed rows from ``other`` (reference: DELETE..USING, :191-196).
+
+Spark realization: UPDATE becomes a left join adding the columns; DELETE
+becomes a left-anti join on the subject key. Deviation (documented): the
+reference's DELETE also equi-compares the copied values, so rows whose
+copied value is NULL are never deleted (NULL=NULL is unknown) — leaving
+duplicate statements behind; we anti-join on the subject alone, which is
+the intended semantics (both reconstruct to identical triple *sets*).
+
+The composite subject key is concat with an explicit separator —
+the reference's bare ``c1||c2`` (J4) is ambiguous ("ab"+"c" == "a"+"bc") —
+and NULL parts propagate (concat, not concat_ws), matching DuckDB's
+NULL||x = NULL: a subject with a NULL part never matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import Catalog, TableSpec
+
+SEP = "\x00"
+
+
+def subject_key(table: TableSpec) -> "F.Column":
+    """concatSubjectColumns (TableMergingConcurence.java:232-244): physical
+    columns by value, virtual columns inlined as literals."""
+    pieces = []
+    for cs in table.subject_columns:
+        if cs.physical:
+            # physical NULL propagates -> row never matches (DuckDB
+            # NULL||x = NULL in the reference's concat key)
+            pieces.append(F.col(cs.name).cast("string"))
+        else:
+            # an absent (all-NULL virtual) part is a *column* property, not
+            # a row property: sentinel so two tables with the same absent
+            # part still match (the reference string-concats Java null into
+            # the literal 'null', same effect)
+            pieces.append(
+                F.lit(cs.virtual_value if cs.virtual_value is not None else "\x01null").cast(
+                    "string"
+                )
+            )
+        pieces.append(F.lit(SEP))
+    return F.concat(*pieces[:-1]) if pieces else F.lit(None)
+
+
+def has_repeating_subjects(df: DataFrame, table: TableSpec) -> bool:
+    """A2 probe (GROUP BY .. HAVING COUNT(*)>1 LIMIT 1)."""
+    phys = [cs.name for cs in table.subject_columns if cs.physical]
+    if not phys:
+        # all-virtual subject: every row IS the same subject, so >1 row
+        # repeats. (The reference returns false here — empty column list,
+        # TableMergingConcurence.java:249-251 — which would wrongly admit
+        # multi-row single-subject tables as merge candidates.)
+        return df.limit(2).count() > 1
+    k = subject_key(table).alias("__k")
+    return (
+        df.groupBy(k).count().where(F.col("count") > 1).limit(1).count() > 0
+    )
+
+
+def subjects_overlap(mc_df: DataFrame, mc: TableSpec, other_df: DataFrame, other: TableSpec) -> bool:
+    """J1 probe as a left-semi join with early exit (the reference runs a
+    full COUNT(*) over the join, :211 — semi+limit is the Spark idiom)."""
+    a = mc_df.select(subject_key(mc).alias("__k")).where(F.col("__k").isNotNull())
+    b = other_df.select(subject_key(other).alias("__k")).where(F.col("__k").isNotNull())
+    return a.join(b, "__k", "left_semi").limit(1).count() > 0
+
+
+def merge_pair(
+    mc_df: DataFrame, mc: TableSpec, other_df: DataFrame, other: TableSpec
+) -> tuple[DataFrame, DataFrame]:
+    """Merge ``other``'s predicate maps into ``mc``. Returns the new
+    (mc_df, other_df). ``mc`` gains deep copies of the predicate maps;
+    ``other`` keeps its own specs — its remaining (non-overlapping) rows
+    still represent statements of that predicate, exactly like the
+    reference where the same PredicateMap ends up on both tables."""
+    import copy
+
+    move_cols: list[str] = []
+    for pm in other.predicates:
+        for cs in [*pm.columns, pm.graph_column]:
+            if cs is not None and cs.physical:
+                move_cols.append(cs.name)
+        mc.predicates.append(copy.deepcopy(pm))
+
+    ok = subject_key(other).alias("__k")
+    payload = other_df.select(ok, *move_cols)
+    mk = subject_key(mc).alias("__k")
+    merged = mc_df.withColumn("__k", subject_key(mc)).join(
+        payload, "__k", "left"
+    ).drop("__k")
+
+    remaining = other_df.join(
+        mc_df.select(mk).where(F.col("__k").isNotNull()),
+        subject_key(other) == F.col("__k"),
+        "left_anti",
+    )
+    return merged, remaining
+
+
+def run_merges(
+    spark: SparkSession,
+    catalog: Catalog,
+    frames: dict[str, DataFrame],
+    sizes: dict[str, int],
+) -> tuple[list[str], list[str]]:
+    """The full TableMergingConcurence driver loop over in-memory (lazy)
+    frames. Mutates ``catalog``/``frames``/``sizes``. Returns
+    (names of tables that changed, names of emptied/dropped tables)."""
+
+    def order_key(t: TableSpec):
+        return (0 if t.name.startswith("type_") else 1, sizes[t.name], t.name)
+
+    candidates = [
+        t
+        for t in sorted(catalog.tables, key=order_key)
+        if not has_repeating_subjects(frames[t.name], t)
+    ]
+    merged_targets: set[str] = set()
+    changed: set[str] = set()
+    for mc in candidates:
+        if sizes[mc.name] == 0:
+            continue
+        for other in list(candidates):
+            if other.name == mc.name or not other.predicates:
+                continue
+            if other.subject_kind != mc.subject_kind:
+                continue
+            mc_preds = {pm.predicate for pm in mc.predicates}
+            if any(pm.predicate in mc_preds for pm in other.predicates):
+                continue
+            if other.name in merged_targets or sizes[other.name] == 0:
+                continue
+            # nothing physical to pull in -> the reference's merge() is a
+            # no-op for this pair (toMerge empty, :168-176); skip entirely.
+            # Only OBJECT columns count: a lone physical graph column holds
+            # no statement content (such tables exist here only because we
+            # keep the last physical column where the reference empties the
+            # table, IntroduceVirtualColumns.java:63-72).
+            if not any(cs.physical for pm in other.predicates for cs in pm.columns):
+                continue
+            if not subjects_overlap(frames[mc.name], mc, frames[other.name], other):
+                continue
+            new_mc, new_other = merge_pair(frames[mc.name], mc, frames[other.name], other)
+            # localCheckpoint keeps the cascade's plan from growing
+            # unboundedly across merges (lineage cut, still lazy enough)
+            frames[mc.name] = new_mc.localCheckpoint(eager=False)
+            frames[other.name] = new_other.localCheckpoint(eager=False)
+            sizes[other.name] = frames[other.name].count()
+            changed.add(mc.name)
+            changed.add(other.name)
+        merged_targets.add(mc.name)
+
+    dropped = []
+    for t in list(catalog.tables):
+        if sizes[t.name] == 0:
+            catalog.tables.remove(t)
+            frames.pop(t.name, None)
+            dropped.append(t.name)
+    return sorted(changed), dropped

@@ -202,7 +202,25 @@ def _cast_expr(c, target: str):
     return c.try_cast(target)
 
 
-def probe_table(df: DataFrame, table: TableSpec) -> dict:
+def _to_lexical_py(v) -> str | None:
+    """Python-side value -> RDF lexical form (for virtual-column constants
+    captured after narrowing: bool/date/Decimal repr differs from str())."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        s = format(v, "f")
+        return s.rstrip("0").rstrip(".") if "." in s else s
+    return str(v)
+
+
+def probe_table(df: DataFrame, table: TableSpec, mode: str = "full") -> dict:
     """ONE aggregation pass computing everything every pass needs:
     per physical column count/min/max plus narrowing guards (P1, P5, A9)."""
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -214,7 +232,7 @@ def probe_table(df: DataFrame, table: TableSpec) -> dict:
         aggs.append(F.min(c).alias(f"{cs.name}\x00min"))
         aggs.append(F.max(c).alias(f"{cs.name}\x00max"))
         target = _narrow_target(_table_dt_for(table, cs), cs)
-        if target and cs.sql_type == "string":
+        if mode == "full" and target and cs.sql_type == "string":
             # coalesce(False): try_cast NULLs must count as guard failure,
             # not vanish from min() (NULL == x is NULL, min skips NULLs)
             ok = F.when(
@@ -243,54 +261,66 @@ def optimize_table(
     table: TableSpec,
     schemes: DataFrame | None = None,
     hosts: DataFrame | None = None,
+    mode: str = "full",
 ) -> DataFrame:
     """Apply passes 2-5 to one table. Mutates ``table``'s column specs
     (virtual values, narrowed types, LCP prefixes, encodings, graph
-    collapse) and returns the rewritten DataFrame, ready to write."""
-    stats = probe_table(df, table)
+    collapse) and returns the rewritten DataFrame, ready to write.
+
+    mode="reopt" is the post-merge re-optimization (ReOptimizeForR2RML.java:
+    24-46): virtual columns + LCP only — no narrowing, no dict encode, no
+    set-semantics collapse.
+    """
+    stats = probe_table(df, table, mode)
     n = stats["__n"]
 
     specs = [cs for cs in table.all_column_specs()]
-    physical = [cs for cs in specs if cs.physical]
 
     # --- pass 2: virtual (constant) columns, never emptying the table ----
     for cs in specs:
-        if not cs.physical or cs.encoding:
-            # encoded ids stay physical: a virtual id would need a decode
-            # lookup at reconstruction; the storage win is negligible
+        if not cs.physical or cs.encoding or cs.sql_type.startswith("array"):
+            # encoded ids / graph sets stay physical: a virtual id would
+            # need a decode lookup at reconstruction; the win is negligible
             continue
         cnt = stats[f"{cs.name}\x00cnt"]
         mn, mx = stats[f"{cs.name}\x00min"], stats[f"{cs.name}\x00max"]
         constant = (cnt == 0) or (cnt == n and mn == mx)
         if constant and sum(1 for x in specs if x.physical) > 1:
             cs.physical = False
-            cs.virtual_value = None if cnt == 0 else str(mn)
+            cs.virtual_value = _to_lexical_py(mn) if cnt else None
 
     # --- pass 3: datatype narrowing (guarded) -----------------------------
     narrowed: dict[str, str] = {}
-    for cs in specs:
-        if not cs.physical or cs.sql_type != "string":
-            continue
-        target = _narrow_target(_table_dt_for(table, cs), cs)
-        ok = stats.get(f"{cs.name}\x00ok")
-        if target and ok == 1 and stats[f"{cs.name}\x00cnt"] > 0:
-            narrowed[cs.name] = target
-            if target == "gyear":
-                cs.sql_type = "int"
-                cs.encoding = "gyear"
-            else:
-                cs.sql_type = target
+    if mode == "full":
+        for cs in specs:
+            if not cs.physical or cs.sql_type != "string":
+                continue
+            target = _narrow_target(_table_dt_for(table, cs), cs)
+            ok = stats.get(f"{cs.name}\x00ok")
+            if target and ok == 1 and stats[f"{cs.name}\x00cnt"] > 0:
+                narrowed[cs.name] = target
+                if target == "gyear":
+                    cs.sql_type = "int"
+                    cs.encoding = "gyear"
+                else:
+                    cs.sql_type = target
 
     # --- pass 4: longest-common-prefix factoring (IRI part columns) ------
+    to_strip: dict[str, str] = {}
     for cs in specs:
         if not cs.physical or cs.sql_type != "string" or not _iri_group_parts(table, cs):
             continue
+        if cs.name in narrowed:
+            continue
         mn, mx = stats[f"{cs.name}\x00min"], stats[f"{cs.name}\x00max"]
-        if mn is None or mx is None:
+        if mn is None or mx is None or not isinstance(mn, str):
             continue
         lcp = os.path.commonprefix([mn, mx])
         if lcp:
-            cs.lcp_prefix = lcp
+            to_strip[cs.name] = lcp
+            # composes across re-optimizations: stored prefix accumulates,
+            # the projection strips only this round's discovery
+            cs.lcp_prefix = cs.lcp_prefix + lcp
 
     # --- build the single rewrite projection ------------------------------
     cols = []
@@ -300,10 +330,13 @@ def optimize_table(
         c = F.col(cs.name)
         if cs.name in narrowed:
             c = _cast_expr(c, narrowed[cs.name])
-        if cs.lcp_prefix:
-            c = F.substring(c, len(cs.lcp_prefix) + 1, INT_MAX)
+        if cs.name in to_strip:
+            c = F.substring(c, len(to_strip[cs.name]) + 1, INT_MAX)
         cols.append(c.alias(cs.name))
     out = df.select(*cols)
+
+    if mode != "full":
+        return out
 
     # --- scheme/host dictionary encoding (object side only, like the
     #     reference's enum passes) ----------------------------------------

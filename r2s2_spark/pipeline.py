@@ -122,12 +122,46 @@ class KgPipeline:
                 out.write.mode("overwrite").parquet(io.path("O", "tables", t.name))
                 n = self.spark.read.parquet(io.path("O", "tables", t.name)).count()
                 t.row_count = n
+                t.path = f"O/tables/{t.name}"
                 table_counts[t.name] = n
             catalog.tables = [t for t in catalog.tables if t.row_count]
             io.write_catalog("O", catalog)
             return {"tables": len(catalog.tables), "rows_after_collapse": sum(table_counts.values())}
 
         self.runner.run("O", fn)
+
+    def stage_m(self) -> None:
+        """Table merging (step 4) + post-merge re-optimization (step 6) +
+        final mapping emission (steps 3/5/7 collapse into one artifact)."""
+        from .operators import merging, passes
+
+        def fn(io: StageIO) -> dict:
+            catalog = io.read_catalog("O")
+            frames = {
+                t.name: self.spark.read.parquet(os.path.join(io.root, t.path))
+                for t in catalog.tables
+            }
+            sizes = {t.name: t.row_count or 0 for t in catalog.tables}
+            changed, dropped = merging.run_merges(self.spark, catalog, frames, sizes)
+            for t in catalog.tables:
+                if t.name in changed:
+                    out = passes.optimize_table(self.spark, frames[t.name], t, mode="reopt")
+                    out.write.mode("overwrite").parquet(io.path("M", "tables", t.name))
+                    t.path = f"M/tables/{t.name}"
+                    t.row_count = self.spark.read.parquet(
+                        io.path("M", "tables", t.name)
+                    ).count()
+            io.write_catalog("M", catalog)
+            doc = mapping_document(catalog)
+            with open(io.path("M", "mapping.ttl"), "w") as f:
+                f.write(doc)
+            return {
+                "merged_or_shrunk": changed,
+                "dropped_empty": dropped,
+                "tables": len(catalog.tables),
+            }
+
+        self.runner.run("M", fn)
 
     # -- accessors ---------------------------------------------------------
     def predicates(self) -> DataFrame:
@@ -166,7 +200,8 @@ class KgPipeline:
         else:
 
             def read(t: TableSpec) -> DataFrame:
-                return self.spark.read.parquet(self.io.path(stage, "tables", t.name))
+                rel = t.path or f"{stage}/tables/{t.name}"
+                return self.spark.read.parquet(os.path.join(self.io.root, rel))
 
         return read
 
@@ -194,9 +229,10 @@ class KgPipeline:
 
     # -- entry ---------------------------------------------------------
     def load(self, source_files: DataFrame) -> "KgPipeline":
-        """Run E -> D -> V -> O (stage M appended when it lands)."""
+        """Run the full load pipeline E -> D -> V -> O -> M."""
         self.stage_e(source_files)
         self.stage_d()
         self.stage_v()
         self.stage_o()
+        self.stage_m()
         return self

@@ -63,6 +63,10 @@ class TableSpec:
     subject_columns: list[ColumnSpec] = field(default_factory=list)
     predicates: list[PredicateMapSpec] = field(default_factory=list)
     row_count: int | None = None
+    #: storage location relative to the pipeline work dir (set from stage O
+    #: on; lets a later catalog reference unchanged tables from an earlier
+    #: snapshot without rewriting them)
+    path: str | None = None
 
     def physical_columns(self) -> list[str]:
         out = [c.name for c in self.subject_columns if c.physical]
@@ -124,6 +128,7 @@ class Catalog:
                     for p in t["predicates"]
                 ],
                 row_count=t.get("row_count"),
+                path=t.get("path"),
             )
             for t in d["tables"]
         ]

@@ -1,0 +1,84 @@
+"""Stage M: table merging goldens from LoadingTest.java:86-125."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from r2s2_spark.naming import EX, RDF, RDFS, XSD
+from r2s2_spark.pipeline import KgPipeline
+from r2s2_spark.sources import fixtures as fx
+
+from tests.test_pipeline_ev import (
+    expected_triples_loading,
+    precision_recall,
+    reconstructed_set,
+)
+
+
+@pytest.fixture(scope="module")
+def loaded(spark, tmp_path_factory):
+    pipe = KgPipeline(spark, str(tmp_path_factory.mktemp("m") / "wd"))
+    pipe.load(fx.fixture_loading(spark))
+    return pipe
+
+
+def test_merged_schema_golden(loaded):
+    """LoadingTest.java:106-124: after split+merge, type_rdf_Alt and
+    type_rdf_Bag carry exactly {subject_rdf_type_fragment,
+    object_rdfs_label_langvalue} as physical columns, and
+    COUNT(object_rdfs_label_langvalue) == 1 in each (only the
+    unique-subject @cz label table merges; @en-UK repeats subjects)."""
+    cat = loaded.catalog("M")
+    for name in ("type_rdf_Alt", "type_rdf_Bag"):
+        t = cat.table(name)
+        assert set(t.physical_columns()) == {
+            "subject_rdf_type_fragment",
+            "object_rdfs_label_langvalue",
+        }, (name, t.physical_columns())
+        df = loaded.reader("M")(t)
+        assert df.where(F.col("object_rdfs_label_langvalue").isNotNull()).count() == 1
+    assert cat.table("type_rdf_Bag").row_count == 2  # LoadingTest.java:87-92
+    assert cat.table("type_rdf_Alt").row_count == 3
+    # the @cz table was fully consumed -> dropped as empty
+    assert not any(t.predicates[0].lang == "cz" and len(t.predicates) == 1
+                   for t in cat.tables if t.name.startswith("rdfs_label"))
+    # the @en-UK table survives un-merged (repeating subjects)
+    assert any(
+        pm.lang == "en-UK" for t in cat.tables for pm in t.predicates
+    )
+
+
+def test_pr_after_merge(loaded):
+    """Triple set identical after the whole pipeline E->D->V->O->M."""
+    got = reconstructed_set(loaded, "M")
+    expect = expected_triples_loading()
+    p, r = precision_recall(got, expect)
+    assert got == expect, (p, r, got ^ expect)
+
+
+def test_oddeven_label_merges(spark, tmp_path):
+    """SparqlOnLoadedTest variant 3: unique-subject xsd:int label table
+    merges into the class tables; flagship query still returns 2 types."""
+    pipe = KgPipeline(spark, str(tmp_path / "oe"))
+    pipe.load(fx.fixture_oddeven(spark, with_labels=True))
+    cat = pipe.catalog("M")
+    type_tables = [t for t in cat.tables if t.name.startswith("type_")]
+    assert len(type_tables) == 2
+    for t in type_tables:
+        preds = {pm.predicate for pm in t.predicates}
+        assert preds == {RDF + "type", RDFS + "label"}, (t.name, preds)
+    types = {r.type for r in pipe.distinct_types("M").collect()}
+    assert types == {EX + "odd", EX + "even"}
+    # every label triple survives the merge (99 labels, odd+even split)
+    labels = pipe.triples("M").where(F.col("o_datatype") == XSD + "int").count()
+    assert labels == 99
+
+
+def test_multigraph_unaffected_by_merge(spark, tmp_path):
+    pipe = KgPipeline(spark, str(tmp_path / "mg"))
+    pipe.load(fx.fixture_multigraph(spark))
+    trips = pipe.triples_with_graph_iri().collect()  # default = stage M
+    assert len(trips) == 2
+    assert {x.g for x in trips} == {
+        "http://example.org/zeroGraph",
+        "http://example.org/oneGraph",
+    }
