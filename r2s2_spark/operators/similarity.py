@@ -1,0 +1,74 @@
+"""Similarity search (ANN) over an embedding column.
+
+Two strategies (SURVEY.md §2 extension):
+- brute-force cosine top-k: the correctness baseline. A broadcast of the
+  query vector + one projection + one top-k — no shuffle except the final
+  k-row ordering.
+- sign-bucket (IVF/LSH-style) top-k: the scale path. Candidates are
+  restricted to the query's coarse bucket (sign bits of leading
+  dimensions); recall < 1 by construction, latency O(n / 2^bits).
+
+At 100 TB the bucket column is a partition key: bucket pruning turns a
+full scan into a handful of partitions. Ties are broken on (rounded
+similarity desc, id asc) so results are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+
+
+def _query_vec(emb: DataFrame, query_id: int, id_col: str, vec_col: str):
+    row = emb.where(F.col(id_col) == query_id).select(vec_col).first()
+    if row is None:
+        raise KeyError(f"no vector with {id_col}={query_id}")
+    return [float(x) for x in row[0]]
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by cosine to the query vector (query excluded).
+    The query vector ships as a literal array — Catalyst constant-folds the
+    norm; the scan stays a single stage with a takeOrdered at the end."""
+    q = _query_vec(emb, query_id, id_col, vec_col)
+    q_lit = F.array(*[F.lit(x) for x in q])
+    sim = F.round(hashing.cosine_similarity(F.col(vec_col), q_lit), 4)
+    return (
+        emb.where(F.col(id_col) != query_id)
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_bucketed(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style top-k: only vectors in the query's sign bucket compete.
+    With the bucket as a partition key this is a partition-pruned scan."""
+    q = _query_vec(emb, query_id, id_col, vec_col)
+    q_bucket = "".join("1" if x >= 0 else "0" for x in q[:n_bits])
+    q_lit = F.array(*[F.lit(x) for x in q])
+    sim = F.round(hashing.cosine_similarity(F.col(vec_col), q_lit), 4)
+    return (
+        emb.where(
+            (hashing.sign_bucket(F.col(vec_col), n_bits) == q_bucket)
+            & (F.col(id_col) != query_id)
+        )
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

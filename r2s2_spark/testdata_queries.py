@@ -1,0 +1,655 @@
+"""Driver-contract query registry: every SQL-expressible operator family
+from SURVEY.md §2 (plus the training-data operators) as a (PySpark
+program, DuckDB oracle SQL) pair over /root/testdata parquet tables.
+
+Conventions mandated by the driver's comparator:
+- every computed column is aliased IDENTICALLY in both implementations;
+- floats are rounded inside the query (sum order differs across engines);
+- arrays are rendered as sorted, comma-joined strings;
+- only md5-based hashes (portable across Spark and DuckDB).
+
+Each entry name carries the SURVEY.md §2 operator id it covers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import hashing, text
+from .functions.uri import decompose_iri
+from .naming import EX
+from .operators import dedup, similarity
+
+# -- helpers -----------------------------------------------------------------
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# KG extraction parity (S2/S4/F10): build N-Triples from `nation`, run the
+# real vectorized parser, count by predicate — oracle computes the same
+# counts straight from the relational table.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "kg_extract_nation",
+    f"""
+    SELECT '{EX}name' AS p, COUNT(*) AS n FROM nation
+    UNION ALL
+    SELECT '{EX}inRegion' AS p, COUNT(*) AS n FROM nation
+    """,
+)
+def kg_extract_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.extract import extract
+
+    nation = t(spark, sf_dir, "nation")
+    content = F.concat(
+        F.lit(f"<{EX}nation/"), F.col("n_nationkey").cast("string"),
+        F.lit(f"> <{EX}name> \""), F.col("n_name"), F.lit("\" .\n"),
+        F.lit(f"<{EX}nation/"), F.col("n_nationkey").cast("string"),
+        F.lit(f"> <{EX}inRegion> <{EX}region/"), F.col("n_regionkey").cast("string"),
+        F.lit("> ."),
+    )
+    src = nation.select(
+        F.lit("repo").alias("repo"),
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("ntriples").alias("lang"),
+        content.alias("content"),
+    )
+    return extract(src).groupBy(F.col("p_iri").alias("p")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# routing / projection / filter (S4, P1, P3, P4)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "s4_route_counts",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def s4_route_counts(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "p1_cardinality_probe",
+    "SELECT COUNT(DISTINCT o_orderstatus) AS n_status, "
+    "COUNT(DISTINCT o_orderpriority) AS n_prio FROM orders",
+)
+def p1_cardinality_probe(spark, sf_dir):
+    return t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )
+
+
+@q(
+    "p4_filtered_copy",
+    "SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'",
+)
+def p4_filtered_copy(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins (J1 semi, J2 merge/outer, J3 anti, J4 composite key, J5 BGP)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "j1_semi_join",
+    "SELECT c_custkey FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def j1_semi_join(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@q(
+    "j3_anti_join",
+    "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def j3_anti_join(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "j2_merge_outer",
+    "SELECT o_orderkey, c_name FROM orders LEFT JOIN customer ON o_custkey = c_custkey",
+)
+def j2_merge_outer(spark, sf_dir):
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "c_name"
+    )
+
+
+@q(
+    "j4_composite_key",
+    "SELECT COUNT(DISTINCT l_orderkey || '|' || l_linenumber) AS n_keys FROM lineitem",
+)
+def j4_composite_key(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    k = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    return li.agg(F.countDistinct(k).alias("n_keys"))
+
+
+@q(
+    "j5_bgp_join",
+    "SELECT c_name, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey",
+)
+def j5_bgp_join(spark, sf_dir):
+    c, n = t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select("c_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# aggregations (A1, A2, A3, A5, A6, A9)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "a2_repeating_subjects",
+    "SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1",
+)
+def a2_repeating_subjects(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("l_orderkey")
+    )
+
+
+@q(
+    "a3_multigraph_probe",
+    "SELECT o_custkey FROM orders GROUP BY o_custkey "
+    "HAVING COUNT(DISTINCT o_orderstatus) > 1",
+)
+def a3_multigraph_probe(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderstatus").alias("n"))
+        .where(F.col("n") > 1)
+        .select("o_custkey")
+    )
+
+
+@q(
+    "a5_dedupe_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a5_dedupe_distinct(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@q(
+    "a6_collect_set",
+    "SELECT o_custkey, string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) "
+    "AS statuses FROM orders GROUP BY o_custkey",
+)
+def a6_collect_set(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            )
+        )
+    )
+
+
+@q(
+    "a9_lcp_minmax",
+    "SELECT MIN(c_name) AS mn, MAX(c_name) AS mx, COUNT(c_name) AS cnt FROM customer",
+)
+def a9_lcp_minmax(spark, sf_dir):
+    return t(spark, sf_dir, "customer").agg(
+        F.min("c_name").alias("mn"), F.max("c_name").alias("mx"), F.count("c_name").alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# window / sort / limit / set ops (W1, O3, U1)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "w1_rownum_dictionary",
+    "SELECT ROW_NUMBER() OVER (ORDER BY seg) AS id, seg FROM "
+    "(SELECT DISTINCT c_mktsegment AS seg FROM customer)",
+)
+def w1_rownum_dictionary(spark, sf_dir):
+    from .operators.dictionaries import build_dictionary
+
+    d = build_dictionary(t(spark, sf_dir, "customer"), "c_mktsegment", value_col="seg")
+    return d.select(F.col("id").cast("bigint").alias("id"), "seg")
+
+
+@q(
+    "o3_topk_limit",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
+)
+def o3_topk_limit(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(5)
+    )
+
+
+@q(
+    "u1_union_distinct",
+    "SELECT DISTINCT k FROM (SELECT c_nationkey AS k FROM customer "
+    "UNION ALL SELECT s_nationkey AS k FROM supplier)",
+)
+def u1_union_distinct(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionByName(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# scalar functions (F1, F3, F5/F7, F6, F8)
+# ---------------------------------------------------------------------------
+
+_URL = "'https://example.org/cust/' || c_custkey || '?seg=' || c_mktsegment || '#n' || c_nationkey"
+
+
+@q(
+    "f1_url_decompose",
+    f"""
+    WITH u AS (SELECT c_custkey, {_URL} AS url FROM customer)
+    SELECT c_custkey,
+           regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*):', 1) AS scheme,
+           regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1) AS host,
+           regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '#(.*)$', 1) AS fragment
+    FROM u
+    """,
+)
+def f1_url_decompose(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://example.org/cust/"), F.col("c_custkey").cast("string"),
+        F.lit("?seg="), F.col("c_mktsegment"), F.lit("#n"), F.col("c_nationkey").cast("string"),
+    )
+    parts = decompose_iri(url)
+    return c.select(
+        "c_custkey",
+        parts["scheme"].alias("scheme"),
+        parts["host"].alias("host"),
+        parts["path"].alias("path"),
+        parts["query"].alias("query"),
+        parts["fragment"].alias("fragment"),
+    )
+
+
+@q(
+    "f3_substring_strip",
+    "SELECT c_custkey, substring(c_name, 10) AS name_rest FROM customer",
+)
+def f3_substring_strip(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey", F.substring(F.col("c_name"), 10, 2147483647).alias("name_rest")
+    )
+
+
+@q(
+    "f6_trycast_guard",
+    "SELECT COUNT(*) AS n_canonical FROM part "
+    "WHERE length(CAST(TRY_CAST(substring(p_name, 1, 2) AS INTEGER) AS VARCHAR)) "
+    "= length(substring(p_name, 1, 2))",
+)
+def f6_trycast_guard(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    two = F.substring(F.col("p_name"), 1, 2)
+    ok = F.length(two.try_cast("int").cast("string")) == F.length(two)
+    return p.where(ok).agg(F.count(F.lit(1)).alias("n_canonical"))
+
+
+@q(
+    "f8_gyear_format",
+    "SELECT DISTINCT printf('%04d', CAST(year(o_orderdate) - 1000 AS INTEGER)) "
+    "AS gy FROM orders",
+)
+def f8_gyear_format(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .select(F.format_string("%04d", F.year("o_orderdate") - 1000).alias("gy"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# headline relational queries
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q1_pricing",
+    "SELECT l_returnflag, l_linestatus, "
+    "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+    "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "ROUND(AVG(l_quantity), 2) AS avg_qty, "
+    "COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def tpch_q1_pricing(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "events_hourly_window",
+    "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type, "
+    "COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value "
+    "FROM events GROUP BY 1, 2",
+)
+def events_hourly_window(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: text analysis
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_stats",
+    "SELECT doc_id, length(text) AS n_chars2, "
+    "len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents",
+)
+def text_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars2"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+@q(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+    "FROM documents",
+)
+def doc_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+@q(
+    "lang_id_heuristic",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), ratios AS (
+      SELECT doc_id,
+             SUM(CASE WHEN tok IN ('the','and','of','to','a','in','is','for','on','with')
+                 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS r
+      FROM toks GROUP BY doc_id
+    )
+    SELECT CASE WHEN r > 0.05 THEN 'en' ELSE 'other' END AS lang_guess,
+           COUNT(*) AS n
+    FROM ratios GROUP BY 1
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(text.lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "quality_scores",
+    None,  # composite float heuristic — rows-only check (python-side rounding)
+)
+def quality_scores(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.quality_score(F.col("text")).alias("quality"),
+        text.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup family
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact_groups",
+    "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+    "COUNT(*) AS n_dups, MIN(doc_id) AS keep_id FROM documents "
+    "GROUP BY 1 HAVING COUNT(*) > 1",
+)
+def dedup_exact_groups(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d).select("fp", "n_dups", "keep_id")
+
+
+_MINHASH_CTE = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id,
+             MIN(substr(md5(tok || '#0'), 1, 16)) AS mh0,
+             MIN(substr(md5(tok || '#1'), 1, 16)) AS mh1,
+             MIN(substr(md5(tok || '#2'), 1, 16)) AS mh2,
+             MIN(substr(md5(tok || '#3'), 1, 16)) AS mh3
+      FROM toks GROUP BY doc_id
+    )
+"""
+
+
+@q(
+    "minhash_signatures",
+    _MINHASH_CTE + "SELECT doc_id, mh0, mh1, mh2, mh3 FROM sigs",
+)
+def minhash_signatures_q(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(d, k=4)
+
+
+_BANDS_CTE = _MINHASH_CTE + """
+    , bands AS (
+      SELECT doc_id, 0 AS band_no, mh0 || '|' || mh1 AS band FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_no, mh2 || '|' || mh3 AS band FROM sigs
+    )
+"""
+
+
+@q(
+    "minhash_lsh_pairs",
+    _BANDS_CTE
+    + """
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band = b.band AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, k=4)
+    return dedup.lsh_candidate_pairs(sigs, k=4, rows_per_band=2, max_bucket=10000)
+
+
+@q(
+    "simhash_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+    bits AS (
+      SELECT doc_id, COUNT(*) AS n_tok,
+    """
+    + ",\n".join(
+        f"SUM(CASE WHEN substr(m,{i},1) IN ('8','9','a','b','c','d','e','f') "
+        f"THEN 1 ELSE 0 END) AS b{i}"
+        for i in range(1, 17)
+    )
+    + """
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, """
+    + " || ".join(
+        f"(CASE WHEN b{i} * 2 > n_tok THEN '1' ELSE '0' END)" for i in range(1, 17)
+    )
+    + " AS simhash FROM bits",
+)
+def simhash_fingerprints_q(spark, sf_dir):
+    return dedup.simhash_fingerprints(t(spark, sf_dir, "documents"))
+
+
+@q("token_jaccard_pairs", None)  # scored on LSH candidates — rows-only
+def token_jaccard_pairs_q(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, k=4)
+    pairs = dedup.lsh_candidate_pairs(sigs, k=4, rows_per_band=2, max_bucket=10000)
+    return dedup.token_jaccard_pairs(d, pairs, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: similarity search
+# ---------------------------------------------------------------------------
+
+# CAST to DOUBLE before ROUND: DuckDB's round(float,4) returns float32,
+# whose stringification (0.3700000047...) would hash-mismatch Spark's double
+_COS = (
+    "CAST(list_cosine_similarity(embedding, "
+    "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE)"
+)
+
+
+@q(
+    "ann_cosine_topk",
+    f"""
+    SELECT vec_id, ROUND({_COS}, 4) AS cosine
+    FROM embeddings WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@q(
+    "ann_cosine_topk_bucketed",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    b AS (
+      SELECT vec_id, embedding,
+    """
+    + " || ".join(
+        f"(CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END)" for i in range(1, 5)
+    )
+    + f""" AS bkt FROM embeddings
+    )
+    SELECT vec_id, ROUND(CAST(list_cosine_similarity(embedding, (SELECT qv FROM q)) AS DOUBLE), 4) AS cosine
+    FROM b
+    WHERE vec_id <> 0 AND bkt = (SELECT """
+    + " || ".join(
+        f"(CASE WHEN qv[{i}] >= 0 THEN '1' ELSE '0' END)" for i in range(1, 5)
+    )
+    + """ FROM q)
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk_bucketed(spark, sf_dir):
+    return similarity.cosine_topk_bucketed(
+        t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=4
+    )
+
+
+@q("embedding_near_duplicates", None)  # float-threshold pairs — rows-only
+def embedding_near_duplicates_q(spark, sf_dir):
+    return dedup.embedding_near_duplicates(
+        t(spark, sf_dir, "embeddings"), threshold=0.8, n_bits=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (stubbed decode; rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+@q("multimodal_image_features", None)
+def multimodal_image_features(spark, sf_dir):
+    from .operators import multimodal
+
+    media = multimodal.make_media_table(t(spark, sf_dir, "documents"))
+    return multimodal.extract_image_features(media)
+
+
+@q("multimodal_frame_sample", None)
+def multimodal_frame_sample(spark, sf_dir):
+    from .operators import multimodal
+
+    media = multimodal.make_media_table(t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media)
