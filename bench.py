@@ -105,25 +105,92 @@ def bench_once(cpus: str, sf_dir: str, stages: str = "full") -> dict:
         spark.stop()
 
 
+SCALING_FILES = 10000
+SCALING_STMTS = 500
+
+
+def kg_run_repeated(cpus: int, runs: int = 3) -> list[float]:
+    """Warmup + ``runs`` measured E+D+V loads of the same 5M-statement
+    corpus in one session; returns triples/sec per measured run."""
+    from r2s2_spark.pipeline import KgPipeline
+    from r2s2_spark.session import get_spark
+    from r2s2_spark.sources.fixtures import synthetic_source_files
+
+    spark = get_spark(app_name=f"r2s2_scale_{cpus}", master=f"local[{cpus}]")
+    out = []
+    try:
+        n_triples = SCALING_FILES * SCALING_STMTS
+        for i in range(runs + 1):  # i==0 is the warmup
+            src = synthetic_source_files(
+                spark, n_files=SCALING_FILES, statements_per_file=SCALING_STMTS,
+                partitions=64,
+            )
+            work = tempfile.mkdtemp(prefix=f"r2s2_scale_{cpus}_")
+            try:
+                t0 = time.time()
+                pipe = KgPipeline(spark, work)
+                pipe.stage_e(src)
+                pipe.stage_d()
+                pipe.stage_v()
+                dt = time.time() - t0
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+            if i > 0:
+                out.append(round(n_triples / dt, 1))
+        return out
+    finally:
+        spark.stop()
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
+def run_scaling() -> dict:
+    """N -> 4N evidence (BASELINE.md protocol): the same E+D+V job over the
+    same input at 2 and 8 cores, each JVM *pinned* to that many physical
+    CPUs with taskset — local[N] alone is not a 1/4-machine on a 32-core
+    box (its JVM task threads and Python workers overflow onto idle cores).
+    A full-box local[32] reference run is reported alongside: 8->32 on one
+    host shares a single disk and memory bus, which a real 4x executor
+    cluster does not."""
+    import subprocess
+
+    def pinned(cpuset: str, n: int) -> list[float]:
+        cmd = ["taskset", "-c", cpuset, sys.executable, __file__, "--kg-run", str(n)]
+        res = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    tps2 = pinned("0-1", 2)
+    tps8 = pinned("0-7", 8)
+    tps32 = pinned("0-31", 32)
+    m2, m8, m32 = _median(tps2), _median(tps8), _median(tps32)
+    return {
+        "metric": "scaling_efficiency_2_to_8_pinned",
+        "value": round((m8 / m2) / 4, 3),
+        "unit": "ratio",
+        "protocol": "taskset-pinned local[N], warmup + median of 3, same 5M-triple corpus",
+        "throughput_2cpu": m2,
+        "throughput_8cpu": m8,
+        "throughput_32cpu_fullbox": m32,
+        "efficiency_8_to_32_shared_disk": round((m32 / m8) / 4, 3),
+        "runs": {"cpu2": tps2, "cpu8": tps8, "cpu32": tps32},
+        "kg_triples": SCALING_FILES * SCALING_STMTS,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    if "--kg-run" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--kg-run") + 1])
+        print(json.dumps(kg_run_repeated(n)))
+        return
+
     if "--scaling" in sys.argv:
-        # N -> 4N evidence: same job + input at local[8] and local[32]
-        lo = bench_once("8", sf_dir, stages="edv")
-        hi = bench_once("32", sf_dir, stages="edv")
-        tp8, tp32 = lo["kg_triples_per_sec"], hi["kg_triples_per_sec"]
-        eff = round((tp32 / tp8) / 4, 3)
-        report = {
-            "metric": "scaling_efficiency_8_to_32",
-            "value": eff,
-            "unit": "ratio",
-            "throughput_local8_triples_per_sec": tp8,
-            "throughput_local32_triples_per_sec": tp32,
-            "sf": lo["sf"],
-        }
-        print(json.dumps(report))
+        print(json.dumps(run_scaling()))
         return
 
     r = bench_once(cpus, sf_dir)

@@ -48,7 +48,21 @@ _AUTH_RE = (
 
 def decompose_series(iri: pd.Series) -> pd.DataFrame:
     """IRI strings -> DataFrame with PART_KEYS columns (object dtype,
-    None for absent parts). NULL input rows -> all-None rows."""
+    None for absent parts). NULL input rows -> all-None rows.
+
+    IRIs repeat heavily in real RDF (predicates, classes, hot entities):
+    decompose the *distinct* values and scatter back — regex cost drops
+    from O(rows) to O(uniques)."""
+    codes, uniques = pd.factorize(iri, use_na_sentinel=True)
+    if len(uniques) < len(iri):
+        parts_u = _decompose_unique(pd.Series(uniques, dtype=object))
+        out = parts_u.reindex(codes)  # -1 (NaN input) -> all-NaN row
+        out.index = iri.index
+        return out.astype(object).where(out.notna(), None)
+    return _decompose_unique(iri)
+
+
+def _decompose_unique(iri: pd.Series) -> pd.DataFrame:
     top = iri.str.extract(_TOP_RE)
     hier = top["ssp"].str.extract(_HIER_RE)
     auth = hier["authority"].str.extract(_AUTH_RE)

@@ -35,7 +35,7 @@ from ..sources.ntriples import DECOMPOSED_SCHEMA, STATEMENT_SCHEMA, parse_iterat
 S_PARTS = [f"s_{k}" for k in PART_KEYS]
 O_PARTS = [f"o_{k}" for k in PART_KEYS]
 
-META_COLS = ["repo", "path", "commit", "file_sha256", "line_no"]
+META_COLS = ["file_sha256", "line_no"]
 LEX_COLS = ["s_kind", "s_lex", "p_iri", "o_kind", "o_lex", "o_lang", "o_datatype", "g_iri"]
 
 
@@ -50,12 +50,17 @@ def parse_statements(
     Rows that fail to parse are kept with ``parse_error`` set so lineage can
     count them; downstream stages filter them out.
     """
+    spark = source_files.sparkSession
+    target = spark.sparkContext.defaultParallelism * 3
+    # File text compresses ~100x in parquet, so byte-based file splits can
+    # leave a 10M-statement corpus in 1-2 tasks; balance by ROW count so
+    # every core parses. (Observed: 32-core parse ran on 2 tasks before.)
+    if source_files.rdd.getNumPartitions() < target:
+        source_files = source_files.repartition(target)
     with_sha = source_files.withColumn("file_sha256", F.sha2(F.col("content"), 256))
     fn = functools.partial(parse_iterator, default_graph=default_graph, decompose=decompose)
     schema = DECOMPOSED_SCHEMA if decompose else STATEMENT_SCHEMA
-    return with_sha.select(
-        "repo", "path", "commit", "content", "file_sha256"
-    ).mapInPandas(fn, schema=schema)
+    return with_sha.select("content", "file_sha256").mapInPandas(fn, schema=schema)
 
 
 def _bnode_ids(df: DataFrame) -> DataFrame:
@@ -90,7 +95,20 @@ def decompose_statements(raw: DataFrame) -> DataFrame:
 
 
 def extract(source_files: DataFrame, default_graph: str = DEFAULT_GRAPH) -> DataFrame:
-    """Full Stage E: parse + decompose (pandas path) + stable bnode ids."""
+    """Full Stage E: parse + decompose (pandas path) + stable bnode ids.
+
+    Width matters at scale: IRI lexical forms are fully carried by their 9
+    parts, so ``s_lex``/``o_lex`` are nulled for IRIs (kept for literal
+    values and bnode labels); ``file_id = xxhash64(sha)`` is the compact
+    provenance key shuffled through later stages (the 64-char sha rides
+    only in the file dictionary and lineage rows)."""
     raw = parse_statements(source_files, default_graph, decompose=True)
     good = raw.where(F.col("parse_error").isNull()).drop("parse_error")
-    return _bnode_ids(good)
+    good = _bnode_ids(good)
+    return good.withColumns(
+        {
+            "file_id": F.xxhash64("file_sha256"),
+            "s_lex": F.when(F.col("s_kind") == "bnode", F.col("s_lex")),
+            "o_lex": F.when(F.col("o_kind") != "iri", F.col("o_lex")),
+        }
+    )

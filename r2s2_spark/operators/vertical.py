@@ -150,8 +150,8 @@ def route_statements(
         .join(g_dim, "g_iri", "left")
         .withColumn("o_lit", F.when(F.col("o_kind") == "literal", F.col("o_lex")))
     )
-    salt = F.pmod(F.xxhash64("file_sha256", "line_no"), F.lit(files_per_table)).alias("_salt")
-    routed = keyed.select("t", salt, "file_sha256", *GENERIC_COLUMNS)
+    salt = F.pmod(F.xxhash64("file_id", "line_no"), F.lit(files_per_table)).alias("_salt")
+    routed = keyed.select("t", salt, "file_id", *GENERIC_COLUMNS)
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return routed.repartition(n, "t", "_salt").drop("_salt")
 

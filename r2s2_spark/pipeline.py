@@ -50,6 +50,15 @@ class KgPipeline:
     # -- stages ----------------------------------------------------------
     def stage_e(self, source_files: DataFrame) -> None:
         def fn(io: StageIO) -> dict:
+            # per-file provenance dictionary (statement rows carry only the
+            # 8-byte file_id; see operators/extract.py scale notes)
+            files = source_files.select(
+                "repo",
+                "path",
+                "commit",
+                F.sha2(F.col("content"), 256).alias("file_sha256"),
+            ).withColumn("file_id", F.xxhash64("file_sha256"))
+            files.write.mode("overwrite").parquet(io.path("E", "files"))
             stmts = extract(source_files, self.default_graph)
             io.write_parquet("E", stmts)
             out = io.read_parquet("E")
@@ -66,6 +75,7 @@ class KgPipeline:
             graphs = build_dictionary(stmts, "g_iri")
             preds.coalesce(1).write.mode("overwrite").parquet(io.path("D", "predicates"))
             graphs.coalesce(1).write.mode("overwrite").parquet(io.path("D", "graphs"))
+
             return {
                 "predicates": self.predicates().count(),
                 "graphs": self.graphs().count(),
@@ -82,7 +92,8 @@ class KgPipeline:
             routed = vertical.route_statements(self.spark, stmts, catalog, self.graphs())
             io.write_parquet("V", routed, partition_by=["t"])
             written = io.read_parquet("V")
-            io.write_lineage("V", written)
+            files = self.spark.read.parquet(io.path("E", "files"))
+            io.write_lineage("V", written, sha_col="file_id", sha_dict=files)
             counts = {r["t"]: r["n"] for r in written.groupBy("t").agg(F.count("*").alias("n")).collect()}
             for t in catalog.tables:
                 t.row_count = counts.get(t.name, 0)
@@ -162,6 +173,58 @@ class KgPipeline:
             }
 
         self.runner.run("M", fn)
+
+    def stage_l(self, threshold: float = 0.7, k: int = 8) -> None:
+        """Entity linking (north-star stage L): literal-bearing subjects
+        become mentions; MinHash-LSH blocking + Jaccard scoring emits
+        owl:sameAs edges."""
+        from .operators.linking import link_mentions
+
+        def fn(io: StageIO) -> dict:
+            trips = self.triples("M")
+            mentions = (
+                trips.where(F.col("o_kind") == "literal")
+                .groupBy(F.col("s").alias("entity_id"))
+                .agg(
+                    F.concat_ws(
+                        " ", F.sort_array(F.collect_set("o_lex"))
+                    ).alias("mention")
+                )
+            )
+            mentions.write.mode("overwrite").parquet(io.path("L", "mentions"))
+            mentions = self.spark.read.parquet(io.path("L", "mentions"))
+            edges = link_mentions(mentions, threshold=threshold, k=k)
+            edges.write.mode("overwrite").parquet(io.path("L", "edges"))
+            out = self.spark.read.parquet(io.path("L", "edges"))
+            io.write_lineage("L", out, sha_col=None)
+            return {"mentions": mentions.count(), "edges": out.count()}
+
+        self.runner.run("L", fn)
+
+    def stage_c(self) -> None:
+        """Canonicalization (north-star stage C): connected components over
+        sameAs edges -> (entity_id, canonical_id) mapping."""
+        from .operators.linking import canonical_mapping
+
+        def fn(io: StageIO) -> dict:
+            mentions = self.spark.read.parquet(io.path("L", "mentions"))
+            edges = self.spark.read.parquet(io.path("L", "edges"))
+            mapping = canonical_mapping(mentions, edges)
+            mapping.write.mode("overwrite").parquet(io.path("C", "canonical_map"))
+            out = self.spark.read.parquet(io.path("C", "canonical_map"))
+            io.write_lineage("C", out, sha_col=None)
+            n_clusters = out.select("canonical_id").distinct().count()
+            return {"entities": out.count(), "clusters": n_clusters}
+
+        self.runner.run("C", fn)
+
+    def canonical_triples(self) -> DataFrame:
+        """Triples with subjects rewritten to their cluster canonical id
+        (salted join — canonical ids are hot keys by construction)."""
+        from .operators.linking import rewrite_subjects
+
+        mapping = self.spark.read.parquet(self.io.path("C", "canonical_map"))
+        return rewrite_subjects(self.triples("M"), mapping)
 
     # -- accessors ---------------------------------------------------------
     def predicates(self) -> DataFrame:

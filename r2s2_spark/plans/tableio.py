@@ -83,22 +83,40 @@ class StageIO:
 
     # -- lineage ---------------------------------------------------------
     def write_lineage(
-        self, stage: str, df: DataFrame, wall_ms: float = 0.0, sha_col: str | None = "file_sha256"
+        self,
+        stage: str,
+        df: DataFrame,
+        wall_ms: float = 0.0,
+        sha_col: str | None = "file_sha256",
+        sha_dict: DataFrame | None = None,
     ) -> None:
         """One row per (re-read) partition of the stage's committed data.
 
         Computed from the *written* dataset so the recorded partitioning is
         the one a downstream reader observes. ``collect_set`` of file hashes
-        is bounded by files-per-partition, not rows.
+        is bounded by files-per-partition, not rows. When the frame carries
+        the compact ``file_id`` instead of the sha (stages after E shuffle
+        8-byte ids, not 64-char hashes), pass ``sha_dict`` (file_id ->
+        file_sha256) and the lineage rows still record real sha sets.
         """
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         if sha_col and sha_col in df.columns:
-            aggs.append(F.sort_array(F.collect_set(sha_col)).alias("input_sha256_set"))
-        lineage = (
-            df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(*aggs)
-            .withColumn("stage", F.lit(stage))
-            .withColumn("wall_ms", F.lit(float(wall_ms)))
+            aggs.append(F.sort_array(F.collect_set(sha_col)).alias("__idset"))
+        lineage = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs)
+        if sha_col and sha_col in df.columns and sha_dict is not None:
+            pairs = F.broadcast(
+                sha_dict.select(F.col(sha_col).alias("__id"), F.col("file_sha256"))
+            )
+            lineage = (
+                lineage.select("*", F.explode_outer("__idset").alias("__id"))
+                .join(pairs, "__id", "left")
+                .groupBy("partition_id", "n_rows")
+                .agg(F.sort_array(F.collect_set("file_sha256")).alias("input_sha256_set"))
+            )
+        elif sha_col and sha_col in df.columns:
+            lineage = lineage.withColumnRenamed("__idset", "input_sha256_set")
+        lineage = lineage.withColumn("stage", F.lit(stage)).withColumn(
+            "wall_ms", F.lit(float(wall_ms))
         )
         lineage.write.mode("overwrite").parquet(self.path(stage, "lineage"))
 

@@ -40,10 +40,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # content rows are fat (whole files as strings): 20k-row Arrow
+        # batches were ~240MB each and 32 concurrent tasks thrashed GC —
+        # local[32] ran SLOWER than local[8] until this was capped
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # source-code text compresses ~100x: default 128MB splits starve
+        # cores on file scans; statement-frame scans stay well-formed too
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -653,3 +653,67 @@ def multimodal_frame_sample(spark, sf_dir):
 
     media = multimodal.make_media_table(t(spark, sf_dir, "documents"))
     return multimodal.sample_frames(media)
+
+
+# ---------------------------------------------------------------------------
+# entity linking + canonicalization (stages L/C; SURVEY §2 J6 extension)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "cc_customer_nation",
+    """
+    WITH RECURSIVE bi AS (
+      SELECT c_custkey + 1000000 AS src, CAST(c_nationkey AS BIGINT) AS dst
+      FROM customer
+      UNION ALL
+      SELECT CAST(c_nationkey AS BIGINT), c_custkey + 1000000 FROM customer
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM bi
+    ),
+    walk(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN bi e ON e.src = w.node
+      WHERE w.comp < e.dst
+    )
+    SELECT node, MIN(comp) AS component FROM walk GROUP BY node
+    """,
+)
+def cc_customer_nation(spark, sf_dir):
+    """Connected components (large-star/small-star DataFrame loop) on the
+    customer->nation bipartite graph; the oracle is DuckDB's recursive-CTE
+    min-label reachability. Components == nations with their customers."""
+    from .operators.components import connected_components
+
+    c = t(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") + 1000000).cast("bigint").alias("src"),
+        F.col("c_nationkey").cast("bigint").alias("dst"),
+    )
+    return connected_components(edges)
+
+
+@q("entity_link_edges", None)  # float-scored LSH pairs — rows-only
+def entity_link_edges(spark, sf_dir):
+    from .operators.linking import link_mentions
+
+    d = t(spark, sf_dir, "documents")
+    mentions = d.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("entity_id"),
+        F.col("text").alias("mention"),
+    )
+    return link_mentions(mentions, threshold=0.8, k=8, rows_per_band=2)
+
+
+@q("entity_canonical_map", None)  # depends on LSH edges — rows-only
+def entity_canonical_map(spark, sf_dir):
+    from .operators.linking import canonical_mapping, link_mentions
+
+    d = t(spark, sf_dir, "documents")
+    mentions = d.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("entity_id"),
+        F.col("text").alias("mention"),
+    )
+    edges = link_mentions(mentions, threshold=0.8, k=8, rows_per_band=2)
+    return canonical_mapping(mentions, edges)

@@ -138,11 +138,10 @@ def test_sha256_invariant(spark):
     pipeline equals sha2(content,256) recomputed from the source table."""
     src = fx.fixture_oddeven(spark, with_labels=True)
     stmts = parse_statements(src)
-    carried = stmts.select("path", "file_sha256").distinct()
-    fresh = src.select("path", F.sha2("content", 256).alias("expect"))
-    joined = carried.join(fresh, "path")
-    bad = joined.where(F.col("file_sha256") != F.col("expect")).count()
-    assert bad == 0 and joined.count() == 1
+    carried = stmts.select("file_sha256").distinct()
+    fresh = src.select(F.sha2("content", 256).alias("file_sha256")).distinct()
+    assert carried.count() == 1 == fresh.count()
+    assert carried.join(fresh, "file_sha256").count() == 1
 
 
 def test_bnode_ids_deterministic(spark):
