@@ -55,7 +55,8 @@ def parse_statements(
     # File text compresses ~100x in parquet, so byte-based file splits can
     # leave a 10M-statement corpus in 1-2 tasks; balance by ROW count so
     # every core parses. (Observed: 32-core parse ran on 2 tasks before.)
-    if source_files.rdd.getNumPartitions() < target:
+    # Streaming frames skip this (no .rdd; micro-batch sizing bounds tasks).
+    if not source_files.isStreaming and source_files.rdd.getNumPartitions() < target:
         source_files = source_files.repartition(target)
     with_sha = source_files.withColumn("file_sha256", F.sha2(F.col("content"), 256))
     fn = functools.partial(parse_iterator, default_graph=default_graph, decompose=decompose)

@@ -717,3 +717,58 @@ def entity_canonical_map(spark, sf_dir):
     )
     edges = link_mentions(mentions, threshold=0.8, k=8, rows_per_band=2)
     return canonical_mapping(mentions, edges)
+
+
+# ---------------------------------------------------------------------------
+# streaming twins (batch formulations of streaming/ingest.py operators)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 600 OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM marked
+    )
+    SELECT user_id, sess_no,
+           epoch_us(MIN(ts)) AS session_start,
+           epoch_us(MAX(ts)) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sess_no
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Session-gap aggregation, batch formulation (window lag + cumulative
+    sum). The streaming formulation is streaming/ingest.py::sessionize via
+    applyInPandasWithState — same session boundaries."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+                > 600
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    sess = marked.withColumn("sess_no", F.sum("new_sess").over(w2))
+    return sess.groupBy("user_id", "sess_no").agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("session_start"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
