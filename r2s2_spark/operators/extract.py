@@ -61,7 +61,8 @@ def parse_statements(
     with_sha = source_files.withColumn("file_sha256", F.sha2(F.col("content"), 256))
     fn = functools.partial(parse_iterator, default_graph=default_graph, decompose=decompose)
     schema = DECOMPOSED_SCHEMA if decompose else STATEMENT_SCHEMA
-    return with_sha.select("content", "file_sha256").mapInPandas(fn, schema=schema)
+    in_cols = ["content", "file_sha256"] + (["lang"] if "lang" in source_files.columns else [])
+    return with_sha.select(*in_cols).mapInPandas(fn, schema=schema)
 
 
 def _bnode_ids(df: DataFrame) -> DataFrame:

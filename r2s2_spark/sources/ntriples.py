@@ -108,14 +108,56 @@ DECOMPOSED_SCHEMA = STATEMENT_SCHEMA + ", " + ", ".join(f"{c} string" for c in _
 def parse_batch(pdf: pd.DataFrame, default_graph: str, decompose: bool = False) -> pd.DataFrame:
     """Parse one batch of source_files rows into statement rows.
 
-    ``pdf`` needs columns repo, path, commit, content, file_sha256 (the
-    sha256 is computed JVM-side with ``F.sha2`` *before* the Python boundary
-    so the per-row invariant is anchored to Spark, not Python).
+    ``pdf`` needs columns content, file_sha256 (the sha256 is computed
+    JVM-side with ``F.sha2`` *before* the Python boundary so the per-row
+    invariant is anchored to Spark, not Python) and optionally ``lang``:
+    rows tagged turtle/ttl go through the Turtle-subset tokenizer, all
+    others through the vectorized N-Triples/N-Quads line parser
+    (mirrors the reference's per-extension Rio format choice,
+    ParseIntoSOGTables.java:138-141).
     """
     cols = DECOMPOSED_COLUMNS if decompose else STATEMENT_COLUMNS
     if len(pdf) == 0:
         return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
 
+    if "lang" in pdf.columns:
+        is_ttl = pdf["lang"].isin(("turtle", "ttl"))
+        if is_ttl.any():
+            parts = [_parse_turtle_rows(pdf[is_ttl], default_graph)]
+            if (~is_ttl).any():
+                parts.append(_parse_nt_rows(pdf[~is_ttl], default_graph))
+            out = pd.concat(parts, ignore_index=True)
+            return _finish(out, decompose, cols)
+    out = _parse_nt_rows(pdf, default_graph)
+    return _finish(out, decompose, cols)
+
+
+def _finish(out: pd.DataFrame, decompose: bool, cols: list[str]) -> pd.DataFrame:
+    if decompose:
+        s_parts = uri_pandas.decompose_series(out["s_lex"].where(out["s_kind"] == "iri"))
+        o_parts = uri_pandas.decompose_series(out["o_lex"].where(out["o_kind"] == "iri"))
+        for k in uri_pandas.PART_KEYS:
+            out[f"s_{k}"] = s_parts[k]
+            out[f"o_{k}"] = o_parts[k]
+    return out[cols]
+
+
+def _parse_turtle_rows(pdf: pd.DataFrame, default_graph: str) -> pd.DataFrame:
+    """Turtle files -> statement frame (per-file tokenizer, sources/turtle)."""
+    from .turtle import parse_turtle
+
+    rows: list[tuple] = []
+    for sha, content in zip(pdf["file_sha256"], pdf["content"]):
+        stmts, errors = parse_turtle(content, default_graph)
+        for ln, s_kind, s_lex, p_iri, o_kind, o_lex, o_lang, o_dt, g in stmts:
+            rows.append((sha, ln, s_kind, s_lex, p_iri, o_kind, o_lex, o_lang, o_dt, g, None))
+        for ln, msg in errors:
+            rows.append((sha, ln, None, None, None, None, None, None, None, None, msg[:200]))
+    return pd.DataFrame(rows, columns=STATEMENT_COLUMNS).astype(object)
+
+
+def _parse_nt_rows(pdf: pd.DataFrame, default_graph: str) -> pd.DataFrame:
+    """Vectorized N-Triples/N-Quads path (line-oriented pandas ops)."""
     lines_per_file = pdf["content"].str.split("\n")
     counts = lines_per_file.str.len().to_numpy()
     file_idx = np.repeat(np.arange(len(pdf)), counts)
@@ -130,7 +172,7 @@ def parse_batch(pdf: pd.DataFrame, default_graph: str, decompose: bool = False) 
     line_no = line_no[keep]
     file_idx = file_idx[keep.to_numpy()]
     if len(stripped) == 0:
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in STATEMENT_COLUMNS})
 
     has_escapes = stripped.str.contains("\\", regex=False).any()
     g = stripped.str.extract(LINE_RE)
@@ -182,18 +224,7 @@ def parse_batch(pdf: pd.DataFrame, default_graph: str, decompose: bool = False) 
             out.loc[bad, c] = None
         out.loc[bad, "g_iri"] = None
         out.loc[bad, "parse_error"] = stripped[bad].str.slice(0, 200)
-
-    if decompose:
-        s_parts = uri_pandas.decompose_series(
-            out["s_lex"].where(out["s_kind"] == "iri")
-        )
-        o_parts = uri_pandas.decompose_series(
-            out["o_lex"].where(out["o_kind"] == "iri")
-        )
-        for k in uri_pandas.PART_KEYS:
-            out[f"s_{k}"] = s_parts[k]
-            out[f"o_{k}"] = o_parts[k]
-    return out[cols]
+    return out
 
 
 def parse_iterator(

@@ -772,3 +772,57 @@ def events_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# remaining §2 families: P3 null-filter scan, A1 counts, F2 reassembly
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "p3_null_filter_distinct",
+    "SELECT DISTINCT c_mktsegment AS v FROM customer WHERE c_mktsegment IS NOT NULL",
+)
+def p3_null_filter_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isNotNull())
+        .select(F.col("c_mktsegment").alias("v"))
+        .distinct()
+    )
+
+
+@q(
+    "a1_table_counts",
+    "SELECT (SELECT COUNT(*) FROM customer) AS n_customer, "
+    "(SELECT COUNT(*) FROM orders) AS n_orders, "
+    "(SELECT COUNT(*) FROM lineitem) AS n_lineitem",
+)
+def a1_table_counts(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").count()
+    o = t(spark, sf_dir, "orders").count()
+    li = t(spark, sf_dir, "lineitem").count()
+    return spark.createDataFrame(
+        [(c, o, li)], "n_customer bigint, n_orders bigint, n_lineitem bigint"
+    )
+
+
+@q(
+    "f2_url_roundtrip",
+    f"""
+    WITH u AS (SELECT c_custkey, {_URL} AS url FROM customer)
+    SELECT c_custkey, url AS back FROM u
+    """,
+)
+def f2_url_roundtrip(spark, sf_dir):
+    """Decompose -> reassemble must be the identity (the R2RML template
+    inverse, F1/F2)."""
+    from .functions.uri import reassemble_iri
+
+    c = t(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://example.org/cust/"), F.col("c_custkey").cast("string"),
+        F.lit("?seg="), F.col("c_mktsegment"), F.lit("#n"), F.col("c_nationkey").cast("string"),
+    )
+    parts = decompose_iri(url)
+    return c.select("c_custkey", reassemble_iri(parts).alias("back"))

@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from r2s2_spark.functions.uri import PART_KEYS, decompose_iri, reassemble_iri
-from r2s2_spark.naming import RDF, RDFS, XSD, XSD_STRING
+from r2s2_spark.naming import EX, RDF, RDFS, XSD, XSD_STRING
 from r2s2_spark.operators.extract import extract, parse_statements
 from r2s2_spark.sources import fixtures as fx
 from r2s2_spark.sources.ntriples import parse_batch
@@ -155,3 +155,56 @@ def test_synthetic_generator(spark):
     raw = parse_statements(df)
     assert raw.where("parse_error is not null").count() == 0
     assert extract(df).count() == 40
+
+
+FIXTURE_LOADING_TTL = """
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+rdf:Bag a rdf:Alt .
+rdf:Alt a rdf:Bag , rdf:Alt ;
+    rdfs:label "true"^^xsd:boolean , "false"^^xsd:boolean ;
+    rdfs:label "杭州市"@cz ;
+    rdfs:label "lala"@en-UK , "lala lala"@en-UK ;
+    rdfs:label "2023-06-23"^^xsd:date , "2023-06-22"^^xsd:date ;
+    rdfs:label _:b1 .
+rdf:List a rdf:Alt , rdf:Bag ;
+    rdfs:label "false"^^xsd:boolean .
+rdf:Bag rdfs:label "杭州"@cz .
+"""
+
+
+def test_turtle_equals_ntriples_fixture(spark):
+    """The Turtle rendering of fixture A must extract the exact same
+    triple set as the N-Triples rendering (multi-syntax parity — the
+    reference gets this from Rio, we dispatch on the lang column)."""
+    nt = extract(fx.fixture_loading(spark))
+    ttl_src = fx.source_files_df(
+        spark, [("fixture-repo", "data/loading.ttl", "c", "turtle", FIXTURE_LOADING_TTL)]
+    )
+    ttl = extract(ttl_src)
+
+    def key(rows):
+        return {
+            (r.s_kind, r.s_fragment, r.p_iri, r.o_kind, r.o_fragment, r.o_lex, r.o_lang, r.o_datatype)
+            for r in rows
+        }
+
+    assert key(ttl.collect()) == key(nt.collect())
+    assert ttl.count() == 15
+
+
+def test_mixed_lang_batch(spark):
+    """One batch containing both syntaxes routes each file correctly."""
+    rows = [
+        ("r", "a.nt", "c", "ntriples", f'<{EX}s> <{EX}p> "v" .'),
+        ("r", "b.ttl", "c", "turtle", f"@prefix ex: <{EX}> .\nex:s2 ex:p 42 ."),
+        ("r", "c.ttl", "c", "turtle", "this is ( bad turtle"),
+    ]
+    from r2s2_spark.operators.extract import parse_statements
+
+    src = fx.source_files_df(spark, rows)
+    raw = parse_statements(src)
+    good = raw.where("parse_error is null").collect()
+    assert {(r.s_lex, r.o_lex) for r in good} == {("https://example.org/s", "v"), ("https://example.org/s2", "42")}
+    assert raw.where("parse_error is not null").count() >= 1
