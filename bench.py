@@ -33,12 +33,22 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def run_kg_load(spark, sf: float, stages: str = "full") -> dict:
-    """Synthetic corpus scaled to sf: 20k files/sf-unit x 200 stmts."""
+    """Synthetic corpus scaled to sf: 40k files/sf-unit x 500 stmts, after
+    a small warmup load (JIT + Python-worker spin-up would otherwise
+    dominate the measured run on a fresh JVM)."""
     from r2s2_spark.pipeline import KgPipeline
     from r2s2_spark.sources.fixtures import synthetic_source_files
 
-    n_files = max(50, int(20000 * sf))
-    src = synthetic_source_files(spark, n_files=n_files, statements_per_file=200)
+    warm_dir = tempfile.mkdtemp(prefix="r2s2_warm_")
+    try:
+        KgPipeline(spark, warm_dir).load(
+            synthetic_source_files(spark, n_files=64, statements_per_file=100)
+        )
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
+
+    n_files = max(64, int(40000 * sf))
+    src = synthetic_source_files(spark, n_files=n_files, statements_per_file=500)
     work = tempfile.mkdtemp(prefix="r2s2_bench_")
     try:
         t0 = time.time()
