@@ -20,16 +20,59 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def build_dictionary(df: DataFrame, col: str, id_col: str = "id", value_col: str = "iri") -> DataFrame:
-    """Distinct values of ``col`` -> ``(id bigint, iri string)``, id assigned
-    by sorted order (deterministic; reference ids are first-seen order,
-    which no distributed plan can reproduce stably)."""
-    w = Window.orderBy(value_col)
-    return (
+def build_dictionary(
+    df: DataFrame,
+    col: str,
+    id_col: str = "id",
+    value_col: str = "iri",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Distinct values of ``col`` -> ``(id bigint, iri string)``, ids
+    assigned deterministically (the reference's first-seen atomic counter,
+    TemporaryIriIdMap.java:25, cannot be reproduced stably by any
+    distributed plan).
+
+    Two forms:
+    - ``n_buckets=None``: global ``row_number`` over the sorted distinct
+      set — ids are dense and sorted. Right for vocabulary-sized domains
+      (predicates, schemes, hosts), whose distinct set is tiny; the
+      single-partition window is over that distinct set only.
+    - ``n_buckets=k``: two-level assignment for UNBOUNDED domains (graphs:
+      one per source file at 10^12-file scale). Values hash into k
+      buckets; each bucket numbers its values in parallel; bucket offsets
+      (a k-row driver aggregate) splice the ranges into globally unique,
+      deterministic dense ids. No single-partition stage anywhere.
+    """
+    distinct = (
         df.select(F.col(col).alias(value_col))
         .where(F.col(value_col).isNotNull())
         .distinct()
-        .withColumn(id_col, F.row_number().over(w).cast("bigint"))
+    )
+    if not n_buckets:
+        w = Window.orderBy(value_col)
+        return distinct.withColumn(
+            id_col, F.row_number().over(w).cast("bigint")
+        ).select(id_col, value_col)
+
+    bucketed = distinct.withColumn(
+        "__b", F.pmod(F.xxhash64(value_col), F.lit(n_buckets)).cast("int")
+    )
+    counts = {r["__b"]: r["n"] for r in bucketed.groupBy("__b").count().withColumnRenamed("count", "n").collect()}
+    offsets = {}
+    acc = 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, offsets[b]) for b in range(n_buckets)], "__b int, __off bigint"
+        )
+    )
+    w = Window.partitionBy("__b").orderBy(value_col)
+    return (
+        bucketed.join(off_df, "__b")
+        .withColumn(id_col, (F.row_number().over(w) + F.col("__off")).cast("bigint"))
         .select(id_col, value_col)
     )
 

@@ -72,9 +72,11 @@ class KgPipeline:
         def fn(io: StageIO) -> dict:
             stmts = io.read_parquet("E")
             preds = build_dictionary(stmts, "p_iri")
-            graphs = build_dictionary(stmts, "g_iri")
+            # graph domain is unbounded at 10^12-file scale (per-file
+            # graphs) -> two-level deterministic id assignment
+            graphs = build_dictionary(stmts, "g_iri", n_buckets=64)
             preds.coalesce(1).write.mode("overwrite").parquet(io.path("D", "predicates"))
-            graphs.coalesce(1).write.mode("overwrite").parquet(io.path("D", "graphs"))
+            graphs.write.mode("overwrite").parquet(io.path("D", "graphs"))
 
             return {
                 "predicates": self.predicates().count(),

@@ -64,3 +64,29 @@ def test_rows_only_queries_run(spark, name):
     sdf = tq.QUERIES[name](spark, SF_DIR)
     assert sdf.count() >= 0
     assert len(sdf.columns) > 0
+
+
+def test_bucketed_ann_exact_within_cell(spark):
+    """The IVF contract: the bucketed search returns the EXACT top-k within
+    the probed cell (candidates restricted to the query's sign bucket), and
+    the cell prunes a large share of the corpus."""
+    from pyspark.sql import functions as F
+
+    from r2s2_spark.functions.hashing import sign_bucket
+    from r2s2_spark.operators.similarity import cosine_topk, cosine_topk_bucketed
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    q_bucket = "".join("1" if x >= 0 else "0" for x in q[:4])
+    cell = emb.where(sign_bucket(F.col("embedding"), 4) == q_bucket)
+    n_all, n_cell = emb.count(), cell.count()
+    assert n_cell < n_all / 4  # real pruning
+
+    exact_in_cell = [
+        (r.vec_id, r.cosine) for r in cosine_topk(cell, 0, k=10).collect()
+    ]
+    approx = [
+        (r.vec_id, r.cosine)
+        for r in cosine_topk_bucketed(emb, 0, k=10, n_bits=4).collect()
+    ]
+    assert approx == exact_in_cell

@@ -100,3 +100,17 @@ def test_pipeline_stage_l_c(spark, tmp_path):
     n_before = pipe.triples("M").count()
     n_after = pipe.canonical_triples().count()
     assert n_before == n_after
+
+
+def test_two_level_dictionary_deterministic_and_dense(spark):
+    from r2s2_spark.operators.dictionaries import build_dictionary
+
+    vals = [(f"http://g/{i}",) for i in range(500)]
+    df = spark.createDataFrame(vals + vals[:100], "g string")  # with dups
+    a = build_dictionary(df, "g", n_buckets=16)
+    b = build_dictionary(df, "g", n_buckets=16)
+    ra = {r.iri: r.id for r in a.collect()}
+    rb = {r.iri: r.id for r in b.collect()}
+    assert ra == rb                      # deterministic across runs
+    assert len(ra) == 500
+    assert sorted(ra.values()) == list(range(1, 501))  # dense, unique

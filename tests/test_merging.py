@@ -82,3 +82,22 @@ def test_multigraph_unaffected_by_merge(spark, tmp_path):
         "http://example.org/zeroGraph",
         "http://example.org/oneGraph",
     }
+
+
+def test_oddeven_full_pr(spark, tmp_path):
+    """Full-pipeline P/R on fixture B (SparqlOnLoadedTest corpus): all 198
+    triples reconstruct exactly after E->D->V->O->M."""
+    pipe = KgPipeline(spark, str(tmp_path / "oepr"))
+    pipe.load(fx.fixture_oddeven(spark, with_labels=True))
+    got = {
+        (r.s, r.p, r.o_lex, r.o_lang, r.o_datatype)
+        for r in pipe.triples("M").collect()
+    }
+    from r2s2_spark.naming import EX, RDF, RDFS, XSD
+
+    expect = set()
+    for i in range(1, 100):
+        cls = "odd" if i % 2 == 0 else "even"
+        expect.add((f"{EX}i{i}", RDF + "type", f"{EX}{cls}", None, None))
+        expect.add((f"{EX}i{i}", RDFS + "label", str(i), None, XSD + "int"))
+    assert got == expect, (len(got), len(expect), list(got ^ expect)[:6])
