@@ -728,13 +728,14 @@ def entity_canonical_map(spark, sf_dir):
     "events_sessionize",
     """
     WITH marked AS (
-      SELECT user_id, ts, value,
-             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 600 OR LAG(ts) OVER w IS NULL
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 600 * 1000000
+                       OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_sess
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
-      SELECT user_id, ts, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT user_id, event_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_no
       FROM marked
     )
@@ -757,14 +758,18 @@ def events_sessionize(spark, sf_dir):
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.unix_timestamp(F.col("ts").cast("timestamp"))
-                - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
-                > 600
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > 600 * 1_000_000
             ),
             1,
         ).otherwise(0),
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     sess = marked.withColumn("sess_no", F.sum("new_sess").over(w2))
     return sess.groupBy("user_id", "sess_no").agg(
         F.unix_micros(F.min("ts").cast("timestamp")).alias("session_start"),
