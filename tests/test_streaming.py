@@ -93,7 +93,7 @@ def test_sessionize_stateful(spark, tmp_path):
     ev_dir = str(tmp_path / "ev")
     events = (
         spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .where(F.col("user_id") < 5)
+        .where(F.col("user_id") < 2)
         .select("user_id", "ts", "value")
     )
     events.write.parquet(ev_dir)
@@ -106,7 +106,14 @@ def test_sessionize_stateful(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # availableNow + ProcessingTimeTimeout keeps the query alive waiting
+    # for state timeouts after the data is exhausted; poll for quiescence
+    # then stop (event-closed sessions are all emitted in the data batches)
+    for _ in range(60):
+        time.sleep(2)
+        if q.status["isDataAvailable"] is False and not q.status["isTriggerActive"]:
+            break
+    q.stop()
     got = spark.sql("select * from sess_t").collect()
     # closed sessions only (state holds the trailing open session per user);
     # every emitted session must respect the gap invariant
