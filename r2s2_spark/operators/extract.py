@@ -32,9 +32,6 @@ from ..functions.uri import PART_KEYS, decompose_iri
 from ..sources.fixtures import DEFAULT_GRAPH
 from ..sources.ntriples import DECOMPOSED_SCHEMA, STATEMENT_SCHEMA, parse_iterator
 
-S_PARTS = [f"s_{k}" for k in PART_KEYS]
-O_PARTS = [f"o_{k}" for k in PART_KEYS]
-
 META_COLS = ["file_sha256", "line_no"]
 LEX_COLS = ["s_kind", "s_lex", "p_iri", "o_kind", "o_lex", "o_lang", "o_datatype", "g_iri"]
 

@@ -16,8 +16,6 @@ files-per-table bounded (small-file control at 10^12-file scale).
 
 from __future__ import annotations
 
-from dataclasses import replace
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -84,7 +84,6 @@ def parse_turtle(text: str, default_graph: str):
     line = 1
     pos = 0
     n = len(text)
-    ok = True
     while pos < n:
         m = _TOKEN_RE.match(text, pos)
         if not m:
