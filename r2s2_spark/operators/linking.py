@@ -70,18 +70,21 @@ def canonical_mapping(
         .select("src_node", "dst_node")
     )
     comp = connected_components(edge_ids, "src_node", "dst_node")
-    with_comp = nodes.join(comp, nodes["node"] == comp["node"], "left").select(
-        F.col("entity"),
-        F.coalesce(comp["component"], nodes["node"]).alias("component"),
+    # Only entities that appear in an edge are in `comp`; everything else
+    # is a singleton cluster and maps to ITSELF with no join at all.
+    # (Never broadcast the representatives: reps is O(#linked clusters),
+    # which at billions of mentions is itself a big table — a forced
+    # broadcast would OOM the driver. Shuffle join; AQE picks broadcast
+    # automatically when reps happens to be small.)
+    linked = nodes.join(comp, "node").select("entity", "component")
+    reps = linked.groupBy("component").agg(F.min("entity").alias("canonical_id"))
+    linked_mapped = linked.join(reps, "component").select(
+        F.col("entity").alias(id_col), "canonical_id"
     )
-    # representative = lexicographic min entity of the cluster (stable and
-    # human-meaningful, unlike the min hash id)
-    reps = with_comp.groupBy("component").agg(F.min("entity").alias("canonical_id"))
-    # components are few and small relative to mentions: broadcast the reps
-    return (
-        with_comp.join(F.broadcast(reps), "component")
-        .select(F.col("entity").alias(id_col), "canonical_id")
+    singletons = nodes.join(comp, "node", "left_anti").select(
+        F.col("entity").alias(id_col), F.col("entity").alias("canonical_id")
     )
+    return linked_mapped.unionByName(singletons)
 
 
 def rewrite_subjects(

@@ -173,8 +173,21 @@ def _narrow_target(table_dt: str | None, cs: ColumnSpec) -> str | None:
     return None
 
 
+def _decimal_lexical(col):
+    """decimal -> lexical string with trailing fraction zeros trimmed —
+    MUST stay identical to plans.r2rml._lexical's decimal rendering (the
+    reconstruction inverse the guard below verifies against)."""
+    return F.regexp_replace(
+        F.regexp_replace(col.cast("string"), r"(\.\d*?)0+$", "$1"), r"\.$", ""
+    )
+
+
 def _guard_expr(c, target: str):
-    """Boolean per-row expression: value is losslessly representable.
+    """Boolean per-row expression: value is losslessly representable AND
+    reconstructs to the exact original lexical form (cast-back-equals-
+    original for every narrowed type — Spark silently rounds decimal scale
+    overflow and canonicalizes double lexical forms, so isNotNull alone
+    would violate the exact-inverse reconstruction contract).
     try_cast throughout — Spark 4 runs ANSI mode, where a plain cast
     *throws* on malformed input instead of returning NULL."""
     if target == "int" or target == "bigint":
@@ -184,9 +197,13 @@ def _guard_expr(c, target: str):
     if target == "date":
         return c.try_cast("date").cast("string") == c
     if target in ("double", "float"):
-        return c.try_cast(target).isNotNull()
+        # round-trip guard: "1"^^xsd:double would reconstruct as "1.0"
+        return c.try_cast(target).cast("string") == c
     if target.startswith("decimal"):
-        return c.rlike(r"^-?\d+(\.\d+)?$") & c.try_cast(target).isNotNull()
+        # render with the reconstruction's zero-trim: scale overflow
+        # ("0.123...901" -> rounded) and non-canonical forms ("1.50")
+        # fail the guard and stay strings
+        return _decimal_lexical(c.try_cast(target)) == c
     if target == "gyear":
         return c.rlike(r"^-?[0-9]{4}$") & F.coalesce(
             c.try_cast("int").between(-5999, 2999), F.lit(False)
@@ -306,11 +323,23 @@ def optimize_table(
                     cs.sql_type = target
 
     # --- pass 4: longest-common-prefix factoring (IRI part columns) ------
+    # Columns headed for scheme/host dictionary encoding must NOT be
+    # LCP-stripped: the dictionaries are built from UNSTRIPPED V data
+    # (build_scheme_host_dicts), so an encode join on stripped values would
+    # miss every row and silently write NULL ids (corrupting the term).
+    will_encode: set[str] = set()
+    if mode == "full":
+        for pm in table.predicates:
+            for cs in pm.columns:
+                if cs.part == "scheme" and schemes is not None:
+                    will_encode.add(cs.name)
+                elif cs.part == "host" and hosts is not None:
+                    will_encode.add(cs.name)
     to_strip: dict[str, str] = {}
     for cs in specs:
         if not cs.physical or cs.sql_type != "string" or not _iri_group_parts(table, cs):
             continue
-        if cs.name in narrowed:
+        if cs.name in narrowed or cs.name in will_encode:
             continue
         mn, mx = stats[f"{cs.name}\x00min"], stats[f"{cs.name}\x00max"]
         if mn is None or mx is None or not isinstance(mn, str):

@@ -70,7 +70,12 @@ def _pattern_frame(catalog, reader, dicts, pattern, idx: int) -> tuple[DataFrame
     else:
         df = df.where(F.col("__s") == s)
     if _is_var(o):
-        cols[o] = F.col("__o")
+        if o in cols:
+            # repeated variable within one pattern, e.g. ('?x', p, '?x'):
+            # an equality constraint, not a rebinding
+            df = df.where(F.col("__s") == F.col("__o"))
+        else:
+            cols[o] = F.col("__o")
     elif isinstance(o, Literal):
         df = df.where(F.col("__o") == o.lex)
         if o.lang is not None:

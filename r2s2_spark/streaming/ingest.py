@@ -143,7 +143,11 @@ def _session_fn(gap_seconds: int, key, pdf_iter, state: GroupState):
                 rows.append((start, end, n, total))
                 start, end, n, total = us, us, 1, float(value)
             else:
-                end, n, total = us, n + 1, total + float(value)
+                # max/min: an out-of-order event from a later micro-batch
+                # can carry ts earlier than the stored session end; moving
+                # `end` backwards would falsely split the session later
+                start, end = min(start, us), max(end, us)
+                n, total = n + 1, total + float(value)
     if start is not None:
         state.update((start, end, n, total))
         state.setTimeoutDuration(gap_seconds * 1000)

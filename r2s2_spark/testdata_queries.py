@@ -735,8 +735,10 @@ def entity_canonical_map(spark, sf_dir):
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, event_id, ts, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+             -- CAST: DuckDB's windowed SUM yields HUGEINT, which arrow
+             -- fetch paths render as float and hash-mismatch Spark's bigint
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
       FROM marked
     )
     SELECT user_id, sess_no,

@@ -129,6 +129,71 @@ def test_oddeven_lcp_and_int(spark, tmp_path):
     assert sum(1 for t in cat.tables if t.name.startswith("type_")) == 2
 
 
+def test_mixed_host_dict_roundtrip(spark, tmp_path):
+    """Regression: LCP factoring must SKIP scheme/host columns headed for
+    dictionary encoding — the dictionaries are built from unstripped V data,
+    so an encode join on stripped values writes NULL ids and the term
+    reconstructs as 'http:' (host and path silently lost)."""
+    nt = "\n".join(
+        [
+            f"<{EX}s1> <{EX}link> <http://example.com/a> .",
+            f"<{EX}s2> <{EX}link> <http://example.org/b> .",
+            f"<{EX}s3> <{EX}link> <https://example.net/c> .",
+        ]
+    )
+    pipe = KgPipeline(spark, str(tmp_path / "mh"))
+    pipe.load(fx.source_files_df(spark, [fx._row("r", "mh.nt", nt)]))
+    expect = {
+        (EX + "s1", "http://example.com/a"),
+        (EX + "s2", "http://example.org/b"),
+        (EX + "s3", "https://example.net/c"),
+    }
+    for stage in ("O", "M"):
+        got = {(r.s, r.o_lex) for r in pipe.triples(stage).collect()}
+        assert got == expect, (stage, got ^ expect)
+    # and the encoding actually happened (hosts vary -> stays physical)
+    cat = pipe.catalog("O")
+    t = next(x for x in cat.tables if x.predicates[0].predicate == EX + "link")
+    host = next(c for c in t.predicates[0].columns if c.part == "host")
+    assert host.encoding == "hosts" and host.lcp_prefix == ""
+
+
+def test_double_decimal_guard_roundtrip(spark, tmp_path):
+    """Regression: narrowing to double/float/decimal must be guarded by
+    cast-back-equals-original — Spark canonicalizes "1" -> "1.0" (double)
+    and silently rounds decimal scale overflow, violating the exact-inverse
+    reconstruction contract."""
+    lines = [
+        f'<{EX}d1> <{EX}dbl> "1"^^<{XSD}double> .',  # non-canonical: blocks
+        f'<{EX}d2> <{EX}dbl> "1.5"^^<{XSD}double> .',
+        f'<{EX}g1> <{EX}dbl2> "1.5"^^<{XSD}double> .',  # clean col: narrows
+        f'<{EX}g2> <{EX}dbl2> "2.25"^^<{XSD}double> .',
+        f'<{EX}e1> <{EX}dec> "0.123456789012345678901"^^<{XSD}decimal> .',
+        f'<{EX}e2> <{EX}dec> "1.50"^^<{XSD}decimal> .',
+        f'<{EX}f1> <{EX}n> "25"^^<{XSD}integer> .',  # canonical ints: narrow
+        f'<{EX}f2> <{EX}n> "7"^^<{XSD}integer> .',
+    ]
+    pipe = KgPipeline(spark, str(tmp_path / "dd"))
+    pipe.load(fx.source_files_df(spark, [fx._row("r", "dd.nt", "\n".join(lines))]))
+    got = {
+        r.o_lex
+        for r in pipe.triples("O").where(F.col("o_datatype").isNotNull()).collect()
+    }
+    assert got == {
+        "1", "1.5", "2.25", "0.123456789012345678901", "1.50", "25", "7",
+    }
+    cat = pipe.catalog("O")
+
+    def lit_spec(pred_local):
+        t = next(x for x in cat.tables if x.predicates[0].predicate == EX + pred_local)
+        return next(c for c in t.predicates[0].columns if c.part == "litvalue")
+
+    assert lit_spec("dbl").sql_type == "string"  # "1" blocked the column
+    assert lit_spec("dbl2").sql_type == "double"  # all-canonical narrows
+    assert lit_spec("dec").sql_type == "string"  # overflow + "1.50" block
+    assert lit_spec("n").sql_type.startswith("decimal")  # xsd:integer ok
+
+
 def test_scheme_host_dict_encoding(loaded):
     """Object scheme/host columns that stay physical are long-id encoded.
     In fixture A all object schemes/hosts are constant -> virtual, so

@@ -50,6 +50,21 @@ def test_constant_object_and_subject(pipe):
     assert [r.l for r in lbl.collect()] == ["42"]
 
 
+def test_repeated_variable_within_pattern(spark, tmp_path):
+    """('?x', p, '?x') is an s==o equality constraint, not a rebinding
+    (regression: the second binding used to silently overwrite the first)."""
+    nt = "\n".join(
+        [
+            f"<{EX}self> <{EX}rel> <{EX}self> .",
+            f"<{EX}a> <{EX}rel> <{EX}b> .",
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "self.nt", nt)]))
+    out = bgp_on_pipeline(p, [("?x", EX + "rel", "?x")], select=["?x"])
+    assert [r.x for r in out.collect()] == [EX + "self"]
+
+
 def test_literal_constant_with_datatype(pipe):
     out = bgp_on_pipeline(
         pipe,
