@@ -90,11 +90,45 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-def sign_bucket(vec: Column, n_bits: int = 6) -> Column:
-    """Coarse IVF-style bucket id: sign bits of the first ``n_bits``
-    dimensions. The scale path for ANN — same-bucket candidates only."""
-    pieces = [
-        F.when(F.element_at(vec, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(1, n_bits + 1)
+def rademacher_planes(n_bits: int, dim: int, band: int = 0) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane coefficients (SimHash-style
+    signed random projections). Derived from md5 of (band, bit, dim) so the
+    SAME planes are constructible in any engine — the DuckDB oracles embed
+    them as literal arrays. Unlike leading-dimension sign bits, every
+    projection mixes ALL dimensions, so buckets stay balanced (2^n_bits
+    cells) regardless of the embedding's coordinate distribution."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"rp:{band}:{b}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for d in range(dim)
+        ]
+        for b in range(n_bits)
     ]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """'0'/'1' bucket string: sign of dot(vec, plane) per plane. Pure
+    Catalyst (zip_with + aggregate over literal coefficient arrays)."""
+    pieces = []
+    for coefs in planes:
+        plane = F.array(*[F.lit(c) for c in coefs])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        pieces.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*pieces)
+
+
+def hyperplane_bucket_sql(planes: list[list[float]], vec_expr: str = "embedding") -> str:
+    """The DuckDB twin of :func:`hyperplane_bucket` (oracle generation)."""
+    bits = []
+    for coefs in planes:
+        arr = "[" + ", ".join(f"{c:.1f}" for c in coefs) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {arr}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)

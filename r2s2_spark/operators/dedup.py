@@ -61,21 +61,12 @@ def lsh_candidate_pairs(
 
     Skew handling: buckets wider than ``max_bucket`` are truncated to the
     first ``max_bucket`` members by id (boilerplate buckets otherwise
-    explode quadratically); the truncation is logged in the `capped`
-    column of the bucket frame and the self-join runs bucket-local.
+    explode quadratically) and the self-join runs bucket-local. Truncation
+    loses recall SILENTLY from this frame's point of view — run
+    :func:`lsh_truncation_stats` with the same parameters to quantify it
+    (north rule: no silent caps).
     """
-    n_bands = (k + rows_per_band - 1) // rows_per_band
-    banded = sigs.select(F.col(id_col), *hashing.band_exprs(k, rows_per_band))
-    pieces = []
-    for b in range(n_bands):
-        pieces.append(
-            banded.select(
-                F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band"), F.col(id_col)
-            )
-        )
-    buckets = pieces[0]
-    for p in pieces[1:]:
-        buckets = buckets.unionByName(p)
+    buckets = _lsh_buckets(sigs, k, rows_per_band, id_col)
     w = Window.partitionBy("band_no", "band").orderBy(id_col)
     capped = (
         buckets.withColumn("rn", F.row_number().over(w))
@@ -95,6 +86,53 @@ def lsh_candidate_pairs(
         .distinct()
     )
     return pairs
+
+
+def _lsh_buckets(sigs: DataFrame, k: int, rows_per_band: int, id_col: str) -> DataFrame:
+    """(band_no, band, id) rows — one per document per band."""
+    n_bands = (k + rows_per_band - 1) // rows_per_band
+    banded = sigs.select(F.col(id_col), *hashing.band_exprs(k, rows_per_band))
+    pieces = [
+        banded.select(
+            F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band"), F.col(id_col)
+        )
+        for b in range(n_bands)
+    ]
+    buckets = pieces[0]
+    for p in pieces[1:]:
+        buckets = buckets.unionByName(p)
+    return buckets
+
+
+def lsh_truncation_stats(
+    sigs: DataFrame,
+    k: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    max_bucket: int = 50,
+) -> DataFrame:
+    """One-row recall-loss metric for :func:`lsh_candidate_pairs` at the
+    same parameters: how many buckets exceeded ``max_bucket`` and how many
+    member rows the cap dropped. Emit/log this next to any capped run —
+    a silent cap reads as full recall when it isn't."""
+    return (
+        _lsh_buckets(sigs, k, rows_per_band, id_col)
+        .groupBy("band_no", "band")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("width") > max_bucket).cast("bigint")), F.lit(0)
+            ).alias("n_buckets_truncated"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("width") > max_bucket, F.col("width") - max_bucket
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_members_dropped"),
+        )
+    )
 
 
 def token_jaccard_pairs(
@@ -157,31 +195,76 @@ def simhash_duplicate_groups(docs: DataFrame, id_col: str = "doc_id", text_col: 
     )
 
 
+def embedding_candidate_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Banded random-hyperplane LSH candidate pairs over an embedding
+    column — the same blocking shape as :func:`lsh_candidate_pairs`:
+    ``n_bands`` independent buckets of ``n_bits`` Rademacher sign bits each
+    (2^n_bits cells per band, balanced regardless of the embedding
+    distribution), candidates = pairs sharing ANY band bucket. With the
+    default 8 bits that's 256 buckets per band: the within-bucket self-join
+    is O(n^2 / 256) per band — scale-safe, unlike a leading-dimension sign
+    bucket whose 16 cells put n/16 vectors in each."""
+    if dim is None:
+        dim = emb.select(F.size(F.col(vec_col))).first()[0]
+    pieces = []
+    for band in range(n_bands):
+        planes = hashing.rademacher_planes(n_bits, dim, band=band)
+        pieces.append(
+            emb.select(
+                F.lit(band).alias("band_no"),
+                hashing.hyperplane_bucket(F.col(vec_col), planes).alias("bkt"),
+                F.col(id_col),
+            )
+        )
+    buckets = pieces[0]
+    for p in pieces[1:]:
+        buckets = buckets.unionByName(p)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 4,
+    n_bits: int = 8,
+    n_bands: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates, sign-bucket blocked (no n^2):
-    pairs in the same coarse bucket with cosine >= threshold."""
-    b = emb.select(
-        F.col(id_col), F.col(vec_col), hashing.sign_bucket(F.col(vec_col), n_bits).alias("bkt")
-    )
-    a = b.alias("a")
-    c = b.alias("c")
+    """Embedding-cosine near-duplicates: banded hyperplane-LSH candidates
+    (never all-pairs) scored by exact cosine >= threshold. Pairs carry ids
+    only through the blocking join; vectors are joined back once for
+    scoring (no vector duplication across bands)."""
+    pairs = embedding_candidate_pairs(emb, id_col, vec_col, n_bits, n_bands, dim)
+    va = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"))
+    vb = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"))
     return (
-        a.join(
-            c,
-            (F.col("a.bkt") == F.col("c.bkt")) & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
-        )
+        pairs.join(va, "a_id")
+        .join(vb, "b_id")
         .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"c.{id_col}").alias("b_id"),
-            F.round(
-                hashing.cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")), 4
-            ).alias("cosine"),
+            "a_id",
+            "b_id",
+            F.round(hashing.cosine_similarity(F.col("__va"), F.col("__vb")), 4).alias(
+                "cosine"
+            ),
         )
         .where(F.col("cosine") >= threshold)
     )

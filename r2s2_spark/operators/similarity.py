@@ -4,9 +4,11 @@ Two strategies (SURVEY.md §2 extension):
 - brute-force cosine top-k: the correctness baseline. A broadcast of the
   query vector + one projection + one top-k — no shuffle except the final
   k-row ordering.
-- sign-bucket (IVF/LSH-style) top-k: the scale path. Candidates are
-  restricted to the query's coarse bucket (sign bits of leading
-  dimensions); recall < 1 by construction, latency O(n / 2^bits).
+- hyperplane-bucket (IVF/LSH-style) top-k: the scale path. Candidates are
+  restricted to the query's random-hyperplane sign bucket (2^n_bits
+  balanced cells; Rademacher projections mix all dimensions), optionally
+  widened to flip-1-bit neighbor buckets (multi-probe); recall < 1 by
+  construction, latency O(n_probes * n / 2^bits).
 
 At 100 TB the bucket column is a partition key: bucket pruning turns a
 full scan into a handful of partitions. Ties are broken on (rounded
@@ -49,23 +51,45 @@ def cosine_topk(
     )
 
 
+def probe_buckets(q_bucket: str, n_probes: int) -> list[str]:
+    """Multi-probe bucket list: the exact bucket first, then flip-1-bit
+    neighbors in bit order, up to ``n_probes`` buckets total."""
+    probes = [q_bucket]
+    for i in range(len(q_bucket)):
+        if len(probes) >= n_probes:
+            break
+        flipped = q_bucket[:i] + ("0" if q_bucket[i] == "1" else "1") + q_bucket[i + 1:]
+        probes.append(flipped)
+    return probes[:n_probes]
+
+
 def cosine_topk_bucketed(
     emb: DataFrame,
     query_id: int,
     k: int = 10,
-    n_bits: int = 4,
+    n_bits: int = 8,
+    n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style top-k: only vectors in the query's sign bucket compete.
-    With the bucket as a partition key this is a partition-pruned scan."""
+    """IVF/LSH-style top-k: only vectors in the query's random-hyperplane
+    sign bucket (2^n_bits balanced cells — 256 at the default) compete;
+    ``n_probes`` > 1 additionally probes flip-1-bit neighbor buckets
+    (multi-probe LSH), trading latency back for recall. With the bucket as
+    a partition key this is a partition-pruned scan of n_probes cells."""
     q = _query_vec(emb, query_id, id_col, vec_col)
-    q_bucket = "".join("1" if x >= 0 else "0" for x in q[:n_bits])
+    planes = hashing.rademacher_planes(n_bits, len(q))
+    # query bucket computed driver-side with the same planes (exact ±1
+    # coefficients -> identical sign as the Catalyst expression)
+    q_bucket = "".join(
+        "1" if sum(c * x for c, x in zip(coefs, q)) >= 0 else "0" for coefs in planes
+    )
+    probes = probe_buckets(q_bucket, n_probes)
     q_lit = F.array(*[F.lit(x) for x in q])
     sim = F.round(hashing.cosine_similarity(F.col(vec_col), q_lit), 4)
     return (
         emb.where(
-            (hashing.sign_bucket(F.col(vec_col), n_bits) == q_bucket)
+            hashing.hyperplane_bucket(F.col(vec_col), planes).isin(probes)
             & (F.col(id_col) != query_id)
         )
         .select(F.col(id_col), sim.alias("cosine"))

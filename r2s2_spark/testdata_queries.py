@@ -462,9 +462,35 @@ def lang_id_heuristic(spark, sf_dir):
     )
 
 
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+
+
 @q(
     "quality_scores",
-    None,  # composite float heuristic — rows-only check (python-side rounding)
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             string_split_regex(trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), '\\s+') AS ntoks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        LEAST(length(text) / 200.0, 1.0) AS len_ok,
+        ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+              / GREATEST(length(text), 1), 4) AS pr,
+        ROUND(list_sum(list_transform(toks, x -> length(x)))
+              / GREATEST(len(toks), 1), 4) AS wl,
+        ROUND(len(list_filter(ntoks, x -> x IN ({_STOPWORDS_SQL})))
+              / GREATEST(len(ntoks), 1), 4) AS stopword_ratio
+      FROM base
+    )
+    SELECT doc_id,
+           ROUND((len_ok
+                  + (1.0 - LEAST(pr * 5, 1.0))
+                  + (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END)) / 3, 4) AS quality,
+           stopword_ratio
+    FROM m
+    """,
 )
 def quality_scores(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -567,7 +593,33 @@ def simhash_fingerprints_q(spark, sf_dir):
     return dedup.simhash_fingerprints(t(spark, sf_dir, "documents"))
 
 
-@q("token_jaccard_pairs", None)  # scored on LSH candidates — rows-only
+@q(
+    "token_jaccard_pairs",
+    _BANDS_CTE
+    + """
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_no = b.band_no AND a.band = b.band AND a.doc_id < b.doc_id
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT p.a_id, p.b_id, COUNT(*) AS inter
+      FROM pairs p
+      JOIN toks ta ON ta.doc_id = p.a_id
+      JOIN toks tb ON tb.doc_id = p.b_id AND tb.tok = ta.tok
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT p.a_id, p.b_id,
+             ROUND(COALESCE(i.inter, 0) / (sa.sz + sb.sz - COALESCE(i.inter, 0)), 4) AS jaccard
+      FROM pairs p
+      LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+      JOIN sz sa ON sa.doc_id = p.a_id
+      JOIN sz sb ON sb.doc_id = p.b_id
+    ) WHERE jaccard >= 0.3
+    """,
+)
 def token_jaccard_pairs_q(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(d, k=4)
@@ -599,38 +651,65 @@ def ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+# the synthetic embeddings are 64-dim at every SF (TESTDATA.md)
+_EMB_DIM = 64
+_ANN_PLANES = hashing.rademacher_planes(8, _EMB_DIM, band=0)
+
+
 @q(
     "ann_cosine_topk_bucketed",
     f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    b AS (
-      SELECT vec_id, embedding,
-    """
-    + " || ".join(
-        f"(CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END)" for i in range(1, 5)
-    )
-    + f""" AS bkt FROM embeddings
-    )
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id, ROUND(CAST(list_cosine_similarity(embedding, (SELECT qv FROM q)) AS DOUBLE), 4) AS cosine
-    FROM b
-    WHERE vec_id <> 0 AND bkt = (SELECT """
-    + " || ".join(
-        f"(CASE WHEN qv[{i}] >= 0 THEN '1' ELSE '0' END)" for i in range(1, 5)
-    )
-    + """ FROM q)
+    FROM embeddings
+    WHERE vec_id <> 0
+      AND {hashing.hyperplane_bucket_sql(_ANN_PLANES, "embedding")}
+        = (SELECT {hashing.hyperplane_bucket_sql(_ANN_PLANES, "qv")} FROM q)
     ORDER BY cosine DESC, vec_id LIMIT 10
     """,
 )
 def ann_cosine_topk_bucketed(spark, sf_dir):
     return similarity.cosine_topk_bucketed(
-        t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=4
+        t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=8
     )
 
 
-@q("embedding_near_duplicates", None)  # float-threshold pairs — rows-only
+def _emb_bands_sql(n_bits: int = 8, n_bands: int = 4) -> str:
+    """(vec_id, band_no, bkt) rows — DuckDB twin of
+    dedup.embedding_candidate_pairs' banded hyperplane buckets."""
+    pieces = []
+    for band in range(n_bands):
+        planes = hashing.rademacher_planes(n_bits, _EMB_DIM, band=band)
+        pieces.append(
+            f"SELECT vec_id, {band} AS band_no, "
+            f"{hashing.hyperplane_bucket_sql(planes, 'embedding')} AS bkt FROM embeddings"
+        )
+    return " UNION ALL ".join(pieces)
+
+
+@q(
+    "embedding_near_duplicates",
+    f"""
+    WITH bands AS ({_emb_bands_sql()}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_no = b.band_no AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, cosine FROM (
+      SELECT p.a_id, p.b_id,
+             ROUND(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4) AS cosine
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.a_id
+      JOIN embeddings eb ON eb.vec_id = p.b_id
+    ) WHERE cosine >= 0.4
+    """,
+)
 def embedding_near_duplicates_q(spark, sf_dir):
+    # threshold 0.4: the synthetic embeddings top out at ~0.51 pairwise
+    # cosine, so 0.4 exercises the scoring path with a non-empty result
     return dedup.embedding_near_duplicates(
-        t(spark, sf_dir, "embeddings"), threshold=0.8, n_bits=4
+        t(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=8, n_bands=4, dim=_EMB_DIM
     )
 
 
@@ -694,7 +773,71 @@ def cc_customer_nation(spark, sf_dir):
     return connected_components(edges)
 
 
-@q("entity_link_edges", None)  # float-scored LSH pairs — rows-only
+# DuckDB twin of the full linking chain (link_mentions with k=8,
+# rows_per_band=2, max_bucket=50, threshold=0.8 over 'doc:<id>' mentions):
+# minhash sigs -> 4 banded buckets capped at 50 by id -> candidate pairs ->
+# exact token-Jaccard >= 0.8. WITH RECURSIVE up front so the canonical-map
+# oracle can append its reachability CTE.
+_LINK_CTE = (
+    """
+    WITH RECURSIVE docs AS (
+      SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+    ), toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM docs
+    ), sigs AS (
+      SELECT doc_id,
+    """
+    + ",\n".join(
+        f"MIN(substr(md5(tok || '#{i}'), 1, 16)) AS mh{i}" for i in range(8)
+    )
+    + """
+      FROM toks GROUP BY doc_id
+    ), bands AS (
+    """
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_no, mh{2*b} || '|' || mh{2*b+1} AS band FROM sigs"
+        for b in range(4)
+    )
+    + """
+    ), capped AS (
+      SELECT doc_id, band_no, band FROM (
+        SELECT doc_id, band_no, band,
+               ROW_NUMBER() OVER (PARTITION BY band_no, band ORDER BY doc_id) AS rn
+        FROM bands
+      ) WHERE rn <= 50
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM capped a JOIN capped b
+        ON a.band_no = b.band_no AND a.band = b.band AND a.doc_id < b.doc_id
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT p.a_id, p.b_id, COUNT(*) AS inter
+      FROM pairs p
+      JOIN toks ta ON ta.doc_id = p.a_id
+      JOIN toks tb ON tb.doc_id = p.b_id AND tb.tok = ta.tok
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst, jaccard AS score FROM (
+        SELECT p.a_id, p.b_id,
+               ROUND(COALESCE(i.inter, 0) / (sa.sz + sb.sz - COALESCE(i.inter, 0)), 4) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+        JOIN sz sa ON sa.doc_id = p.a_id
+        JOIN sz sb ON sb.doc_id = p.b_id
+      ) WHERE jaccard >= 0.8
+    )
+"""
+)
+
+from .naming import OWL_SAMEAS as _SAMEAS  # noqa: E402
+
+
+@q(
+    "entity_link_edges",
+    _LINK_CTE + f"SELECT src, dst, score, '{_SAMEAS}' AS p FROM edges",
+)
 def entity_link_edges(spark, sf_dir):
     from .operators.linking import link_mentions
 
@@ -706,7 +849,24 @@ def entity_link_edges(spark, sf_dir):
     return link_mentions(mentions, threshold=0.8, k=8, rows_per_band=2)
 
 
-@q("entity_canonical_map", None)  # depends on LSH edges — rows-only
+@q(
+    "entity_canonical_map",
+    _LINK_CTE
+    + """
+    , bi AS (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ), ents AS (
+      SELECT DISTINCT doc_id AS entity FROM docs
+    ),
+    walk(node, comp) AS (
+      SELECT entity, entity FROM ents
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN bi e ON e.src = w.node
+      WHERE w.comp < e.dst
+    )
+    SELECT node AS entity_id, MIN(comp) AS canonical_id FROM walk GROUP BY node
+    """,
+)
 def entity_canonical_map(spark, sf_dir):
     from .operators.linking import canonical_mapping, link_mentions
 

@@ -68,25 +68,110 @@ def test_rows_only_queries_run(spark, name):
 
 def test_bucketed_ann_exact_within_cell(spark):
     """The IVF contract: the bucketed search returns the EXACT top-k within
-    the probed cell (candidates restricted to the query's sign bucket), and
-    the cell prunes a large share of the corpus."""
+    the probed cell(s) (candidates restricted to the query's hyperplane
+    bucket + flip-1 neighbors), and the cells prune a large share of the
+    corpus. 8 Rademacher bits -> 256 balanced buckets."""
     from pyspark.sql import functions as F
 
-    from r2s2_spark.functions.hashing import sign_bucket
-    from r2s2_spark.operators.similarity import cosine_topk, cosine_topk_bucketed
+    from r2s2_spark.functions.hashing import hyperplane_bucket, rademacher_planes
+    from r2s2_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_bucketed,
+        probe_buckets,
+    )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
-    q_bucket = "".join("1" if x >= 0 else "0" for x in q[:4])
-    cell = emb.where(sign_bucket(F.col("embedding"), 4) == q_bucket)
-    n_all, n_cell = emb.count(), cell.count()
-    assert n_cell < n_all / 4  # real pruning
+    planes = rademacher_planes(8, len(q))
+    q_bucket = "".join(
+        "1" if sum(c * x for c, x in zip(coefs, q)) >= 0 else "0" for coefs in planes
+    )
+    for n_probes in (1, 4):
+        probes = probe_buckets(q_bucket, n_probes)
+        cell = emb.where(hyperplane_bucket(F.col("embedding"), planes).isin(probes))
+        n_all, n_cell = emb.count(), cell.count()
+        assert n_cell < n_all / 4  # real pruning
+        exact_in_cell = [
+            (r.vec_id, r.cosine) for r in cosine_topk(cell, 0, k=10).collect()
+        ]
+        approx = [
+            (r.vec_id, r.cosine)
+            for r in cosine_topk_bucketed(
+                emb, 0, k=10, n_bits=8, n_probes=n_probes
+            ).collect()
+        ]
+        assert approx == exact_in_cell, n_probes
 
-    exact_in_cell = [
-        (r.vec_id, r.cosine) for r in cosine_topk(cell, 0, k=10).collect()
-    ]
-    approx = [
-        (r.vec_id, r.cosine)
-        for r in cosine_topk_bucketed(emb, 0, k=10, n_bits=4).collect()
-    ]
-    assert approx == exact_in_cell
+
+def test_embedding_near_dup_recall_planted(spark):
+    """Recall contract for the banded hyperplane blocking: planted
+    near-duplicate pairs (cosine >= 0.95) are recovered from a corpus of
+    deterministic random vectors at high recall, without any all-pairs
+    join. Brute force is the ground truth."""
+    import math
+    import random
+
+    from r2s2_spark.operators.dedup import embedding_near_duplicates
+
+    rng = random.Random(7)
+    dim, n_base, n_dups = 32, 300, 40
+    rows = []
+    for i in range(n_base):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    # planted near-dups: tiny perturbations of the first n_dups vectors
+    for j in range(n_dups):
+        base = rows[j][1]
+        rows.append((1000 + j, [x + rng.gauss(0, 0.02) for x in base]))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    vecs = {i: v for i, v in rows}
+    truth = {
+        (a, b)
+        for a in vecs
+        for b in vecs
+        if a < b and round(cos(vecs[a], vecs[b]), 4) >= 0.95
+    }
+    assert len(truth) >= n_dups  # the plant worked
+    got = {
+        (r.a_id, r.b_id)
+        for r in embedding_near_duplicates(
+            emb, threshold=0.95, n_bits=8, n_bands=8, dim=dim
+        ).collect()
+    }
+    assert got <= truth  # exact scoring: no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_lsh_truncation_stats(spark):
+    """The bucket cap is not silent: stats quantify truncated buckets and
+    dropped members when a bucket exceeds max_bucket."""
+    from pyspark.sql import functions as F
+
+    from r2s2_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_truncation_stats,
+        minhash_signatures,
+    )
+
+    # 60 identical docs -> every band bucket holds all 60 (> max_bucket=50)
+    docs = spark.createDataFrame(
+        [(i, "same tokens every time") for i in range(60)], "doc_id bigint, text string"
+    )
+    sigs = minhash_signatures(docs, k=4)
+    stats = lsh_truncation_stats(sigs, k=4, rows_per_band=2, max_bucket=50).first()
+    assert stats.n_buckets_truncated == 2  # both bands
+    assert stats.n_members_dropped == 20  # 10 dropped per band
+    pairs = lsh_candidate_pairs(sigs, k=4, rows_per_band=2, max_bucket=50)
+    assert pairs.count() == 50 * 49 // 2  # capped self-join, not 60*59/2
+
+    # and with a loose cap: nothing truncated
+    loose = lsh_truncation_stats(sigs, k=4, rows_per_band=2, max_bucket=100).first()
+    assert loose.n_buckets_truncated == 0 and loose.n_members_dropped == 0
