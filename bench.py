@@ -102,6 +102,37 @@ def run_queries(spark, sf_dir: str) -> dict:
     return out
 
 
+def run_many_tables_layout(spark) -> dict:
+    """Stage O+M wall-time with a WIDE catalog (64 predicate tables) — the
+    driver-loop path that dominates at real-KG vocabulary scale. Probes the
+    bounded-thread-pool job submission (round 2): serial submission
+    measured 51.1s/13.9s for O/M on this corpus; pooled 15.2s/6.9s."""
+    from r2s2_spark.pipeline import KgPipeline
+    from r2s2_spark.sources.fixtures import synthetic_source_files
+
+    src = synthetic_source_files(
+        spark, n_files=2000, statements_per_file=500, n_predicates=64
+    )
+    work = tempfile.mkdtemp(prefix="r2s2_widecat_")
+    try:
+        pipe = KgPipeline(spark, work)
+        pipe.stage_e(src)
+        pipe.stage_d()
+        pipe.stage_v()
+        t0 = time.time()
+        pipe.stage_o()
+        t_o = time.time() - t0
+        t0 = time.time()
+        pipe.stage_m()
+        t_m = time.time() - t0
+        return {
+            "stage_o_64tables_sec": round(t_o, 3),
+            "stage_m_64tables_sec": round(t_m, 3),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_once(cpus: str, sf_dir: str, stages: str = "full") -> dict:
     from r2s2_spark.session import get_spark
 
@@ -109,8 +140,9 @@ def bench_once(cpus: str, sf_dir: str, stages: str = "full") -> dict:
     try:
         sf = _sf_from_dir(sf_dir)
         kg = run_kg_load(spark, sf, stages)
+        wide = run_many_tables_layout(spark)
         qs = run_queries(spark, sf_dir)
-        return {"sf": sf, **kg, "queries": qs}
+        return {"sf": sf, **kg, **wide, "queries": qs}
     finally:
         spark.stop()
 
@@ -214,6 +246,8 @@ def main() -> None:
         "kg_triples": r["kg_triples"],
         "kg_edv_sec": r["kg_edv_sec"],
         "kg_triples_per_sec": r["kg_triples_per_sec"],
+        "stage_o_64tables_sec": r["stage_o_64tables_sec"],
+        "stage_m_64tables_sec": r["stage_m_64tables_sec"],
         "query_rows": {
             k[: -len("_rows")]: v for k, v in r["queries"].items() if k.endswith("_rows")
         },

@@ -116,6 +116,17 @@ def merge_pair(
     return merged, remaining
 
 
+def subject_key_range(df: DataFrame, table: TableSpec) -> tuple:
+    """(min, max) of the subject key — one tiny agg job. Feeds the merge
+    prefilter: disjoint key ranges can NEVER overlap, so the O(T^2)
+    pairwise semi-join probes collapse to the pairs whose ranges touch
+    (parquet min/max stats answer this scan cheaply)."""
+    row = df.agg(
+        F.min(subject_key(table)).alias("mn"), F.max(subject_key(table)).alias("mx")
+    ).first()
+    return row.mn, row.mx
+
+
 def run_merges(
     spark: SparkSession,
     catalog: Catalog,
@@ -124,16 +135,32 @@ def run_merges(
 ) -> tuple[list[str], list[str]]:
     """The full TableMergingConcurence driver loop over in-memory (lazy)
     frames. Mutates ``catalog``/``frames``/``sizes``. Returns
-    (names of tables that changed, names of emptied/dropped tables)."""
+    (names of tables that changed, names of emptied/dropped tables).
+
+    Driver-loop scale: the per-table probes (repeating-subject, key range)
+    are submitted from a bounded thread pool — serial submission would
+    idle the executors between 10^4+ tiny jobs — and pairwise overlap
+    probes only run for pairs whose subject-key [min,max] ranges intersect.
+    """
+    from ..pipeline import _pooled_map
 
     def order_key(t: TableSpec):
         return (0 if t.name.startswith("type_") else 1, sizes[t.name], t.name)
 
-    candidates = [
-        t
-        for t in sorted(catalog.tables, key=order_key)
-        if not has_repeating_subjects(frames[t.name], t)
-    ]
+    tables = sorted(catalog.tables, key=order_key)
+
+    def probe(t: TableSpec):
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "stage_m")
+        repeating = has_repeating_subjects(frames[t.name], t)
+        rng = None if repeating else subject_key_range(frames[t.name], t)
+        return t.name, repeating, rng
+
+    probed = _pooled_map(probe, tables)
+    repeating = {name: rep for name, rep, _ in probed}
+    # ranges are used as SUPERSETS: merges only shrink `other`, so a stale
+    # wider range is safe (costs an extra probe, never a missed overlap)
+    ranges = {name: rng for name, _, rng in probed}
+    candidates = [t for t in tables if not repeating[t.name]]
     merged_targets: set[str] = set()
     changed: set[str] = set()
     for mc in candidates:
@@ -157,6 +184,15 @@ def run_merges(
             # table, IntroduceVirtualColumns.java:63-72).
             if not any(cs.physical for pm in other.predicates for cs in pm.columns):
                 continue
+            a, b = ranges[mc.name], ranges[other.name]
+            if (
+                a is not None
+                and b is not None
+                and a[0] is not None
+                and b[0] is not None
+                and (a[1] < b[0] or b[1] < a[0])
+            ):
+                continue  # disjoint key ranges: overlap impossible
             if not subjects_overlap(frames[mc.name], mc, frames[other.name], other):
                 continue
             new_mc, new_other = merge_pair(frames[mc.name], mc, frames[other.name], other)

@@ -279,6 +279,7 @@ def optimize_table(
     schemes: DataFrame | None = None,
     hosts: DataFrame | None = None,
     mode: str = "full",
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Apply passes 2-5 to one table. Mutates ``table``'s column specs
     (virtual values, narrowed types, LCP prefixes, encodings, graph
@@ -287,6 +288,12 @@ def optimize_table(
     mode="reopt" is the post-merge re-optimization (ReOptimizeForR2RML.java:
     24-46): virtual columns + LCP only — no narrowing, no dict encode, no
     set-semantics collapse.
+
+    ``cleanup``: if given, frames persisted internally are appended to it;
+    the caller MUST unpersist them after materializing the result (at
+    thousands of tables the collapse caches otherwise accumulate
+    unboundedly across the stage-O loop). If None, nothing is persisted —
+    correct but recomputes the collapse groupBy once for the probe.
     """
     stats = probe_table(df, table, mode)
     n = stats["__n"]
@@ -379,7 +386,7 @@ def optimize_table(
                 out = _encode(out, hosts, cs, "hosts")
 
     # --- pass 5: set semantics + graph collapse ---------------------------
-    out = _collapse(out, table, stats, n)
+    out = _collapse(out, table, stats, n, cleanup)
     return out
 
 
@@ -393,7 +400,9 @@ def _encode(df: DataFrame, dictionary: DataFrame, cs: ColumnSpec, dict_name: str
     return df
 
 
-def _collapse(df: DataFrame, table: TableSpec, stats: dict, n: int) -> DataFrame:
+def _collapse(
+    df: DataFrame, table: TableSpec, stats: dict, n: int, cleanup: list | None = None
+) -> DataFrame:
     """ReintroduceRdfSetSemantics: dedupe + multi-graph collapse + cluster
     sort. Works on the post-rewrite frame."""
     g_specs = [pm.graph_column for pm in table.predicates if pm.graph_column is not None]
@@ -410,7 +419,11 @@ def _collapse(df: DataFrame, table: TableSpec, stats: dict, n: int) -> DataFrame
         collapsed = df.groupBy(*non_graph).agg(
             F.sort_array(F.collect_set(F.col(g.name))).alias(g.name)
         )
-        collapsed = collapsed.persist()
+        if cleanup is not None:
+            # cache spans the max-graphs probe AND the caller's write; the
+            # caller unpersists after materializing
+            collapsed = collapsed.persist()
+            cleanup.append(collapsed)
         max_graphs = collapsed.agg(F.max(F.size(F.col(g.name)))).first()[0]
         if max_graphs is not None and max_graphs > 1:
             g.part = "graph_set"

@@ -31,6 +31,27 @@ from .plans.r2rml import distinct_types, mapping_document, reconstruct_triples
 from .plans.tableio import StageIO, StageRunner
 from .sources.fixtures import DEFAULT_GRAPH
 
+#: bound on concurrent per-table Spark jobs from driver-side loops. Each
+#: job is small; the pool keeps the scheduler fed without flooding it
+#: (10^5 simultaneous job submissions would thrash the DAG scheduler).
+MAX_CONCURRENT_TABLE_JOBS = int(os.environ.get("R2S2_TABLE_JOB_POOL", "8"))
+
+
+def _pooled_map(fn, items):
+    """Map ``fn`` over items on a bounded thread pool (Spark job submission
+    is thread-safe; the JVM scheduler runs the jobs concurrently)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = list(items)
+    if not items:
+        return []
+    if len(items) == 1:
+        return [fn(items[0])]
+    with ThreadPoolExecutor(
+        max_workers=min(MAX_CONCURRENT_TABLE_JOBS, len(items))
+    ) as ex:
+        return list(ex.map(fn, items))
+
 
 class KgPipeline:
     def __init__(
@@ -124,19 +145,32 @@ class KgPipeline:
             catalog.dictionaries["schemes"] = "O/schemes"
             catalog.dictionaries["hosts"] = "O/hosts"
 
-            table_counts = {}
-            for t in catalog.tables:
+            # per-table probe+rewrite jobs submitted from a bounded thread
+            # pool: at real-KG vocabulary scale (10^4-10^5 predicate tables)
+            # a serial driver loop leaves executors idle between the many
+            # small jobs; FAIR pools (session.py) keep them interleaved.
+            def optimize_one(t):
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", "stage_o"
+                )
                 if t.name in split_paths:
                     src = self.spark.read.parquet(split_paths[t.name])
                 else:
                     src = self.spark.read.parquet(f"{v_data}/t={t.name}")
                 df = vertical.rename_generic(src, t)
-                out = passes.optimize_table(self.spark, df, t, schemes, hosts)
+                cleanup: list = []
+                out = passes.optimize_table(
+                    self.spark, df, t, schemes, hosts, cleanup=cleanup
+                )
                 out.write.mode("overwrite").parquet(io.path("O", "tables", t.name))
+                for cached in cleanup:
+                    cached.unpersist()
                 n = self.spark.read.parquet(io.path("O", "tables", t.name)).count()
                 t.row_count = n
                 t.path = f"O/tables/{t.name}"
-                table_counts[t.name] = n
+                return t.name, n
+
+            table_counts = dict(_pooled_map(optimize_one, catalog.tables))
             catalog.tables = [t for t in catalog.tables if t.row_count]
             io.write_catalog("O", catalog)
             return {"tables": len(catalog.tables), "rows_after_collapse": sum(table_counts.values())}
@@ -156,14 +190,19 @@ class KgPipeline:
             }
             sizes = {t.name: t.row_count or 0 for t in catalog.tables}
             changed, dropped = merging.run_merges(self.spark, catalog, frames, sizes)
-            for t in catalog.tables:
-                if t.name in changed:
-                    out = passes.optimize_table(self.spark, frames[t.name], t, mode="reopt")
-                    out.write.mode("overwrite").parquet(io.path("M", "tables", t.name))
-                    t.path = f"M/tables/{t.name}"
-                    t.row_count = self.spark.read.parquet(
-                        io.path("M", "tables", t.name)
-                    ).count()
+
+            def reopt_one(t):
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", "stage_m"
+                )
+                out = passes.optimize_table(self.spark, frames[t.name], t, mode="reopt")
+                out.write.mode("overwrite").parquet(io.path("M", "tables", t.name))
+                t.path = f"M/tables/{t.name}"
+                t.row_count = self.spark.read.parquet(
+                    io.path("M", "tables", t.name)
+                ).count()
+
+            _pooled_map(reopt_one, [t for t in catalog.tables if t.name in changed])
             io.write_catalog("M", catalog)
             doc = mapping_document(catalog)
             with open(io.path("M", "mapping.ttl"), "w") as f:

@@ -139,6 +139,7 @@ def synthetic_source_files(
     statements_per_file: int = 200,
     n_entities: int | None = None,
     partitions: int | None = None,
+    n_predicates: int = 7,
 ) -> DataFrame:
     """Deterministic synthetic code-repo-shaped corpus, generated *on the
     executors* (range -> transform), so generation itself scales: no driver
@@ -159,7 +160,7 @@ def synthetic_source_files(
                 F.lit(f"<{EX}e"),
                 ((sid * statements_per_file + j) % F.lit(n_entities)).cast("string"),
                 F.lit(f"> <{EX}p"),
-                (F.abs(F.xxhash64(sid * statements_per_file + j)) % 7).cast("string"),
+                (F.abs(F.xxhash64(sid * statements_per_file + j)) % n_predicates).cast("string"),
                 F.lit('> "v'),
                 ((sid * statements_per_file + j) % 97).cast("string"),
                 F.lit(f'"^^<{XSD}string> .'),
