@@ -59,6 +59,42 @@ def fixture_loading(spark: SparkSession) -> DataFrame:
     )
 
 
+#: fixture A re-serialized as RDF/XML — the reference's OWN fixture syntax
+#: (its JUnit models are written as RDF/XML, LoadingTest.java:41-53); the
+#: triple SET is identical to FIXTURE_LOADING_NT.
+FIXTURE_LOADING_RDFXML = f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="{RDF}" xmlns:rdfs="{RDFS}">
+  <rdf:Description rdf:about="{RDF}Bag">
+    <rdf:type rdf:resource="{RDF}Alt"/>
+    <rdfs:label xml:lang="cz">杭州</rdfs:label>
+  </rdf:Description>
+  <rdf:Description rdf:about="{RDF}Alt">
+    <rdf:type rdf:resource="{RDF}Bag"/>
+    <rdf:type rdf:resource="{RDF}Alt"/>
+    <rdfs:label rdf:datatype="{XSD}boolean">true</rdfs:label>
+    <rdfs:label rdf:datatype="{XSD}boolean">false</rdfs:label>
+    <rdfs:label xml:lang="cz">杭州市</rdfs:label>
+    <rdfs:label xml:lang="en-UK">lala</rdfs:label>
+    <rdfs:label xml:lang="en-UK">lala lala</rdfs:label>
+    <rdfs:label rdf:datatype="{XSD}date">2023-06-23</rdfs:label>
+    <rdfs:label rdf:datatype="{XSD}date">2023-06-22</rdfs:label>
+    <rdfs:label rdf:nodeID="b1"/>
+  </rdf:Description>
+  <rdf:Description rdf:about="{RDF}List">
+    <rdf:type rdf:resource="{RDF}Alt"/>
+    <rdf:type rdf:resource="{RDF}Bag"/>
+    <rdfs:label rdf:datatype="{XSD}boolean">false</rdfs:label>
+  </rdf:Description>
+</rdf:RDF>"""
+
+
+def fixture_loading_rdfxml(spark: SparkSession) -> DataFrame:
+    return source_files_df(
+        spark,
+        [_row("fixture-repo", "data/loading.rdf", FIXTURE_LOADING_RDFXML, lang="rdfxml")],
+    )
+
+
 # --- fixture B: SparqlOnLoadedTest.java:66-90 (odd/even) -------------------
 
 

@@ -111,10 +111,10 @@ def parse_batch(pdf: pd.DataFrame, default_graph: str, decompose: bool = False) 
     ``pdf`` needs columns content, file_sha256 (the sha256 is computed
     JVM-side with ``F.sha2`` *before* the Python boundary so the per-row
     invariant is anchored to Spark, not Python) and optionally ``lang``:
-    rows tagged turtle/ttl go through the Turtle-subset tokenizer, all
-    others through the vectorized N-Triples/N-Quads line parser
-    (mirrors the reference's per-extension Rio format choice,
-    ParseIntoSOGTables.java:138-141).
+    rows tagged turtle/ttl go through the Turtle tokenizer, rows tagged
+    rdfxml/rdf/xml through the RDF/XML parser, all others through the
+    vectorized N-Triples/N-Quads line parser (mirrors the reference's
+    per-extension Rio format choice, ParseIntoSOGTables.java:138-141).
     """
     cols = DECOMPOSED_COLUMNS if decompose else STATEMENT_COLUMNS
     if len(pdf) == 0:
@@ -122,10 +122,16 @@ def parse_batch(pdf: pd.DataFrame, default_graph: str, decompose: bool = False) 
 
     if "lang" in pdf.columns:
         is_ttl = pdf["lang"].isin(("turtle", "ttl"))
-        if is_ttl.any():
-            parts = [_parse_turtle_rows(pdf[is_ttl], default_graph)]
-            if (~is_ttl).any():
-                parts.append(_parse_nt_rows(pdf[~is_ttl], default_graph))
+        is_xml = pdf["lang"].isin(("rdfxml", "rdf", "xml", "rdf/xml"))
+        if is_ttl.any() or is_xml.any():
+            parts = []
+            if is_ttl.any():
+                parts.append(_parse_per_file_rows(pdf[is_ttl], default_graph, "turtle"))
+            if is_xml.any():
+                parts.append(_parse_per_file_rows(pdf[is_xml], default_graph, "rdfxml"))
+            rest = ~(is_ttl | is_xml)
+            if rest.any():
+                parts.append(_parse_nt_rows(pdf[rest], default_graph))
             out = pd.concat(parts, ignore_index=True)
             return _finish(out, decompose, cols)
     out = _parse_nt_rows(pdf, default_graph)
@@ -142,13 +148,17 @@ def _finish(out: pd.DataFrame, decompose: bool, cols: list[str]) -> pd.DataFrame
     return out[cols]
 
 
-def _parse_turtle_rows(pdf: pd.DataFrame, default_graph: str) -> pd.DataFrame:
-    """Turtle files -> statement frame (per-file tokenizer, sources/turtle)."""
-    from .turtle import parse_turtle
+def _parse_per_file_rows(pdf: pd.DataFrame, default_graph: str, syntax: str) -> pd.DataFrame:
+    """Context-sensitive syntaxes -> statement frame (per-file parsers:
+    sources/turtle tokenizer or sources/rdfxml ElementTree walker)."""
+    if syntax == "turtle":
+        from .turtle import parse_turtle as parse_fn
+    else:
+        from .rdfxml import parse_rdfxml as parse_fn
 
     rows: list[tuple] = []
     for sha, content in zip(pdf["file_sha256"], pdf["content"]):
-        stmts, errors = parse_turtle(content, default_graph)
+        stmts, errors = parse_fn(content, default_graph)
         for ln, s_kind, s_lex, p_iri, o_kind, o_lex, o_lang, o_dt, g in stmts:
             rows.append((sha, ln, s_kind, s_lex, p_iri, o_kind, o_lex, o_lang, o_dt, g, None))
         for ln, msg in errors:

@@ -1,0 +1,209 @@
+"""RDF/XML parser (batch, runs inside the Stage E Arrow boundary).
+
+The reference parses RDF/XML via rdf4j Rio chosen by file extension
+(ParseIntoSOGTables.java:138-141,402-445); its own JUnit fixtures are
+built as RDF/XML models (LoadingTest.java:41-53). Here the `lang` column
+plays the extension's role: 'rdfxml'/'rdf'/'xml' rows dispatch to this
+parser from sources/ntriples.parse_batch.
+
+Implemented subset (the RDF/XML features that occur in real LOD dumps):
+- rdf:RDF root or a bare node element root,
+- node elements: rdf:Description and typed nodes (type from the QName),
+- rdf:about / rdf:ID (resolved against xml:base) / rdf:nodeID / neither
+  (fresh bnode `__anon<n>` — same label scheme as the Turtle parser),
+- property elements with rdf:resource / rdf:nodeID / rdf:datatype /
+  text content / nested node elements,
+- rdf:parseType="Resource" (anonymous node) and "Collection"
+  (rdf:first/rdf:rest chain); parseType="Literal" becomes an
+  rdf:XMLLiteral with the serialized inner XML,
+- property ATTRIBUTES on node elements (incl. rdf:type as attribute),
+- rdf:li -> rdf:_1, rdf:_2, ... (per node element),
+- xml:lang inheritance; plain literals get xsd:string (RDF 1.1).
+
+Per-file Python is acceptable here for the same reason as Turtle: XML is
+nested, not line-vectorizable; the loop lives inside the sanctioned
+mapInPandas batch (xml.etree is C-accelerated).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from ..naming import RDF, XSD_STRING
+
+_RDF_NS = RDF.rstrip("#") + "#"
+
+
+def _q(local: str) -> str:
+    return "{" + RDF.rstrip("#") + "#}" + local
+
+
+_DESCRIPTION = _q("Description")
+_ABOUT = _q("about")
+_ID = _q("ID")
+_NODEID = _q("nodeID")
+_RESOURCE = _q("resource")
+_DATATYPE = _q("datatype")
+_PARSETYPE = _q("parseType")
+_LI = _q("li")
+_XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+_XML_BASE = "{http://www.w3.org/XML/1998/namespace}base"
+# syntax-only attributes that never become property triples
+_SYNTAX_ATTRS = {_ABOUT, _ID, _NODEID, _RESOURCE, _DATATYPE, _PARSETYPE, _XML_LANG, _XML_BASE}
+
+
+def _split_qname(tag: str) -> str | None:
+    """Clark-notation '{ns}local' -> concatenated IRI (Rio semantics)."""
+    if tag.startswith("{"):
+        ns, _, local = tag[1:].partition("}")
+        return ns + local
+    return None  # no-namespace elements are not valid RDF/XML terms
+
+
+class _Term:
+    __slots__ = ("kind", "lex", "lang", "datatype")
+
+    def __init__(self, kind, lex, lang=None, datatype=None):
+        self.kind, self.lex, self.lang, self.datatype = kind, lex, lang, datatype
+
+
+def parse_rdfxml(text: str, default_graph: str):
+    """-> (statements, errors), the same shape as turtle.parse_turtle:
+    statements are (line_no, s_kind, s_lex, p_iri, o_kind, o_lex, o_lang,
+    o_datatype, g_iri). ElementTree exposes no line numbers, so line_no is
+    a 1-based statement ordinal (it only feeds lineage counts)."""
+    statements: list[tuple] = []
+    errors: list[tuple] = []
+    anon = [0]
+
+    def new_bnode() -> _Term:
+        anon[0] += 1
+        return _Term("bnode", f"__anon{anon[0]}")
+
+    def emit(subj: _Term, pred_iri: str, obj: _Term) -> None:
+        statements.append(
+            (len(statements) + 1, subj.kind, subj.lex, pred_iri, obj.kind,
+             obj.lex, obj.lang, obj.datatype, default_graph)
+        )
+
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as e:
+        return [], [(getattr(e, "position", (0,))[0] or 0, f"xml error: {e}")]
+
+    def node_subject(el, base: str) -> _Term:
+        if _ABOUT in el.attrib:
+            return _Term("iri", el.attrib[_ABOUT])
+        if _ID in el.attrib:
+            return _Term("iri", f"{base}#{el.attrib[_ID]}")
+        if _NODEID in el.attrib:
+            return _Term("bnode", el.attrib[_NODEID])
+        return new_bnode()
+
+    def parse_node(el, lang: str | None, base: str) -> _Term | None:
+        """One node element -> its subject term (emitting its triples)."""
+        lang = el.attrib.get(_XML_LANG, lang)
+        base = el.attrib.get(_XML_BASE, base)
+        subj = node_subject(el, base)
+        type_iri = _split_qname(el.tag)
+        if type_iri is None:
+            errors.append((0, f"non-namespaced node element {el.tag!r}"))
+            return None
+        if el.tag != _DESCRIPTION:
+            emit(subj, RDF + "type", _Term("iri", type_iri))
+        # property attributes (rdf:type attr -> IRI object, others literal)
+        for k, v in el.attrib.items():
+            if k in _SYNTAX_ATTRS:
+                continue
+            p = _split_qname(k)
+            if p is None:
+                continue  # unqualified attrs (e.g. ID-less xml attrs): skip
+            if p == RDF + "type":
+                emit(subj, p, _Term("iri", v))
+            else:
+                emit(subj, p, _literal(v, lang))
+        li_counter = [0]
+        for prop in el:
+            parse_property(subj, prop, lang, base, li_counter)
+        return subj
+
+    def _literal(lex: str, lang: str | None) -> _Term:
+        if lang:
+            return _Term("literal", lex, lang=lang)
+        return _Term("literal", lex, datatype=XSD_STRING)
+
+    def parse_property(subj: _Term, prop, lang: str | None, base: str, li_counter) -> None:
+        lang = prop.attrib.get(_XML_LANG, lang)
+        p = _split_qname(prop.tag)
+        if p is None:
+            errors.append((0, f"non-namespaced property element {prop.tag!r}"))
+            return
+        if prop.tag == _LI:
+            li_counter[0] += 1
+            p = f"{RDF}_{li_counter[0]}"
+        parse_type = prop.attrib.get(_PARSETYPE)
+        if parse_type == "Resource":
+            node = new_bnode()
+            emit(subj, p, node)
+            inner_li = [0]
+            for child in prop:
+                parse_property(node, child, lang, base, inner_li)
+            return
+        if parse_type == "Collection":
+            items = [parse_node(child, lang, base) for child in prop]
+            items = [t for t in items if t is not None]
+            if not items:
+                emit(subj, p, _Term("iri", RDF + "nil"))
+                return
+            cells = [new_bnode() for _ in items]
+            emit(subj, p, cells[0])
+            for idx, t in enumerate(items):
+                emit(cells[idx], RDF + "first", t)
+                rest = cells[idx + 1] if idx + 1 < len(items) else _Term("iri", RDF + "nil")
+                emit(cells[idx], RDF + "rest", rest)
+            return
+        if parse_type == "Literal":
+            inner = (prop.text or "") + "".join(
+                ET.tostring(child, encoding="unicode") for child in prop
+            )
+            emit(subj, p, _Term("literal", inner, datatype=RDF + "XMLLiteral"))
+            return
+        if _RESOURCE in prop.attrib:
+            emit(subj, p, _Term("iri", prop.attrib[_RESOURCE]))
+            return
+        if _NODEID in prop.attrib:
+            emit(subj, p, _Term("bnode", prop.attrib[_NODEID]))
+            return
+        children = list(prop)
+        if children:  # nested node element(s)
+            for child in children:
+                obj = parse_node(child, lang, base)
+                if obj is not None:
+                    emit(subj, p, obj)
+            return
+        lex = prop.text or ""
+        if _DATATYPE in prop.attrib:
+            emit(subj, p, _Term("literal", lex, datatype=prop.attrib[_DATATYPE]))
+            return
+        # property attributes on an empty property element -> anonymous node
+        prop_attrs = {
+            k: v for k, v in prop.attrib.items() if k not in _SYNTAX_ATTRS
+        }
+        if prop_attrs and not (prop.text or "").strip():
+            node = new_bnode()
+            emit(subj, p, node)
+            for k, v in prop_attrs.items():
+                pk = _split_qname(k)
+                if pk is not None:
+                    emit(node, pk, _literal(v, lang))
+            return
+        emit(subj, p, _literal(lex, lang))
+
+    lang0 = root.attrib.get(_XML_LANG)
+    base0 = root.attrib.get(_XML_BASE, "")
+    if root.tag == _q("RDF"):
+        for el in root:
+            parse_node(el, lang0, base0)
+    else:
+        parse_node(root, lang0, base0)
+    return statements, errors

@@ -11,10 +11,13 @@ Supported subset (covers common LOD dumps):
 - the `a` keyword, `;` predicate lists, `,` object lists,
 - string literals with escapes, @lang tags, ^^datatype (IRI or pname),
 - numeric (integer/decimal/double) and boolean shorthand literals,
+- anonymous blank-node property lists `[ ... ]` (as subject or object;
+  fresh labels `__anon<n>` — user labels can't start with '_', so no
+  collision) and collections `( ... )` (rdf:first/rdf:rest chains,
+  `()` = rdf:nil),
 - comments.
 Unsupported (statement flagged as parse_error, matching the engine's
-lenient-but-accounted policy): collections `( )`, anonymous bnode property
-lists `[ ]`, RDF-star (also rejected by the reference,
+lenient-but-accounted policy): RDF-star (also rejected by the reference,
 GroupOfColumns.java:64-66).
 
 Per-file Python is acceptable here: Turtle is context-sensitive (prefix
@@ -115,9 +118,28 @@ def parse_turtle(text: str, default_graph: str):
 
     i = 0
     N = len(tokens)
+    anon = [0]
+
+    def new_bnode() -> _Term:
+        # '__anon<n>': user labels can't start with '_' (tokenizer requires
+        # an alnum first char), so generated labels never collide; the
+        # downstream bnode id is xxhash64(file_sha256, label) either way
+        anon[0] += 1
+        return _Term("bnode", f"__anon{anon[0]}")
+
+    def emit(ln: int, subj: _Term, pred_iri: str, obj: _Term) -> None:
+        statements.append(
+            (ln, subj.kind, subj.lex, pred_iri, obj.kind, obj.lex, obj.lang,
+             obj.datatype, default_graph)
+        )
+
+    def _is_punct(j: int, ch: str) -> bool:
+        return j < N and tokens[j][0] == "punct" and tokens[j][1] == ch
 
     def term_at(j: int):
-        """Parse one term starting at token j -> (Term|None, next_j)."""
+        """Parse one term starting at token j -> (Term|None, next_j).
+        `[ ... ]` and `( ... )` emit their internal triples as a side
+        effect and return the head node."""
         kind, val, ln = tokens[j]
         if kind == "iriref":
             return _Term("iri", resolve_iri(val, ln)), j + 1
@@ -128,6 +150,32 @@ def parse_turtle(text: str, default_graph: str):
             return _Term("iri", RDF + "type"), j + 1
         if kind == "blank":
             return _Term("bnode", val[2:]), j + 1
+        if kind == "punct" and val == "[":
+            node = new_bnode()
+            if _is_punct(j + 1, "]"):  # empty anonymous node
+                return node, j + 2
+            ok, nj = parse_pol(node, j + 1, ln, closer="]")
+            return (node if ok else None), nj
+        if kind == "punct" and val == "(":
+            j += 1
+            items: list[tuple[_Term, int]] = []
+            while j < N and not _is_punct(j, ")"):
+                t, j = term_at(j)
+                if t is None:
+                    return None, j
+                items.append((t, tokens[min(j, N - 1)][2]))
+            if j >= N:
+                errors.append((ln, "eof in collection"))
+                return None, j
+            j += 1  # past ')'
+            if not items:
+                return _Term("iri", RDF + "nil"), j
+            cells = [new_bnode() for _ in items]
+            for idx, (t, iln) in enumerate(items):
+                emit(iln, cells[idx], RDF + "first", t)
+                rest = cells[idx + 1] if idx + 1 < len(items) else _Term("iri", RDF + "nil")
+                emit(iln, cells[idx], RDF + "rest", rest)
+            return cells[0], j
         if kind == "string":
             lex = _unescape(val[1:-1])
             if j + 1 < N and tokens[j + 1][0] == "langtag":
@@ -150,6 +198,49 @@ def parse_turtle(text: str, default_graph: str):
             return _Term("literal", val, datatype=XSD + "boolean"), j + 1
         errors.append((ln, f"unsupported term {val!r}"))
         return None, j + 1
+
+    def parse_pol(subj: _Term, j: int, ln: int, closer: str | None = None):
+        """predicateObjectList for ``subj``; terminated by '.' (top level)
+        or ``closer`` (']' for anonymous nodes, consumed). -> (ok, next_j)."""
+        while True:
+            if j >= N:
+                errors.append((ln, "eof in statement"))
+                return False, j
+            pred, j = term_at(j)
+            if pred is None or pred.kind != "iri":
+                errors.append((tokens[min(j, N - 1)][2], "bad predicate"))
+                return False, j
+            while True:  # object list
+                if j >= N:
+                    errors.append((ln, "eof in object list"))
+                    return False, j
+                obj, j = term_at(j)
+                if obj is None:
+                    return False, j
+                emit(ln, subj, pred.lex, obj)
+                if _is_punct(j, ","):
+                    j += 1
+                    continue
+                break
+            if _is_punct(j, ";"):
+                j += 1
+                while _is_punct(j, ";"):  # repeated ';' are legal
+                    j += 1
+                # trailing ';' before the terminator
+                if closer is not None and _is_punct(j, closer):
+                    return True, j + 1
+                if closer is None and _is_punct(j, "."):
+                    return True, j + 1
+                continue
+            if closer is not None and _is_punct(j, closer):
+                return True, j + 1
+            if closer is None and _is_punct(j, "."):
+                return True, j + 1
+            errors.append(
+                (tokens[min(j, N - 1)][2],
+                 "expected '.', ';' or ','" if closer is None else "expected ']', ';' or ','")
+            )
+            return False, j
 
     while i < N:
         kind, val, ln = tokens[i]
@@ -174,72 +265,27 @@ def parse_turtle(text: str, default_graph: str):
                     i += 1
                     continue
             if not sparql_style:
-                if i < N and tokens[i][0] == "punct" and tokens[i][1] == ".":
+                if _is_punct(i, "."):
                     i += 1
                 else:
                     errors.append((ln, "missing '.' after directive"))
             continue
 
         # statement: subject predicateObjectList '.'
+        was_anon_subject = kind == "punct" and val in ("[", "(")
         subj, i = term_at(i)
         if subj is None or subj.kind == "literal":
             errors.append((ln, "bad subject"))
             i = _skip_to_dot(tokens, i)
             continue
-        bad = False
-        while True:  # predicate lists
-            if i >= N:
-                errors.append((ln, "eof in statement"))
-                bad = True
-                break
-            pred, i = term_at(i)
-            if pred is None or pred.kind != "iri":
-                errors.append((tokens[min(i, N - 1)][2], "bad predicate"))
-                i = _skip_to_dot(tokens, i)
-                bad = True
-                break
-            while True:  # object lists
-                if i >= N:
-                    errors.append((ln, "eof in object list"))
-                    bad = True
-                    break
-                obj, i = term_at(i)
-                if obj is None:
-                    i = _skip_to_dot(tokens, i)
-                    bad = True
-                    break
-                statements.append(
-                    (
-                        ln,
-                        subj.kind,
-                        subj.lex,
-                        pred.lex,
-                        obj.kind,
-                        obj.lex,
-                        obj.lang,
-                        obj.datatype,
-                        default_graph,
-                    )
-                )
-                if i < N and tokens[i][0] == "punct" and tokens[i][1] == ",":
-                    i += 1
-                    continue
-                break
-            if bad:
-                break
-            if i < N and tokens[i][0] == "punct" and tokens[i][1] == ";":
-                i += 1
-                # allow trailing ';' before '.'
-                if i < N and tokens[i][0] == "punct" and tokens[i][1] == ".":
-                    i += 1
-                    break
-                continue
-            if i < N and tokens[i][0] == "punct" and tokens[i][1] == ".":
-                i += 1
-                break
-            errors.append((tokens[min(i, N - 1)][2], "expected '.', ';' or ','"))
+        # 'blankNodePropertyList .' / 'collection .' — predicateObjectList
+        # is optional after an anonymous subject (Turtle [6] triples)
+        if was_anon_subject and _is_punct(i, "."):
+            i += 1
+            continue
+        ok, i = parse_pol(subj, i, ln)
+        if not ok:
             i = _skip_to_dot(tokens, i)
-            break
     return statements, errors
 
 

@@ -208,3 +208,81 @@ def test_mixed_lang_batch(spark):
     good = raw.where("parse_error is null").collect()
     assert {(r.s_lex, r.o_lex) for r in good} == {("https://example.org/s", "v"), ("https://example.org/s2", "42")}
     assert raw.where("parse_error is not null").count() >= 1
+
+
+def test_rdfxml_equals_ntriples_fixture(spark):
+    """Fixture A serialized as RDF/XML (the reference's OWN fixture syntax,
+    LoadingTest.java:41-53) extracts the exact same triple set as the
+    N-Triples rendering: P = R = 1.0."""
+    nt = extract(fx.fixture_loading(spark))
+    xml = extract(fx.fixture_loading_rdfxml(spark))
+
+    def key(rows):
+        return {
+            (r.s_kind, r.s_fragment, r.p_iri, r.o_kind, r.o_fragment, r.o_lex, r.o_lang, r.o_datatype)
+            for r in rows
+        }
+
+    got, expect = key(xml.collect()), key(nt.collect())
+    assert got == expect, got ^ expect
+    assert xml.count() == 15
+
+
+def test_rdfxml_parsetype_and_li():
+    """parseType=Resource/Collection/Literal, rdf:li numbering, property
+    attributes, rdf:ID base resolution (sources/rdfxml.py subset)."""
+    from r2s2_spark.sources.rdfxml import parse_rdfxml
+
+    xml = f"""<?xml version="1.0"?>
+    <rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="{EX}" xml:base="http://b.org/d">
+      <ex:Person rdf:ID="p1" ex:nick="fred">
+        <ex:addr rdf:parseType="Resource"><ex:city>X</ex:city></ex:addr>
+        <ex:items rdf:parseType="Collection">
+          <rdf:Description rdf:about="{EX}i1"/>
+          <rdf:Description rdf:about="{EX}i2"/>
+        </ex:items>
+        <ex:note rdf:parseType="Literal">a <ex:b>c</ex:b></ex:note>
+      </ex:Person>
+      <rdf:Seq rdf:about="{EX}seq"><rdf:li>one</rdf:li><rdf:li>two</rdf:li></rdf:Seq>
+    </rdf:RDF>"""
+    stmts, errors = parse_rdfxml(xml, "g")
+    assert errors == []
+    spo = {(s[2], s[3], s[5]) for s in stmts}
+    assert ("http://b.org/d#p1", RDF + "type", EX + "Person") in spo
+    assert ("http://b.org/d#p1", EX + "nick", "fred") in spo
+    firsts = [s for s in stmts if s[3] == RDF + "first"]
+    rests = [s for s in stmts if s[3] == RDF + "rest"]
+    assert len(firsts) == 2 and len(rests) == 2
+    assert sum(1 for s in rests if s[5] == RDF + "nil") == 1
+    lit = next(s for s in stmts if s[3] == EX + "note")
+    assert lit[7] == RDF + "XMLLiteral" and "<" in lit[5]
+    assert (EX + "seq", RDF + "_1", "one") in spo and (EX + "seq", RDF + "_2", "two") in spo
+
+
+def test_turtle_collections_and_anon_nodes(spark):
+    """Turtle `[ ... ]` property lists and `( ... )` collections produce
+    the standard rdf:first/rdf:rest/bnode structure end-to-end."""
+    ttl = (
+        f"@prefix ex: <{EX}> .\n"
+        'ex:s ex:knows [ ex:name "Anna" ; ex:age 7 ] .\n'
+        'ex:list ex:items ( ex:a "b" 3 ) .\n'
+        "ex:t ex:empty ( ) .\n"
+    )
+    src = fx.source_files_df(spark, [("r", "c.ttl", "c", "turtle", ttl)])
+    rows = extract(src).collect()
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r.p_iri, []).append(r)
+    assert len(by_p[RDF + "first"]) == 3 and len(by_p[RDF + "rest"]) == 3
+    # chain terminates in rdf:nil; empty collection is rdf:nil directly
+    assert sum(1 for r in by_p[RDF + "rest"] if r.o_fragment == "nil") == 1
+    assert by_p[EX + "empty"][0].o_fragment == "nil"
+    # the anonymous node carries its own properties and is the object of knows
+    knows = by_p[EX + "knows"][0]
+    assert knows.o_kind == "bnode"
+    anna = by_p[EX + "name"][0]
+    assert anna.s_kind == "bnode" and anna.s_bnode_id == knows.o_bnode_id
+    assert {r.o_lex for r in by_p[EX + "age"]} == {"7"}
+    # distinct generated bnodes never collide: the [ ] node + 3 list cells
+    bnode_ids = {r.s_bnode_id for r in rows if r.s_kind == "bnode"}
+    assert len(bnode_ids) == 4
