@@ -212,3 +212,24 @@ def run_merges(
             frames.pop(t.name, None)
             dropped.append(t.name)
     return sorted(changed), dropped
+
+
+def verify_subject_uniqueness(
+    spark: SparkSession, catalog: Catalog, frames: dict[str, DataFrame]
+) -> dict[str, bool]:
+    """IntroduceIndexes analog (step 10, IntroduceIndexes.java:22-46): the
+    reference tries CREATE UNIQUE INDEX over each table's subject columns
+    and records whether it succeeded. Spark has no indexes (data skipping
+    comes from parquet min/max stats), but the VERIFIED-UNIQUE bit is the
+    part queries care about: it licenses merge candidacy and 1:1 join
+    cardinality. Probes every table (bounded pool), records the boolean on
+    the TableSpec (serialized with the catalog), returns {name: unique}."""
+    from ..pipeline import _pooled_map
+
+    def probe(t: TableSpec):
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "stage_m")
+        unique = not has_repeating_subjects(frames[t.name], t)
+        t.subject_unique = unique
+        return t.name, unique
+
+    return dict(_pooled_map(probe, catalog.tables))

@@ -203,6 +203,8 @@ class KgPipeline:
                 ).count()
 
             _pooled_map(reopt_one, [t for t in catalog.tables if t.name in changed])
+            # step 10 analog: record verified subject uniqueness per table
+            uniq = merging.verify_subject_uniqueness(self.spark, catalog, frames)
             io.write_catalog("M", catalog)
             doc = mapping_document(catalog)
             with open(io.path("M", "mapping.ttl"), "w") as f:
@@ -211,6 +213,7 @@ class KgPipeline:
                 "merged_or_shrunk": changed,
                 "dropped_empty": dropped,
                 "tables": len(catalog.tables),
+                "unique_subject_tables": sum(1 for v in uniq.values() if v),
             }
 
         self.runner.run("M", fn)

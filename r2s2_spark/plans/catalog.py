@@ -67,6 +67,11 @@ class TableSpec:
     #: on; lets a later catalog reference unchanged tables from an earlier
     #: snapshot without rewriting them)
     path: str | None = None
+    #: outcome of the post-merge uniqueness verification (IntroduceIndexes
+    #: analog: the reference tries CREATE UNIQUE INDEX on the subject
+    #: columns and records success/failure, IntroduceIndexes.java:22-46).
+    #: None = not probed; True/False = subject key unique / repeating.
+    subject_unique: bool | None = None
 
     def physical_columns(self) -> list[str]:
         out = [c.name for c in self.subject_columns if c.physical]
@@ -129,6 +134,7 @@ class Catalog:
                 ],
                 row_count=t.get("row_count"),
                 path=t.get("path"),
+                subject_unique=t.get("subject_unique"),
             )
             for t in d["tables"]
         ]

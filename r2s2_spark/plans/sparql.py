@@ -4,8 +4,10 @@ The reference delegates SPARQL to Ontop, which compiles BGPs into SQL
 self-joins over the SOG tables through the R2RML mapping (SURVEY.md §3.2,
 SparqlOnLoadedTest.java:104-127). Here the same compilation targets
 DataFrames directly: each triple pattern with a constant predicate scans
-only that predicate's tables (partition pruning by construction), patterns
-join on shared variables, and Catalyst picks the join strategy.
+only that predicate's tables (partition pruning by construction), a
+variable predicate unions all predicate maps (the IRI constant-folds per
+branch), patterns join on shared variables, OPTIONAL groups left-join,
+and Catalyst picks the join strategy.
 
     bgp(pipe, [("?s", RDF_TYPE, "?t"), ("?s", RDFS+"label", "?l")],
         select=["?t", "?l"])
@@ -39,14 +41,18 @@ def _is_var(t) -> bool:
 
 def _pattern_frame(catalog, reader, dicts, pattern, idx: int) -> tuple[DataFrame, dict]:
     """One triple pattern -> DataFrame with one column per variable
-    (plus hidden uniqueness suffix) and constant filters applied."""
+    (plus hidden uniqueness suffix) and constant filters applied.
+
+    A variable predicate unions over ALL predicate maps (the predicate IRI
+    becomes a constant-folded literal column per branch — no per-row
+    lookup); a constant predicate prunes to that predicate's tables only
+    (partition pruning by construction)."""
     s, p, o = pattern
-    if _is_var(p):
-        raise NotImplementedError("variable predicates: union over all tables — add when needed")
+    p_is_var = _is_var(p)
     pieces = []
     for t in catalog.tables:
         for pm in t.predicates:
-            if pm.predicate != p:
+            if not p_is_var and pm.predicate != p:
                 continue
             df = reader(t)
             if dicts:
@@ -55,6 +61,7 @@ def _pattern_frame(catalog, reader, dicts, pattern, idx: int) -> tuple[DataFrame
             o_lex, o_lang, o_dt = _term_exprs(pm.columns, pm.obj_kind)
             out = df.select(
                 s_lex.alias("__s"),
+                F.lit(pm.predicate).alias("__p"),
                 o_lex.alias("__o"),
                 o_lang.alias("__ol"),
                 o_dt.alias("__od"),
@@ -65,17 +72,26 @@ def _pattern_frame(catalog, reader, dicts, pattern, idx: int) -> tuple[DataFrame
     df = reduce(DataFrame.unionByName, pieces)
 
     cols = {}
-    if _is_var(s):
-        cols[s] = F.col("__s")
-    else:
-        df = df.where(F.col("__s") == s)
-    if _is_var(o):
-        if o in cols:
+
+    def bind(var, col_name):
+        nonlocal df
+        if var in cols:
             # repeated variable within one pattern, e.g. ('?x', p, '?x'):
             # an equality constraint, not a rebinding
-            df = df.where(F.col("__s") == F.col("__o"))
+            df = df.where(F.col(cols_src[var]) == F.col(col_name))
         else:
-            cols[o] = F.col("__o")
+            cols[var] = F.col(col_name)
+            cols_src[var] = col_name
+
+    cols_src: dict = {}
+    if _is_var(s):
+        bind(s, "__s")
+    else:
+        df = df.where(F.col("__s") == s)
+    if p_is_var:
+        bind(p, "__p")
+    if _is_var(o):
+        bind(o, "__o")
     elif isinstance(o, Literal):
         df = df.where(F.col("__o") == o.lex)
         if o.lang is not None:
@@ -88,16 +104,7 @@ def _pattern_frame(catalog, reader, dicts, pattern, idx: int) -> tuple[DataFrame
     return named, {v: v[1:] for v in cols}
 
 
-def bgp(
-    catalog,
-    reader,
-    dicts,
-    patterns: list[tuple],
-    select: list[str] | None = None,
-    distinct: bool = False,
-) -> DataFrame:
-    """Compile a BGP to a DataFrame: per-pattern predicate-pruned scans
-    joined on shared variables (Catalyst reorders/broadcasts as usual)."""
+def _join_patterns(catalog, reader, dicts, patterns) -> tuple[DataFrame, set]:
     frames = []
     for i, pat in enumerate(patterns):
         f, binds = _pattern_frame(catalog, reader, dicts, pat, i)
@@ -107,6 +114,37 @@ def bgp(
         shared = sorted(bound & vs)
         out = out.join(f, on=shared, how="inner") if shared else out.crossJoin(f)
         bound |= vs
+    return out, bound
+
+
+def bgp(
+    catalog,
+    reader,
+    dicts,
+    patterns: list[tuple],
+    select: list[str] | None = None,
+    distinct: bool = False,
+    optional: list[list[tuple]] | None = None,
+) -> DataFrame:
+    """Compile a BGP to a DataFrame: per-pattern predicate-pruned scans
+    joined on shared variables (Catalyst reorders/broadcasts as usual).
+
+    ``optional``: a list of OPTIONAL pattern groups (SPARQL 1.1 §6): each
+    group compiles to its own BGP and LEFT-joins the required part on the
+    shared variables — unmatched rows keep NULL for the group's variables.
+    Groups sharing no variable with the required part cross-join against a
+    single marker row (the SPARQL zero-shared-var OPTIONAL corner)."""
+    out, bound = _join_patterns(catalog, reader, dicts, patterns)
+    for group in optional or []:
+        g, g_vars = _join_patterns(catalog, reader, dicts, group)
+        shared = sorted(bound & g_vars)
+        if shared:
+            # SPARQL OPTIONAL multiplies matching solutions, so the plain
+            # left join (no dedupe of the optional side) IS the semantics
+            out = out.join(g, on=shared, how="left")
+        else:
+            out = out.crossJoin(g)
+        bound |= g_vars
     if select:
         out = out.select(*[v[1:] if v.startswith("?") else v for v in select])
     if distinct:
@@ -114,8 +152,16 @@ def bgp(
     return out
 
 
-def bgp_on_pipeline(pipe, patterns, select=None, distinct=False, stage=None) -> DataFrame:
+def bgp_on_pipeline(
+    pipe, patterns, select=None, distinct=False, stage=None, optional=None
+) -> DataFrame:
     stage = stage or pipe.last_catalog_stage()
     return bgp(
-        pipe.catalog(stage), pipe.reader(stage), pipe.dicts(stage), patterns, select, distinct
+        pipe.catalog(stage),
+        pipe.reader(stage),
+        pipe.dicts(stage),
+        patterns,
+        select,
+        distinct,
+        optional,
     )

@@ -101,3 +101,26 @@ def test_oddeven_full_pr(spark, tmp_path):
         expect.add((f"{EX}i{i}", RDF + "type", f"{EX}{cls}", None, None))
         expect.add((f"{EX}i{i}", RDFS + "label", str(i), None, XSD + "int"))
     assert got == expect, (len(got), len(expect), list(got ^ expect)[:6])
+
+
+def test_uniqueness_verification_recorded(loaded):
+    """IntroduceIndexes analog (IntroduceIndexes.java:22-46): after stage M
+    every table carries a verified subject_unique flag in the catalog;
+    split type tables are unique, the @en-UK label table (Alt has two
+    labels) is not."""
+    cat = loaded.catalog("M")
+    assert all(t.subject_unique is not None for t in cat.tables)
+    assert cat.table("type_rdf_Alt").subject_unique is True
+    assert cat.table("type_rdf_Bag").subject_unique is True
+    en_uk = next(
+        t
+        for t in cat.tables
+        if any(pm.lang == "en-UK" for pm in t.predicates)
+    )
+    assert en_uk.subject_unique is False
+    # the flag round-trips catalog JSON serialization
+    from r2s2_spark.plans.catalog import Catalog
+
+    again = Catalog.from_json(cat.to_json())
+    assert again.table("type_rdf_Alt").subject_unique is True
+    assert again.table(en_uk.name).subject_unique is False

@@ -88,3 +88,39 @@ def test_bgp_after_merge_sees_merged_tables(spark, tmp_path):
     # Alt and List are rdf:type Bag; labels come from boolean/cz/en-UK/date tables
     assert (RDF + "Alt", "杭州市") in rows
     assert all(s in (RDF + "Alt", RDF + "List") for s, _ in rows)
+
+
+def test_variable_predicate(pipe):
+    """{ ?s ?p ?o } and { <s> ?p ?o } union over ALL predicate maps
+    (SparqlOnLoadedTest parity notch: the reference answers these through
+    Ontop; variable predicates used to raise NotImplementedError)."""
+    allp = bgp_on_pipeline(pipe, [("?s", "?p", "?o")], select=["?p"], distinct=True)
+    assert {r.p for r in allp.collect()} == {RDF_TYPE, RDFS + "label"}
+    spo = bgp_on_pipeline(pipe, [(EX + "i42", "?p", "?o")], select=["?p", "?o"])
+    assert {(r.p, r.o) for r in spo.collect()} == {
+        (RDF_TYPE, EX + "odd"),
+        (RDFS + "label", "42"),
+    }
+    # full scan row count: 99 types + 99 labels
+    assert bgp_on_pipeline(pipe, [("?s", "?p", "?o")]).count() == 198
+
+
+def test_optional_group(spark, tmp_path):
+    """{ ?s ex:name ?n } OPTIONAL { ?s ex:age ?a }: subjects without an
+    age keep their name row with a NULL binding (SPARQL 1.1 left join)."""
+    nt = "\n".join(
+        [
+            f'<{EX}s1> <{EX}name> "anna" .',
+            f'<{EX}s1> <{EX}age> "7"^^<{XSD}int> .',
+            f'<{EX}s2> <{EX}name> "bob" .',
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "opt.nt", nt)]))
+    out = bgp_on_pipeline(
+        p,
+        [("?s", EX + "name", "?n")],
+        select=["?n", "?a"],
+        optional=[[("?s", EX + "age", "?a")]],
+    )
+    assert {(r.n, r.a) for r in out.collect()} == {("anna", "7"), ("bob", None)}
