@@ -12,6 +12,7 @@ oracle_sql()  -> DuckDB twins for every SQL-expressible entry.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -59,15 +60,19 @@ def _nation_rdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: run the whole pipeline, return reconstructed triples."""
+    """Flagship: run the whole pipeline, return reconstructed triples.
+
+    The result is WRITTEN to a stable path and returned as a lazy reader —
+    no driver-side collect (the returned frame stays distributed no matter
+    how large the KG is); the pipeline work dir is removed after the
+    result parquet is materialized."""
     work = tempfile.mkdtemp(prefix="r2s2_entry_")
+    result = os.path.join(tempfile.gettempdir(), "r2s2_entry_triples")
     try:
         pipe = KgPipeline(spark, work)
         pipe.load(_nation_rdf(spark, SF_DIR))
-        out = pipe.triples_with_graph_iri()
-        # materialize before the workdir vanishes
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        pipe.triples_with_graph_iri().write.mode("overwrite").parquet(result)
+        return spark.read.parquet(result)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

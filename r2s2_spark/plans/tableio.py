@@ -76,6 +76,13 @@ class StageIO:
     def write_catalog(self, stage: str, catalog: Catalog) -> None:
         with open(self.path(stage, "catalog.json"), "w") as f:
             f.write(catalog.to_json())
+        # the reference writes the catalog as RDF after every step
+        # (description.ttl, TableDescriptionAsRdf.java:35-120); same
+        # artifact here — catalog.json stays the operational checkpoint
+        from .catalog_rdf import catalog_to_turtle
+
+        with open(self.path(stage, "description.ttl"), "w") as f:
+            f.write(catalog_to_turtle(catalog))
 
     def read_catalog(self, stage: str) -> Catalog:
         with open(self.path(stage, "catalog.json")) as f:

@@ -126,3 +126,23 @@ def test_kill_and_resume_subprocess(tmp_path):
     # stage E was not recomputed: manifest byte-identical (same commit time)
     assert e_manifest == e_manifest2
     assert os.path.exists(os.path.join(wd, "M", "_SNAPSHOT.json"))
+
+
+def test_catalog_turtle_roundtrip(spark, tmp_path):
+    """TableDescriptionAsRdf parity: the catalog serializes to Turtle and
+    reads back IDENTICAL through the engine's own Turtle parser — every
+    stage commit writes description.ttl next to catalog.json."""
+    import os
+
+    from r2s2_spark.pipeline import KgPipeline
+    from r2s2_spark.plans.catalog_rdf import catalog_from_turtle, catalog_to_turtle
+    from r2s2_spark.sources import fixtures as fx
+
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    pipe.load(fx.fixture_loading(spark))
+    for stage in ("V", "O", "M"):
+        cat = pipe.catalog(stage)
+        ttl = catalog_to_turtle(cat)
+        again = catalog_from_turtle(ttl)
+        assert again.to_json() == cat.to_json(), stage
+        assert os.path.exists(pipe.io.path(stage, "description.ttl"))
