@@ -82,7 +82,9 @@ HEADLINE_QUERIES = [
     "events_hourly_window",
     "dedup_exact_groups",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_capped",
     "simhash_fingerprints",
+    "embedding_near_duplicates",
     "ann_cosine_topk",
     "ann_cosine_topk_bucketed",
     "text_stats",

@@ -125,6 +125,7 @@ def bgp(
     select: list[str] | None = None,
     distinct: bool = False,
     optional: list[list[tuple]] | None = None,
+    filter=None,
 ) -> DataFrame:
     """Compile a BGP to a DataFrame: per-pattern predicate-pruned scans
     joined on shared variables (Catalyst reorders/broadcasts as usual).
@@ -133,7 +134,12 @@ def bgp(
     group compiles to its own BGP and LEFT-joins the required part on the
     shared variables — unmatched rows keep NULL for the group's variables.
     Groups sharing no variable with the required part cross-join against a
-    single marker row (the SPARQL zero-shared-var OPTIONAL corner)."""
+    single marker row (the SPARQL zero-shared-var OPTIONAL corner).
+
+    ``filter``: a FILTER expression — a Column over the bound variable
+    names (without '?'), or a callable(df) -> Column. Applied after the
+    required part and all OPTIONAL joins, like SPARQL group-level FILTER;
+    Catalyst pushes deterministic predicates down into the scans."""
     out, bound = _join_patterns(catalog, reader, dicts, patterns)
     for group in optional or []:
         g, g_vars = _join_patterns(catalog, reader, dicts, group)
@@ -145,6 +151,30 @@ def bgp(
         else:
             out = out.crossJoin(g)
         bound |= g_vars
+    if filter is not None:
+        out = out.where(filter(out) if callable(filter) else filter)
+    if select:
+        out = out.select(*[v[1:] if v.startswith("?") else v for v in select])
+    if distinct:
+        out = out.distinct()
+    return out
+
+
+def bgp_union(
+    catalog,
+    reader,
+    dicts,
+    groups: list[list[tuple]],
+    select: list[str] | None = None,
+    distinct: bool = False,
+) -> DataFrame:
+    """SPARQL UNION: each group compiles to its own BGP; solutions are
+    concatenated with NULL for variables a branch does not bind
+    (unionByName(allowMissingColumns) — exactly SPARQL's unbound)."""
+    frames = [_join_patterns(catalog, reader, dicts, g)[0] for g in groups]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
     if select:
         out = out.select(*[v[1:] if v.startswith("?") else v for v in select])
     if distinct:
@@ -153,7 +183,7 @@ def bgp(
 
 
 def bgp_on_pipeline(
-    pipe, patterns, select=None, distinct=False, stage=None, optional=None
+    pipe, patterns, select=None, distinct=False, stage=None, optional=None, filter=None
 ) -> DataFrame:
     stage = stage or pipe.last_catalog_stage()
     return bgp(
@@ -164,4 +194,12 @@ def bgp_on_pipeline(
         select,
         distinct,
         optional,
+        filter,
+    )
+
+
+def bgp_union_on_pipeline(pipe, groups, select=None, distinct=False, stage=None) -> DataFrame:
+    stage = stage or pipe.last_catalog_stage()
+    return bgp_union(
+        pipe.catalog(stage), pipe.reader(stage), pipe.dicts(stage), groups, select, distinct
     )

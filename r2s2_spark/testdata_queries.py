@@ -566,6 +566,32 @@ def minhash_lsh_pairs(spark, sf_dir):
 
 
 @q(
+    "minhash_lsh_pairs_capped",
+    _BANDS_CTE
+    + """
+    , capped AS (
+      SELECT doc_id, band_no, band FROM (
+        SELECT doc_id, band_no, band,
+               ROW_NUMBER() OVER (PARTITION BY band_no, band ORDER BY doc_id) AS rn
+        FROM bands
+      ) WHERE rn <= 50
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM capped a JOIN capped b
+      ON a.band_no = b.band_no AND a.band = b.band AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs_capped(spark, sf_dir):
+    """The PRODUCTION skew path: buckets capped at 50 members (boilerplate
+    buckets otherwise explode quadratically). The cap is deterministic
+    (row_number by id) so the DuckDB oracle reproduces it exactly; pair it
+    with dedup.lsh_truncation_stats to quantify the dropped recall."""
+    d = t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, k=4)
+    return dedup.lsh_candidate_pairs(sigs, k=4, rows_per_band=2, max_bucket=50)
+
+
+@q(
     "simhash_fingerprints",
     """
     WITH toks AS (

@@ -124,3 +124,36 @@ def test_optional_group(spark, tmp_path):
         optional=[[("?s", EX + "age", "?a")]],
     )
     assert {(r.n, r.a) for r in out.collect()} == {("anna", "7"), ("bob", None)}
+
+
+def test_filter_expression(pipe):
+    """FILTER over bound variables: { ?s rdfs:label ?l . FILTER(?l > 90) }
+    — applied post-join; Catalyst pushes the predicate into the scan."""
+    out = bgp_on_pipeline(
+        pipe,
+        [("?s", RDFS + "label", "?l")],
+        select=["?l"],
+        filter=F.col("l").cast("int") > 90,
+    )
+    assert {int(r.l) for r in out.collect()} == set(range(91, 100))
+
+
+def test_union_groups(pipe):
+    """{ ?s a ex:odd } UNION { ?s a ex:even } covers all 99 subjects;
+    branches binding different variables yield NULL for the unbound one."""
+    from r2s2_spark.plans.sparql import bgp_union_on_pipeline
+
+    both = bgp_union_on_pipeline(
+        pipe,
+        [[("?s", RDF_TYPE, EX + "odd")], [("?s", RDF_TYPE, EX + "even")]],
+        select=["?s"],
+        distinct=True,
+    )
+    assert both.count() == 99
+    mixed = bgp_union_on_pipeline(
+        pipe,
+        [[("?s", RDF_TYPE, EX + "odd")], [("?x", RDFS + "label", "?l")]],
+    )
+    rows = mixed.collect()
+    assert len(rows) == 49 + 99
+    assert sum(1 for r in rows if r.s is None) == 99  # label branch binds ?x/?l
