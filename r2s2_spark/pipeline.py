@@ -262,6 +262,91 @@ class KgPipeline:
 
         self.runner.run("C", fn)
 
+    def vacuum(
+        self, compact_target_mb: int = 128, expire_superseded: bool = False
+    ) -> dict:
+        """Step 11 analog (PoorMansVacuum.java:22-65: the reference copies
+        every live table into a fresh DB file, dropping dead space). The
+        Spark-native equivalents, both offline ops like the reference's:
+
+        - COMPACTION: each catalog table's parquet dir is rewritten into
+          ceil(bytes / compact_target_mb) files when it holds more — the
+          many-small-files left by wide writes are the cluster version of
+          DuckDB's dead pages (every downstream scan pays per-file open
+          cost; Iceberg calls this rewrite_data_files).
+        - EXPIRY (opt-in): uncommitted stage leftovers are removed, and
+          with ``expire_superseded=True`` data superseded by the current
+          catalog (V/data and O/tables dirs no longer referenced once M is
+          committed) is deleted — manifests, catalogs and lineage stay
+          (Iceberg expire_snapshots keeps metadata too).
+        """
+        import math
+
+        stage = self.last_catalog_stage()
+        catalog = self.catalog(stage)
+
+        def dir_stats(d: str) -> tuple[int, int]:
+            n, size = 0, 0
+            for base, _dirs, files in os.walk(d):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        n += 1
+                        size += os.path.getsize(os.path.join(base, fn))
+            return n, size
+
+        stats = {"tables_compacted": 0, "files_before": 0, "files_after": 0,
+                 "orphans_removed": 0, "superseded_removed": 0}
+
+        def compact_one(t):
+            self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", "vacuum")
+            d = os.path.join(self.io.root, t.path or f"{stage}/tables/{t.name}")
+            n_files, size = dir_stats(d)
+            target = max(1, math.ceil(size / (compact_target_mb * 1024 * 1024)))
+            if n_files <= target:
+                return 0, 0
+            tmp = d + ".vacuum"
+            self.spark.read.parquet(d).coalesce(target).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            import shutil as sh
+
+            sh.rmtree(d)
+            os.rename(tmp, d)
+            return n_files, dir_stats(d)[0]
+
+        for before, after in _pooled_map(compact_one, catalog.tables):
+            if before:
+                stats["tables_compacted"] += 1
+                stats["files_before"] += before
+                stats["files_after"] += after
+
+        # uncommitted stage leftovers (a crash between begin() and commit())
+        import shutil as sh
+
+        for entry in os.listdir(self.io.root):
+            d = os.path.join(self.io.root, entry)
+            if os.path.isdir(d) and not self.io.is_committed(entry):
+                sh.rmtree(d)
+                stats["orphans_removed"] += 1
+
+        if expire_superseded and stage == "M":
+            live = {t.path for t in catalog.tables}
+            v_data = self.io.path("V", "data")
+            if os.path.exists(v_data):
+                sh.rmtree(v_data)
+                stats["superseded_removed"] += 1
+            o_tables = self.io.path("O", "tables")
+            if os.path.isdir(o_tables):
+                for name in os.listdir(o_tables):
+                    if f"O/tables/{name}" not in live:
+                        sh.rmtree(os.path.join(o_tables, name))
+                        stats["superseded_removed"] += 1
+            split = self.io.path("O", "split")
+            if os.path.exists(split):
+                sh.rmtree(split)
+                stats["superseded_removed"] += 1
+        return stats
+
     def canonical_triples(self) -> DataFrame:
         """Triples with subjects rewritten to their cluster canonical id
         (salted join — canonical ids are hot keys by construction)."""

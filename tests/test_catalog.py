@@ -146,3 +146,30 @@ def test_catalog_turtle_roundtrip(spark, tmp_path):
         again = catalog_from_turtle(ttl)
         assert again.to_json() == cat.to_json(), stage
         assert os.path.exists(pipe.io.path(stage, "description.ttl"))
+
+
+def test_vacuum_compacts_and_expires(spark, tmp_path):
+    """Step 11 analog (PoorMansVacuum): compaction rewrites many-file
+    tables into size-targeted files, uncommitted stage leftovers vanish,
+    superseded V/O data expires — and the KG still reconstructs exactly."""
+    import os
+
+    from r2s2_spark.pipeline import KgPipeline
+    from r2s2_spark.sources import fixtures as fx
+    from tests.test_pipeline_ev import expected_triples_loading, reconstructed_set
+
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    pipe.load(fx.fixture_loading(spark))
+    # simulate a crash leftover: stage dir without a manifest
+    orphan = os.path.join(pipe.io.root, "X")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "junk.parquet"), "w").write("x")
+
+    before = reconstructed_set(pipe)
+    stats = pipe.vacuum(compact_target_mb=128, expire_superseded=True)
+    assert stats["orphans_removed"] == 1 and not os.path.exists(orphan)
+    assert stats["superseded_removed"] >= 1
+    assert not os.path.exists(pipe.io.path("V", "data"))
+    # manifests/catalogs/lineage survive; the current stage still reads
+    assert pipe.io.is_committed("V") and pipe.io.is_committed("M")
+    assert reconstructed_set(pipe) == before == expected_triples_loading()
