@@ -103,6 +103,28 @@ def windowed_event_counts(
     )
 
 
+def stream_dedup_exact(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact deduplication: the first document with a given
+    normalized-content fingerprint passes, later copies inside the
+    watermark are dropped (``dropDuplicatesWithinWatermark`` — state for a
+    fingerprint is evictable once the watermark passes it, so state size
+    is bounded by the dedup horizon, not the stream's lifetime; the batch
+    twin is operators/dedup.exact_duplicates)."""
+    from ..functions import text as text_fns
+
+    docs = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        docs.withColumn("fp", text_fns.fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
 SESSION_OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events int, total_value double"

@@ -127,3 +127,35 @@ def test_sessionize_stateful(spark, tmp_path):
         gaps = grp["ts"].diff().dt.total_seconds() > 600
         closed += int(gaps.sum())  # sessions closed by a following event
     assert len(got) == closed
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming exact dedup: duplicate fingerprints within the watermark
+    are dropped; distinct documents pass (dropDuplicatesWithinWatermark —
+    state bounded by the horizon, the streaming twin of
+    dedup.exact_duplicates)."""
+    src = str(tmp_path / "docs")
+    rows = [
+        (1, "2024-01-01 10:00:00", "alpha beta"),
+        (2, "2024-01-01 10:01:00", "ALPHA   beta"),  # same normalized fp
+        (3, "2024-01-01 10:02:00", "gamma delta"),
+        (4, "2024-01-01 10:03:00", "alpha beta"),  # dup again
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, ts string, text string").write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, ts string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = ingest.stream_dedup_exact(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_out").collect()}
+    assert len(got) == 2
+    assert 3 in got and len(got & {1, 2, 4}) == 1  # exactly one alpha-beta copy
