@@ -35,6 +35,52 @@ class Literal:
     datatype: str | None = None
 
 
+@dataclass(frozen=True)
+class PathPlus:
+    """SPARQL one-or-more property path ``p+`` in predicate position.
+    Evaluated by semi-naive transitive closure: each round joins only the
+    NEW pairs (frontier) against the base edges — O(graph diameter)
+    rounds, lineage cut per round (same shape as operators/components)."""
+
+    predicate: str
+    max_iter: int = 64
+
+
+def _transitive_plus(edges: DataFrame, max_iter: int) -> DataFrame:
+    """edges(__s, __o) -> all pairs connected by a path of length >= 1."""
+    # Each round's frontier is checkpointed eagerly (cuts lineage: the
+    # per-round plan stays O(1)). Constraint propagation is switched off
+    # for the loop: the closure plan unions the SAME checkpointed leaf
+    # with its own self-join descendants, and Catalyst's union constraint
+    # rewrite hits key-not-found on the rewritten attributes (the inferred
+    # isNotNull constraints it would add are worthless here anyway —
+    # every column is already non-null by construction).
+    spark = edges.sparkSession
+    prop_key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(prop_key, "true")
+    spark.conf.set(prop_key, "false")
+    try:
+        edges = edges.distinct().localCheckpoint()
+        closure = edges
+        frontier = edges
+        for _ in range(max_iter):
+            nxt = (
+                frontier.alias("f")
+                .join(edges.alias("e"), F.col("f.__o") == F.col("e.__s"))
+                .select(F.col("f.__s").alias("__s"), F.col("e.__o").alias("__o"))
+                .distinct()
+                .join(closure, ["__s", "__o"], "left_anti")
+                .localCheckpoint()
+            )
+            if nxt.limit(1).count() == 0:
+                return closure
+            closure = closure.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        raise RuntimeError(f"p+ closure did not converge in {max_iter} rounds")
+    finally:
+        spark.conf.set(prop_key, prev)
+
+
 def _is_var(t) -> bool:
     return isinstance(t, str) and t.startswith("?")
 
@@ -48,11 +94,13 @@ def _pattern_frame(catalog, reader, dicts, pattern, idx: int) -> tuple[DataFrame
     lookup); a constant predicate prunes to that predicate's tables only
     (partition pruning by construction)."""
     s, p, o = pattern
-    p_is_var = _is_var(p)
+    is_path = isinstance(p, PathPlus)
+    p_match = p.predicate if is_path else p
+    p_is_var = _is_var(p_match)
     pieces = []
     for t in catalog.tables:
         for pm in t.predicates:
-            if not p_is_var and pm.predicate != p:
+            if not p_is_var and pm.predicate != p_match:
                 continue
             df = reader(t)
             if dicts:
@@ -70,6 +118,14 @@ def _pattern_frame(catalog, reader, dicts, pattern, idx: int) -> tuple[DataFrame
     if not pieces:
         raise KeyError(f"no tables for predicate {p}")
     df = reduce(DataFrame.unionByName, pieces)
+    if is_path:
+        df = _transitive_plus(df.select("__s", "__o"), p.max_iter).select(
+            "__s",
+            F.lit(p_match).alias("__p"),
+            "__o",
+            F.lit(None).cast("string").alias("__ol"),
+            F.lit(None).cast("string").alias("__od"),
+        )
 
     cols = {}
 

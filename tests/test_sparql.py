@@ -157,3 +157,33 @@ def test_union_groups(pipe):
     rows = mixed.collect()
     assert len(rows) == 49 + 99
     assert sum(1 for r in rows if r.s is None) == 99  # label branch binds ?x/?l
+
+
+def test_property_path_plus(spark, tmp_path):
+    """Property path p+ (one-or-more): semi-naive transitive closure over
+    the predicate's pairs, joinable with other patterns like any BGP."""
+    from r2s2_spark.plans.sparql import PathPlus
+
+    nt = "\n".join(
+        [
+            f"<{EX}a> <{EX}next> <{EX}b> .",
+            f"<{EX}b> <{EX}next> <{EX}c> .",
+            f"<{EX}c> <{EX}next> <{EX}d> .",
+            f'<{EX}d> <{EX}name> "dee" .',
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "path.nt", nt)]))
+    reach = bgp_on_pipeline(p, [(EX + "a", PathPlus(EX + "next"), "?x")], select=["?x"])
+    assert {r.x for r in reach.collect()} == {EX + "b", EX + "c", EX + "d"}
+    all_pairs = bgp_on_pipeline(p, [("?x", PathPlus(EX + "next"), "?y")])
+    assert all_pairs.count() == 6  # 3 + 2 + 1
+    # composed with a second pattern: everything reaching something named
+    named = bgp_on_pipeline(
+        p,
+        [("?x", PathPlus(EX + "next"), "?y"), ("?y", EX + "name", "?n")],
+        select=["?x", "?n"],
+    )
+    assert {(r.x, r.n) for r in named.collect()} == {
+        (EX + "a", "dee"), (EX + "b", "dee"), (EX + "c", "dee"),
+    }
