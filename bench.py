@@ -149,7 +149,11 @@ def bench_once(cpus: str, sf_dir: str, stages: str = "full") -> dict:
         spark.stop()
 
 
-SCALING_FILES = 10000
+# 20k files x 500 stmts = 10M triples: big enough that the ~8s fixed
+# per-run cost (job scheduling, stage barriers, manifest/count rounds)
+# stops dominating the 8-core runtime — scaling efficiency should measure
+# the parallel fraction, not the constant term
+SCALING_FILES = 20000
 SCALING_STMTS = 500
 
 
@@ -201,20 +205,29 @@ def run_scaling() -> dict:
     cluster does not."""
     import subprocess
 
-    def pinned(cpuset: str, n: int) -> list[float]:
-        cmd = ["taskset", "-c", cpuset, sys.executable, __file__, "--kg-run", str(n)]
+    def pinned(cpuset: str, n: int, runs: int = 5) -> list[float]:
+        # median-of-5: this host shows intermittent IO stalls (isolated
+        # runs 25-40% slow with identical code/input); 3 runs let one
+        # stall drag the median, 5 reject it
+        cmd = [
+            "taskset", "-c", cpuset, sys.executable, __file__,
+            "--kg-run", str(n), "--runs", str(runs),
+        ]
         res = subprocess.run(cmd, capture_output=True, text=True, check=True)
         return json.loads(res.stdout.strip().splitlines()[-1])
 
     tps2 = pinned("0-1", 2)
     tps8 = pinned("0-7", 8)
-    tps32 = pinned("0-31", 32)
+    tps32 = pinned("0-31", 32, runs=3)
     m2, m8, m32 = _median(tps2), _median(tps8), _median(tps32)
     return {
         "metric": "scaling_efficiency_2_to_8_pinned",
         "value": round((m8 / m2) / 4, 3),
         "unit": "ratio",
-        "protocol": "taskset-pinned local[N], warmup + median of 3, same 5M-triple corpus",
+        "protocol": (
+            f"taskset-pinned local[N], warmup + median of 5, same "
+            f"{SCALING_FILES * SCALING_STMTS // 1_000_000}M-triple corpus"
+        ),
         "throughput_2cpu": m2,
         "throughput_8cpu": m8,
         "throughput_32cpu_fullbox": m32,
@@ -230,7 +243,10 @@ def main() -> None:
 
     if "--kg-run" in sys.argv:
         n = int(sys.argv[sys.argv.index("--kg-run") + 1])
-        print(json.dumps(kg_run_repeated(n)))
+        runs = (
+            int(sys.argv[sys.argv.index("--runs") + 1]) if "--runs" in sys.argv else 3
+        )
+        print(json.dumps(kg_run_repeated(n, runs=runs)))
         return
 
     if "--scaling" in sys.argv:

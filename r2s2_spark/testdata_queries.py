@@ -740,11 +740,36 @@ def embedding_near_duplicates_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (stubbed decode; rows-only checks)
+# multimodal plumbing (decode kernels are documented deterministic STUBS
+# derived from sha256(content) — which is exactly what makes them
+# oracle-checkable: DuckDB's sha256() hashes the same UTF-8 bytes, so the
+# full Arrow plumbing (schemas, batch shapes, 1->N fan-out) is verified
+# end-to-end even though no real decoder runs in this sandbox)
 # ---------------------------------------------------------------------------
 
+#: hex pair at 1-based position p of a sha256 hex string -> byte value
+_HEXBYTE = (
+    "CAST(16*(strpos('0123456789abcdef', substr(sha256(text),{p},1))-1)"
+    " + (strpos('0123456789abcdef', substr(sha256(text),{p1},1))-1) AS INTEGER)"
+)
 
-@q("multimodal_image_features", None)
+
+def _hexbyte(p: int) -> str:
+    return _HEXBYTE.format(p=p, p1=p + 1)
+
+
+@q(
+    "multimodal_image_features",
+    f"""
+    SELECT doc_id AS media_id,
+           CAST(64 + {_hexbyte(1)} % 192 AS INTEGER) AS width,
+           CAST(64 + {_hexbyte(3)} % 192 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels,
+           ROUND({_hexbyte(5)} / 255.0, 4) AS mean_luma,
+           substr(sha256(text), 1, 16) AS phash
+    FROM documents
+    """,
+)
 def multimodal_image_features(spark, sf_dir):
     from .operators import multimodal
 
@@ -752,7 +777,14 @@ def multimodal_image_features(spark, sf_dir):
     return multimodal.extract_image_features(media)
 
 
-@q("multimodal_frame_sample", None)
+@q(
+    "multimodal_frame_sample",
+    " UNION ALL ".join(
+        f"SELECT doc_id AS media_id, CAST({i * 3} AS INTEGER) AS frame_no, "
+        f"substr(sha256(text), {i * 8 + 1}, 8) AS frame_sha FROM documents"
+        for i in range(4)
+    ),
+)
 def multimodal_frame_sample(spark, sf_dir):
     from .operators import multimodal
 
