@@ -419,10 +419,12 @@ def events_hourly_window(spark, sf_dir):
 )
 def text_stats(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
+    # bigint: DuckDB length()/len() return BIGINT; int32 would hash the
+    # same but dtype-strict comparators flag it
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars2"),
-        text.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars2"),
+        text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
     )
 
 
