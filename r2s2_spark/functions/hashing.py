@@ -123,6 +123,37 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*pieces)
 
 
+def hyperplane_buckets_pandas(df, vec_col: str, bands_planes: list[list[list[float]]], id_col: str):
+    """Arrow fast path: ALL bands' buckets in one numpy matmul per batch
+    -> (id, band_no, bkt) rows. The Catalyst fold (:func:`hyperplane_bucket`)
+    evaluates n_bands*n_bits separate aggregate expressions per row — fine
+    at fixture scale and exactly order-reproducible in SQL (the oracle
+    twin), but at 100 TB the single (dim x total_bits) matmul is the path:
+    one Python boundary, BLAS inside. Signs agree with the fold except on
+    |dot| within float rounding of zero (never observed; asserted against
+    the Catalyst path in tests)."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [np.array(planes, dtype=np.float64).T for planes in bands_planes]  # (dim, n_bits)
+
+    def it(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
+            ids = pdf[id_col]
+            for band_no, m in enumerate(mats):
+                bits = vecs @ m >= 0  # (n, n_bits)
+                bkt = ["".join("1" if b else "0" for b in row) for row in bits]
+                yield pd.DataFrame(
+                    {"band_no": band_no, "bkt": bkt, id_col: ids}
+                )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        it, schema=f"band_no int, bkt string, {id_col} {id_type}"
+    )
+
+
 def hyperplane_bucket_sql(planes: list[list[float]], vec_expr: str = "embedding") -> str:
     """The DuckDB twin of :func:`hyperplane_bucket` (oracle generation)."""
     bits = []

@@ -202,6 +202,7 @@ def embedding_candidate_pairs(
     n_bits: int = 8,
     n_bands: int = 4,
     dim: int | None = None,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Banded random-hyperplane LSH candidate pairs over an embedding
     column — the same blocking shape as :func:`lsh_candidate_pairs`:
@@ -210,22 +211,32 @@ def embedding_candidate_pairs(
     distribution), candidates = pairs sharing ANY band bucket. With the
     default 8 bits that's 256 buckets per band: the within-bucket self-join
     is O(n^2 / 256) per band — scale-safe, unlike a leading-dimension sign
-    bucket whose 16 cells put n/16 vectors in each."""
+    bucket whose 16 cells put n/16 vectors in each.
+
+    ``use_arrow``: compute all buckets in one numpy matmul per Arrow batch
+    (the 100 TB path — one Python boundary, BLAS inside) instead of the
+    Catalyst fold (the SQL-oracle-exact twin; n_bands*n_bits aggregate
+    expressions per row). Both produce identical buckets (asserted in
+    tests); keep Catalyst wherever a DuckDB oracle must replay the plan."""
     if dim is None:
         dim = emb.select(F.size(F.col(vec_col))).first()[0]
-    pieces = []
-    for band in range(n_bands):
-        planes = hashing.rademacher_planes(n_bits, dim, band=band)
-        pieces.append(
+    bands_planes = [
+        hashing.rademacher_planes(n_bits, dim, band=band) for band in range(n_bands)
+    ]
+    if use_arrow:
+        buckets = hashing.hyperplane_buckets_pandas(emb, vec_col, bands_planes, id_col)
+    else:
+        pieces = [
             emb.select(
                 F.lit(band).alias("band_no"),
                 hashing.hyperplane_bucket(F.col(vec_col), planes).alias("bkt"),
                 F.col(id_col),
             )
-        )
-    buckets = pieces[0]
-    for p in pieces[1:]:
-        buckets = buckets.unionByName(p)
+            for band, planes in enumerate(bands_planes)
+        ]
+        buckets = pieces[0]
+        for p in pieces[1:]:
+            buckets = buckets.unionByName(p)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -248,12 +259,15 @@ def embedding_near_duplicates(
     n_bits: int = 8,
     n_bands: int = 4,
     dim: int | None = None,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: banded hyperplane-LSH candidates
     (never all-pairs) scored by exact cosine >= threshold. Pairs carry ids
     only through the blocking join; vectors are joined back once for
     scoring (no vector duplication across bands)."""
-    pairs = embedding_candidate_pairs(emb, id_col, vec_col, n_bits, n_bands, dim)
+    pairs = embedding_candidate_pairs(
+        emb, id_col, vec_col, n_bits, n_bands, dim, use_arrow
+    )
     va = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"))
     vb = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"))
     return (

@@ -175,3 +175,17 @@ def test_lsh_truncation_stats(spark):
     # and with a loose cap: nothing truncated
     loose = lsh_truncation_stats(sigs, k=4, rows_per_band=2, max_bucket=100).first()
     assert loose.n_buckets_truncated == 0 and loose.n_members_dropped == 0
+
+
+def test_hyperplane_arrow_matches_catalyst(spark):
+    """The Arrow matmul fast path produces EXACTLY the Catalyst fold's
+    buckets (and therefore identical candidate pairs) on the fixture
+    embeddings — use_arrow is a pure physical-plan swap."""
+    from r2s2_spark.operators.dedup import embedding_candidate_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    catalyst = embedding_candidate_pairs(emb, n_bits=8, n_bands=4, dim=64)
+    arrow = embedding_candidate_pairs(emb, n_bits=8, n_bands=4, dim=64, use_arrow=True)
+    a = {(r.a_id, r.b_id) for r in catalyst.collect()}
+    b = {(r.a_id, r.b_id) for r in arrow.collect()}
+    assert a == b and len(a) > 0
