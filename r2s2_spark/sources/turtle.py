@@ -36,14 +36,20 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<comment>\#[^\n]*)
   | (?P<iriref><[^<>"{}|^`\\\x00-\x20]*>)
-  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<string>\"{3}(?:[^"\\]|\\.|"(?!""))*\"{3}
+              |'{3}(?:[^'\\]|\\.|'(?!''))*'{3}
+              |"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
   | (?P<prefix_decl>@prefix|@base|PREFIX(?=\s)|BASE(?=\s))
   | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<dtype>\^\^)
   | (?P<blank>_:[A-Za-z0-9][A-Za-z0-9._\-]*)
   | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<bool>(?:true|false)(?![A-Za-z0-9_]))
-  | (?P<pname>[A-Za-z0-9_][A-Za-z0-9_.\-]*?:[A-Za-z0-9_][A-Za-z0-9_.\-]*|[A-Za-z0-9_][A-Za-z0-9_.\-]*?:|:[A-Za-z0-9_][A-Za-z0-9_.\-]*|:)
+    # PN_LOCAL must not END with '.' — 'ex:foo.' is pname + statement dot
+  | (?P<pname>[A-Za-z0-9_][A-Za-z0-9_.\-]*?:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?
+             |[A-Za-z0-9_][A-Za-z0-9_.\-]*?:
+             |:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?
+             |:)
   | (?P<kw_a>a(?![A-Za-z0-9_]))
   | (?P<punct>[.;,\[\]()])
 """,
@@ -177,7 +183,8 @@ def parse_turtle(text: str, default_graph: str):
                 emit(iln, cells[idx], RDF + "rest", rest)
             return cells[0], j
         if kind == "string":
-            lex = _unescape(val[1:-1])
+            nq = 3 if val[:3] in ('"""', "'''") else 1
+            lex = _unescape(val[nq:-nq])
             if j + 1 < N and tokens[j + 1][0] == "langtag":
                 return _Term("literal", lex, lang=tokens[j + 1][1][1:]), j + 2
             if j + 1 < N and tokens[j + 1][0] == "dtype":

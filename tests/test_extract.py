@@ -286,3 +286,23 @@ def test_turtle_collections_and_anon_nodes(spark):
     # distinct generated bnodes never collide: the [ ] node + 3 list cells
     bnode_ids = {r.s_bnode_id for r in rows if r.s_kind == "bnode"}
     assert len(bnode_ids) == 4
+
+
+def test_turtle_long_strings_and_trailing_dot():
+    """Triple-quoted long strings (multiline, embedded quotes) and the
+    PN_LOCAL no-trailing-dot rule ('ex:foo.' = pname + statement dot) —
+    both ubiquitous in real LOD dumps."""
+    from r2s2_spark.sources.turtle import parse_turtle
+
+    ttl = (
+        f"@prefix ex: <{EX}> .\n"
+        'ex:s ex:desc """a "long"\nmultiline \\t text""" .\n'
+        "ex:s2 ex:p ex:foo.\n"
+        "ex:s3 ex:q '''triple-single with ' quote''' .\n"
+    )
+    stmts, errors = parse_turtle(ttl, "g")
+    assert errors == []
+    by_p = {s[3]: s for s in stmts}
+    assert by_p[EX + "desc"][5] == 'a "long"\nmultiline \t text'
+    assert by_p[EX + "p"][5] == EX + "foo"
+    assert by_p[EX + "q"][5] == "triple-single with ' quote"
