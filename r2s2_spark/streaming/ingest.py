@@ -63,6 +63,19 @@ def start_incremental_ingest(
     stream = read_source_stream(spark, source_dir)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # per-file provenance rows ride along so a later compaction can
+        # rebuild the stage-E file dictionary (same shape as stage_e)
+        (
+            batch_df.select(
+                "repo",
+                "path",
+                "commit",
+                F.sha2(F.col("content"), 256).alias("file_sha256"),
+            )
+            .withColumn("file_id", F.xxhash64("file_sha256"))
+            .write.mode("append")
+            .parquet(f"{work_dir}/stream/files")
+        )
         stmts = extract(batch_df, default_graph)
         (
             stmts.withColumn("p_part", F.xxhash64("p_iri") % 64)
@@ -79,6 +92,44 @@ def start_incremental_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_stream(spark: SparkSession, work_dir: str, force: bool = True):
+    """Periodic batch compaction — the second half of the lambda-less
+    pattern: the streamed statements under ``<work_dir>/stream`` become a
+    full committed KG (stage E adopted from the stream's output, then the
+    ordinary D/V/O/M batch stages, all snapshot-committed and queryable
+    via the standard KgPipeline surface). Idempotent over re-runs:
+    statements are already exactly-once per the streaming checkpoint, and
+    the stage runner skips committed stages unless ``force``.
+
+    Returns the compacted :class:`~r2s2_spark.pipeline.KgPipeline`.
+    """
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from ..pipeline import KgPipeline
+
+    pipe = KgPipeline(spark, os.path.join(work_dir, "compacted"), force=force)
+
+    def adopt_e(io) -> dict:
+        stmts = spark.read.parquet(f"{work_dir}/stream/statements").drop("p_part")
+        files = spark.read.parquet(f"{work_dir}/stream/files").dropDuplicates(
+            ["file_sha256"]
+        )
+        files.write.mode("overwrite").parquet(io.path("E", "files"))
+        io.write_parquet("E", stmts)
+        out = io.read_parquet("E")
+        io.write_lineage("E", out, sha_col="file_id", sha_dict=files)
+        return {"statements": out.count()}
+
+    pipe.runner.run("E", adopt_e)
+    pipe.stage_d()
+    pipe.stage_v()
+    pipe.stage_o()
+    pipe.stage_m()
+    return pipe
 
 
 def windowed_event_counts(

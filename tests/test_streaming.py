@@ -159,3 +159,26 @@ def test_stream_dedup_exact(spark, tmp_path):
     got = {r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_out").collect()}
     assert len(got) == 2
     assert 3 in got and len(got & {1, 2, 4}) == 1  # exactly one alpha-beta copy
+
+
+def test_compact_stream_to_full_kg(spark, tmp_path):
+    """Lambda-less loop closed: streamed statements compact into a full
+    committed KG (E adopted from the stream, then D/V/O/M) whose
+    reconstructed triples equal the batch pipeline's on the same input."""
+    from tests.test_pipeline_ev import expected_triples_loading, reconstructed_set
+
+    src_dir = str(tmp_path / "src")
+    wd = str(tmp_path / "wd")
+    fx.fixture_loading(spark).write.mode("append").parquet(src_dir)
+    q = ingest.start_incremental_ingest(spark, src_dir, wd)
+    q.awaitTermination(120)
+
+    pipe = ingest.compact_stream(spark, wd)
+    assert pipe.io.is_committed("M")
+    got = reconstructed_set(pipe)
+    assert got == expected_triples_loading()
+    # and the compacted KG is queryable through the standard surface
+    assert {r.type for r in pipe.distinct_types().collect()} == {
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#Alt",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#Bag",
+    }
