@@ -27,9 +27,26 @@ mapInPandas batch (xml.etree is C-accelerated).
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 
 from ..naming import RDF, XSD_STRING
+
+_ABSOLUTE_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def _resolve(iri: str, base: str) -> str:
+    """Minimal base resolution for rdf:about/rdf:resource: absolute IRIs
+    pass through; '#frag' and other relative refs concatenate onto base
+    (the common LOD cases; full RFC 3986 merging is out of scope)."""
+    if _ABSOLUTE_IRI.match(iri) or not base:
+        return iri
+    if iri.startswith("#"):
+        return base.split("#", 1)[0] + iri
+    if iri.startswith("/"):
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)", base)
+        return (m.group(1) if m else base) + iri
+    return base.rstrip("/") + "/" + iri
 
 _RDF_NS = RDF.rstrip("#") + "#"
 
@@ -93,7 +110,7 @@ def parse_rdfxml(text: str, default_graph: str):
 
     def node_subject(el, base: str) -> _Term:
         if _ABOUT in el.attrib:
-            return _Term("iri", el.attrib[_ABOUT])
+            return _Term("iri", _resolve(el.attrib[_ABOUT], base))
         if _ID in el.attrib:
             return _Term("iri", f"{base}#{el.attrib[_ID]}")
         if _NODEID in el.attrib:
@@ -169,7 +186,7 @@ def parse_rdfxml(text: str, default_graph: str):
             emit(subj, p, _Term("literal", inner, datatype=RDF + "XMLLiteral"))
             return
         if _RESOURCE in prop.attrib:
-            emit(subj, p, _Term("iri", prop.attrib[_RESOURCE]))
+            emit(subj, p, _Term("iri", _resolve(prop.attrib[_RESOURCE], base)))
             return
         if _NODEID in prop.attrib:
             emit(subj, p, _Term("bnode", prop.attrib[_NODEID]))

@@ -306,3 +306,25 @@ def test_turtle_long_strings_and_trailing_dot():
     assert by_p[EX + "desc"][5] == 'a "long"\nmultiline \t text'
     assert by_p[EX + "p"][5] == EX + "foo"
     assert by_p[EX + "q"][5] == "triple-single with ' quote"
+
+
+def test_rdfxml_relative_iri_resolution():
+    """rdf:about/rdf:resource relative references resolve against xml:base
+    ('#frag' onto the document, '/abs' onto the authority, 'rel' onto the
+    base path) — ubiquitous in hand-written RDF/XML."""
+    from r2s2_spark.sources.rdfxml import parse_rdfxml
+
+    xml = f"""<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="{EX}"
+                  xml:base="http://b.org/dir/doc">
+      <rdf:Description rdf:about="#me">
+        <ex:knows rdf:resource="other"/>
+        <ex:root rdf:resource="/top"/>
+        <ex:abs rdf:resource="https://x.org/y"/>
+      </rdf:Description>
+    </rdf:RDF>"""
+    stmts, errors = parse_rdfxml(xml, "g")
+    assert errors == []
+    spo = {(s[2], s[3], s[5]) for s in stmts}
+    assert ("http://b.org/dir/doc#me", EX + "knows", "http://b.org/dir/doc/other") in spo
+    assert ("http://b.org/dir/doc#me", EX + "root", "http://b.org/top") in spo
+    assert ("http://b.org/dir/doc#me", EX + "abs", "https://x.org/y") in spo
