@@ -187,3 +187,23 @@ def test_property_path_plus(spark, tmp_path):
     assert {(r.x, r.n) for r in named.collect()} == {
         (EX + "a", "dee"), (EX + "b", "dee"), (EX + "c", "dee"),
     }
+
+
+def test_bgp_constant_predicate_prunes_scans(pipe):
+    """A constant-predicate pattern must scan ONLY that predicate's table
+    directories. At stage O (pre-merge) { ?s rdfs:label ?l } touches no
+    type-table path; post-merge the label columns legitimately live INSIDE
+    the type tables — then the plan must still read only the label column
+    (column pruning), never the type table's other columns."""
+    out = bgp_on_pipeline(pipe, [("?s", RDFS + "label", "?l")], select=["?l"], stage="O")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rdfs_label" in plan
+    assert "/type_" not in plan, plan
+
+    merged = bgp_on_pipeline(pipe, [("?s", RDFS + "label", "?l")], select=["?l"], stage="M")
+    mplan = merged._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", mplan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert all("label" in c or c.startswith("subject_") for c in cols), cols
