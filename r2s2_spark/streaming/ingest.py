@@ -107,8 +107,6 @@ def compact_stream(spark: SparkSession, work_dir: str, force: bool = True):
     """
     import os
 
-    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
-
     from ..pipeline import KgPipeline
 
     pipe = KgPipeline(spark, os.path.join(work_dir, "compacted"), force=force)
