@@ -36,6 +36,15 @@ class Literal:
 
 
 @dataclass(frozen=True)
+class PathInverse:
+    """SPARQL inverse path ``^p``: (s, ^p, o) matches where (o, p, s)
+    holds. ``path`` may be a predicate IRI or a :class:`PathPlus`
+    (``^(p+)`` composes — compiled by swapping the pattern's ends)."""
+
+    path: object
+
+
+@dataclass(frozen=True)
 class PathPlus:
     """SPARQL one-or-more property path ``p+`` in predicate position.
     Evaluated by semi-naive transitive closure: each round joins only the
@@ -94,6 +103,8 @@ def _pattern_frame(catalog, reader, dicts, pattern, idx: int) -> tuple[DataFrame
     lookup); a constant predicate prunes to that predicate's tables only
     (partition pruning by construction)."""
     s, p, o = pattern
+    while isinstance(p, PathInverse):  # (s, ^p, o) == (o, p, s)
+        s, p, o = o, p.path, s
     is_path = isinstance(p, PathPlus)
     p_match = p.predicate if is_path else p
     p_is_var = _is_var(p_match)

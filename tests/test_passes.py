@@ -202,3 +202,24 @@ def test_scheme_host_dict_encoding(loaded):
     assert "schemes" in d and "hosts" in d
     schemes = {r.iri for r in d["schemes"].collect()}
     assert "http" in schemes
+
+
+def test_pooled_stage_jobs_deterministic(spark, tmp_path, monkeypatch):
+    """The bounded-pool stage O/M submission must be a pure wall-clock
+    optimization: pool=1 and pool=8 produce byte-identical catalogs and
+    identical triple sets (thread-safety of per-table spec mutation)."""
+    import r2s2_spark.pipeline as pl
+
+    outs = {}
+    for pool in (1, 8):
+        monkeypatch.setattr(pl, "MAX_CONCURRENT_TABLE_JOBS", pool)
+        pipe = KgPipeline(spark, str(tmp_path / f"pool{pool}"))
+        pipe.load(fx.fixture_loading(spark))
+        cat = pipe.catalog("M")
+        trips = frozenset(
+            (r.s, r.p, r.o_lex, r.o_lang, r.o_datatype)
+            for r in pipe.triples("M").collect()
+        )
+        outs[pool] = (cat.to_json(), trips)
+    assert outs[1][0] == outs[8][0]
+    assert outs[1][1] == outs[8][1]

@@ -207,3 +207,23 @@ def test_bgp_constant_predicate_prunes_scans(pipe):
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", mplan):
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert all("label" in c or c.startswith("subject_") for c in cols), cols
+
+
+def test_inverse_path(spark, tmp_path):
+    """^p and ^(p+): (s, ^p, o) == (o, p, s); composes with closure."""
+    from r2s2_spark.plans.sparql import PathInverse, PathPlus
+
+    nt = "\n".join(
+        [
+            f"<{EX}a> <{EX}next> <{EX}b> .",
+            f"<{EX}b> <{EX}next> <{EX}c> .",
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "inv.nt", nt)]))
+    inv = bgp_on_pipeline(p, [(EX + "b", PathInverse(EX + "next"), "?x")], select=["?x"])
+    assert [r.x for r in inv.collect()] == [EX + "a"]
+    inv_plus = bgp_on_pipeline(
+        p, [(EX + "c", PathInverse(PathPlus(EX + "next")), "?x")], select=["?x"]
+    )
+    assert {r.x for r in inv_plus.collect()} == {EX + "a", EX + "b"}
