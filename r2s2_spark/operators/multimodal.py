@@ -27,6 +27,10 @@ IMAGE_FEATURES_SCHEMA = (
 
 FRAME_SAMPLE_SCHEMA = "media_id bigint, frame_no int, frame_sha string"
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id bigint, duration_ms bigint, sample_rate int, rms_level double"
+)
+
 
 def make_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Derive a deterministic media table from documents: the text bytes
@@ -75,6 +79,30 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return media.where(F.col("kind") == "image").mapInPandas(
         fn, schema=IMAGE_FEATURES_SCHEMA
     )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio analog of :func:`extract_image_features` — same Arrow-batched
+    contract; the decode kernel is a deterministic sha256-derived STUB
+    (a real one calls soundfile/librosa over the bytes): duration from
+    hex bytes 7-8, sample rate from a fixed palette keyed by byte 9,
+    RMS level from byte 10."""
+    rates = (8000, 16000, 22050, 44100, 48000)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                h = hashlib.sha256(bytes(content)).digest()
+                duration_ms = 500 + (h[6] * 256 + h[7]) % 60000
+                sample_rate = rates[h[8] % len(rates)]
+                rms = round(h[9] / 255.0, 4)
+                rows.append((int(mid), duration_ms, sample_rate, rms))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "duration_ms", "sample_rate", "rms_level"]
+            )
+
+    return media.mapInPandas(fn, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 3, max_frames: int = 4) -> DataFrame:

@@ -780,6 +780,25 @@ def multimodal_image_features(spark, sf_dir):
 
 
 @q(
+    "multimodal_audio_features",
+    f"""
+    SELECT doc_id AS media_id,
+           CAST(500 + ({_hexbyte(13)} * 256 + {_hexbyte(15)}) % 60000 AS BIGINT) AS duration_ms,
+           CAST(CASE {_hexbyte(17)} % 5
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                WHEN 3 THEN 44100 ELSE 48000 END AS INTEGER) AS sample_rate,
+           ROUND({_hexbyte(19)} / 255.0, 4) AS rms_level
+    FROM documents
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    from .operators import multimodal
+
+    media = multimodal.make_media_table(t(spark, sf_dir, "documents"))
+    return multimodal.extract_audio_features(media)
+
+
+@q(
     "multimodal_frame_sample",
     " UNION ALL ".join(
         f"SELECT doc_id AS media_id, CAST({i * 3} AS INTEGER) AS frame_no, "
