@@ -28,7 +28,7 @@ import functools
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.uri import PART_KEYS, decompose_iri
+from ..functions.uri import decompose_iri
 from ..sources.fixtures import DEFAULT_GRAPH
 from ..sources.ntriples import DECOMPOSED_SCHEMA, STATEMENT_SCHEMA, parse_iterator
 

@@ -14,7 +14,7 @@ reference's bnode numbering is illegal under Spark's retry semantics).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..naming import OWL_SAMEAS
