@@ -78,6 +78,65 @@ def kg_extract_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract(src).groupBy(F.col("p_iri").alias("p")).agg(F.count(F.lit(1)).alias("n"))
 
 
+_KG_EXTRACT_ORACLE = f"""
+    SELECT '{EX}name' AS p, COUNT(*) AS n FROM nation
+    UNION ALL
+    SELECT '{EX}inRegion' AS p, COUNT(*) AS n FROM nation
+    """
+
+
+@q("kg_extract_nation_turtle", _KG_EXTRACT_ORACLE)
+def kg_extract_nation_turtle(spark, sf_dir):
+    """S2 multi-syntax gate: the SAME statements serialized as Turtle
+    (prefixes, `;` predicate lists) through the Turtle tokenizer."""
+    from .operators.extract import extract
+
+    nation = t(spark, sf_dir, "nation")
+    content = F.concat(
+        F.lit(f"@prefix ex: <{EX}> .\n"),
+        F.lit(f"<{EX}nation/"), F.col("n_nationkey").cast("string"),
+        F.lit('> ex:name "'), F.col("n_name"),
+        F.lit(f'" ; ex:inRegion <{EX}region/'), F.col("n_regionkey").cast("string"),
+        F.lit("> ."),
+    )
+    src = nation.select(
+        F.lit("repo").alias("repo"),
+        F.concat(F.lit("tn"), F.col("n_nationkey").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("turtle").alias("lang"),
+        content.alias("content"),
+    )
+    return extract(src).groupBy(F.col("p_iri").alias("p")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q("kg_extract_nation_rdfxml", _KG_EXTRACT_ORACLE)
+def kg_extract_nation_rdfxml(spark, sf_dir):
+    """S2 multi-syntax gate: the SAME statements serialized as RDF/XML
+    (rdf:about/rdf:resource/literal property elements) through the
+    RDF/XML parser."""
+    from .naming import RDF
+    from .operators.extract import extract
+
+    nation = t(spark, sf_dir, "nation")
+    content = F.concat(
+        F.lit(f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="{EX}">'
+              f'<rdf:Description rdf:about="{EX}nation/'),
+        F.col("n_nationkey").cast("string"),
+        F.lit('"><ex:name>'), F.col("n_name"),
+        F.lit(f'</ex:name><ex:inRegion rdf:resource="{EX}region/'),
+        F.col("n_regionkey").cast("string"),
+        F.lit('"/></rdf:Description></rdf:RDF>'),
+    )
+    src = nation.select(
+        F.lit("repo").alias("repo"),
+        F.concat(F.lit("xn"), F.col("n_nationkey").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("rdfxml").alias("lang"),
+        content.alias("content"),
+    )
+    return extract(src).groupBy(F.col("p_iri").alias("p")).agg(F.count(F.lit(1)).alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # routing / projection / filter (S4, P1, P3, P4)
 # ---------------------------------------------------------------------------
