@@ -419,6 +419,24 @@ class KgPipeline:
             f.write(doc)
         return path
 
+    def register_views(self, stage: str | None = None, prefix: str = "") -> list[str]:
+        """Register every catalog table plus the reconstructed ``triples``
+        view as Spark temp views, so the loaded KG is queryable with plain
+        ``spark.sql`` — the reference's users query its DuckDB tables with
+        SQL directly; this is the same surface (the R2RML mapping names
+        match: ``rr:tableName`` == the view name). Returns the view names."""
+        stage = stage or self.last_catalog_stage()
+        catalog = self.catalog(stage)
+        reader = self.reader(stage)
+        names = []
+        for t in catalog.tables:
+            name = f"{prefix}{t.name}"
+            reader(t).createOrReplaceTempView(name)
+            names.append(name)
+        self.triples(stage).createOrReplaceTempView(f"{prefix}triples")
+        names.append(f"{prefix}triples")
+        return names
+
     # -- entry ---------------------------------------------------------
     def load(self, source_files: DataFrame) -> "KgPipeline":
         """Run the full load pipeline E -> D -> V -> O -> M."""

@@ -124,3 +124,19 @@ def test_uniqueness_verification_recorded(loaded):
     again = Catalog.from_json(cat.to_json())
     assert again.table("type_rdf_Alt").subject_unique is True
     assert again.table(en_uk.name).subject_unique is False
+
+
+def test_sql_views_over_loaded_kg(loaded, spark):
+    """The loaded KG is queryable with plain spark.sql — table names match
+    the R2RML mapping's rr:tableName (a DuckDB user of the reference can
+    run the same SQL here)."""
+    names = loaded.register_views(prefix="kg_")
+    assert "kg_type_rdf_Alt" in names and "kg_triples" in names
+    n = spark.sql("SELECT COUNT(*) AS n FROM kg_type_rdf_Alt").first().n
+    assert n == 3
+    labels = spark.sql(
+        "SELECT o_lex FROM kg_triples "
+        "WHERE p = 'http://www.w3.org/2000/01/rdf-schema#label' "
+        "AND o_lang = 'en-UK' ORDER BY o_lex"
+    ).collect()
+    assert [r.o_lex for r in labels] == ["lala", "lala lala"]
