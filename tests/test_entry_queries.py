@@ -189,3 +189,28 @@ def test_hyperplane_arrow_matches_catalyst(spark):
     a = {(r.a_id, r.b_id) for r in catalyst.collect()}
     b = {(r.a_id, r.b_id) for r in arrow.collect()}
     assert a == b and len(a) > 0
+
+
+def test_ann_index_partition_pruning(spark, tmp_path):
+    """build_ann_index + cosine_topk_indexed: the bucket predicate is a
+    PARTITION filter (physically pruned scan), and results equal the
+    unindexed bucketed search."""
+    from r2s2_spark.operators.similarity import (
+        build_ann_index,
+        cosine_topk_bucketed,
+        cosine_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ann_idx")
+    build_ann_index(emb, path, n_bits=8)
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    out = cosine_topk_indexed(spark, path, q, k=10, n_bits=8, exclude_id=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bkt" in plan.split("PartitionFilters:")[1][:200], plan
+    indexed = [(r.vec_id, r.cosine) for r in out.collect()]
+    unindexed = [
+        (r.vec_id, r.cosine)
+        for r in cosine_topk_bucketed(emb, 0, k=10, n_bits=8).collect()
+    ]
+    assert indexed == unindexed and len(indexed) > 0
