@@ -177,6 +177,44 @@ def token_jaccard_pairs(
     return out
 
 
+def duplicate_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end corpus dedup map (doc_id, keep_id): MinHash-LSH blocked
+    candidates -> exact token-Jaccard >= threshold edges -> connected
+    components -> every document mapped to its cluster minimum (non-dups
+    map to themselves). THE training-data dedup composite: downstream
+    keeps ``WHERE doc_id = keep_id``. Every stage is the blocked/bounded
+    form (capped buckets, id-only joins, O(log n) CC rounds)."""
+    from .components import connected_components
+
+    sigs = minhash_signatures(docs, k=k, id_col=id_col, text_col=text_col)
+    pairs = lsh_candidate_pairs(
+        sigs, k=k, rows_per_band=rows_per_band, id_col=id_col, max_bucket=max_bucket
+    )
+    edges = token_jaccard_pairs(
+        docs, pairs, threshold=threshold, id_col=id_col, text_col=text_col
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    comp = connected_components(edges.withColumn("src", F.col("src").cast("bigint"))
+                                .withColumn("dst", F.col("dst").cast("bigint")))
+    ids = docs.select(F.col(id_col).cast("bigint").alias("node")).distinct()
+    linked = ids.join(comp, "node")
+    keep = linked.groupBy("component").agg(F.min("node").alias("keep_id"))
+    linked_mapped = linked.join(keep, "component").select(
+        F.col("node").alias(id_col), "keep_id"
+    )
+    singles = ids.join(comp, "node", "left_anti").select(
+        F.col("node").alias(id_col), F.col("node").alias("keep_id")
+    )
+    return linked_mapped.unionByName(singles)
+
+
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash bitstring): bit-majority over token hashes."""
     toks = docs.select(F.col(id_col), F.explode(text.tokens(F.col(text_col))).alias("tok"))

@@ -653,6 +653,55 @@ def minhash_lsh_pairs_capped(spark, sf_dir):
 
 
 @q(
+    "dedup_document_clusters",
+    _BANDS_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , capped AS (
+      SELECT doc_id, band_no, band FROM (
+        SELECT doc_id, band_no, band,
+               ROW_NUMBER() OVER (PARTITION BY band_no, band ORDER BY doc_id) AS rn
+        FROM bands
+      ) WHERE rn <= 50
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM capped a JOIN capped b
+        ON a.band_no = b.band_no AND a.band = b.band AND a.doc_id < b.doc_id
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT p.a_id, p.b_id, COUNT(*) AS inter
+      FROM pairs p
+      JOIN toks ta ON ta.doc_id = p.a_id
+      JOIN toks tb ON tb.doc_id = p.b_id AND tb.tok = ta.tok
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM (
+        SELECT p.a_id, p.b_id,
+               ROUND(COALESCE(i.inter, 0) / (sa.sz + sb.sz - COALESCE(i.inter, 0)), 4) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+        JOIN sz sa ON sa.doc_id = p.a_id
+        JOIN sz sb ON sb.doc_id = p.b_id
+      ) WHERE jaccard >= 0.5
+    ), bi AS (
+      SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN bi e ON e.src = w.node
+      WHERE w.comp < e.dst
+    )
+    SELECT node AS doc_id, MIN(comp) AS keep_id FROM walk GROUP BY node
+    """,
+)
+def dedup_document_clusters(spark, sf_dir):
+    """The end-to-end corpus dedup composite: every document mapped to its
+    near-duplicate cluster minimum (keep WHERE doc_id = keep_id)."""
+    return dedup.duplicate_clusters(t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@q(
     "simhash_fingerprints",
     """
     WITH toks AS (
