@@ -66,6 +66,32 @@ def quality_score(text: Column) -> Column:
     return F.round((len_ok + punct_ok + wl_ok) / 3, 4)
 
 
+def clean_text(text: Column) -> Column:
+    """Training-data hygiene: redact email addresses and URLs (the two
+    highest-volume PII/noise classes), collapse the leftover whitespace.
+    Pure Catalyst regexps with RE2-compatible syntax so the DuckDB oracle
+    is the same three replacements."""
+    c = F.regexp_replace(text, r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    c = F.regexp_replace(c, r"https?://[^\s]+", "<URL>")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def split_assignment(id_col: Column, train_pct: int = 80, val_pct: int = 10) -> Column:
+    """Deterministic train/val/test assignment from a content-independent
+    id hash: md5(id) mod 100 buckets (portable to any engine — the same
+    arithmetic runs in the DuckDB oracle). Stable across runs, retries and
+    engines; never random()."""
+    bucket = (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    return (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
 def lang_id(text: Column) -> Column:
     """Stopword-ratio language ID: 'en' when common-English tokens exceed
     5% of tokens, else 'other'. (An n-gram model would be a lookup-table

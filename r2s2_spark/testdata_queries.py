@@ -527,6 +527,58 @@ _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
 
 
 @q(
+    "text_clean",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\\s]+', '<URL>', 'g'),
+             '\\s+', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def text_clean(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.clean_text(F.col("text")).alias("cleaned"))
+
+
+_SPLIT_BUCKET = (
+    "("
+    + " + ".join(
+        f"CAST(16*(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),{p},1))-1)"
+        f" + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),{p + 1},1))-1) AS BIGINT)"
+        f" * {256 ** (3 - i)}"
+        for i, p in enumerate((1, 3, 5, 7))
+    )
+    + ") % 100"
+)
+
+
+@q(
+    "dataset_split",
+    f"""
+    SELECT split, COUNT(*) AS n FROM (
+      SELECT CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+                  WHEN {_SPLIT_BUCKET} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+)
+def dataset_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test assignment — stable across
+    runs/retries/engines (never random())."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(text.split_assignment(F.col("doc_id")).alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
     "quality_scores",
     f"""
     WITH base AS (
