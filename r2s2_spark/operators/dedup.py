@@ -23,6 +23,36 @@ from pyspark.sql import functions as F
 from ..functions import hashing, text
 
 
+def pack_by_token_budget(
+    docs: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing for pretraining: concatenate documents in id order
+    and cut at ``budget``-token boundaries — each document's bin is
+    floor(start_offset / budget) over the exclusive running token count
+    (concat-then-chunk semantics: a straddling document belongs to the bin
+    it STARTS in). Deterministic: id order, never random.
+
+    ``part_col``: pack within partitions (e.g. a shard key). None packs
+    globally — a single-partition window, fine for corpus-manifest sizes;
+    at 100 TB always pass a shard key so each reducer packs its shard."""
+    w = Window.orderBy(id_col)
+    if part_col is not None:
+        w = Window.partitionBy(part_col).orderBy(id_col)
+    w = w.rowsBetween(Window.unboundedPreceding, -1)
+    n_tok = text.token_count(F.col(text_col)).cast("bigint")
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.floor(
+            F.coalesce(F.sum(n_tok).over(w), F.lit(0)) / budget
+        ).cast("bigint").alias("bin_id"),
+    )
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (after normalization) documents:
     (fingerprint, n_dups, keep_id, dup_ids)."""

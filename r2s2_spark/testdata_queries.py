@@ -630,6 +630,26 @@ def dedup_exact_groups(spark, sf_dir):
     return dedup.exact_duplicates(d).select("fp", "n_dups", "keep_id")
 
 
+@q(
+    "sequence_packing",
+    """
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) / 2048.0) AS BIGINT) AS bin_id
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Concat-then-chunk packing into 2048-token bins (deterministic id
+    order; the straddling doc belongs to the bin it starts in)."""
+    return dedup.pack_by_token_budget(t(spark, sf_dir, "documents"), budget=2048)
+
+
 _MINHASH_CTE = """
     WITH toks AS (
       SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
