@@ -15,6 +15,24 @@ and Catalyst picks the join strategy.
 Term syntax: "?name" = variable; anything else = constant (IRI for s/p;
 IRI or plain-literal string for o). Objects bind their lexical form; use
 ``o_lang``/``o_datatype`` filters via ``literal()`` for typed constants.
+
+Named graphs (SPARQL GRAPH / FROM — SparqlOnLoadedTest.java:117 queries
+``SELECT DISTINCT ?type FROM <graph> WHERE {[] a ?type}``): pass
+``graph=<iri>`` to restrict every pattern to that graph (FROM semantics),
+or ``graph="?g"`` to bind each solution's graph IRI (GRAPH ?g semantics).
+Graph ids are decoded through the graphs dictionary with a PLAIN join —
+the graph domain is unbounded at web scale (per-file graphs), so the
+dictionary is never force-broadcast (AQE broadcasts when actually small).
+
+Property paths (SPARQL 1.1 §9; the reference gets these from Ontop,
+pom.xml:118-127): ``PathPlus`` (p+), ``PathStar`` (p*), ``PathOpt``
+(p?), ``PathSeq`` (p1/p2), ``PathAlt`` (p1|p2), ``PathInverse`` (^p),
+composable (``^(p1/p2)`` normalizes to ``^p2/^p1``). Zero-length paths
+(p*/p?) draw their reflexive endpoints from the terms INCIDENT to the
+path predicate's edges — a documented narrowing of the spec's
+"all terms in the graph" (full-graph term enumeration would scan every
+table; incident terms are what real engines' users observe for connected
+data).
 """
 
 from __future__ import annotations
@@ -38,8 +56,9 @@ class Literal:
 @dataclass(frozen=True)
 class PathInverse:
     """SPARQL inverse path ``^p``: (s, ^p, o) matches where (o, p, s)
-    holds. ``path`` may be a predicate IRI or a :class:`PathPlus`
-    (``^(p+)`` composes — compiled by swapping the pattern's ends)."""
+    holds. ``path`` may be a predicate IRI or any other path object
+    (``^(p+)`` composes by swapping the pattern's ends; ``^(p1/p2)``
+    normalizes to ``^p2/^p1``; ``^(p1|p2)`` to ``^p1|^p2``)."""
 
     path: object
 
@@ -55,8 +74,47 @@ class PathPlus:
     max_iter: int = 64
 
 
-def _transitive_plus(edges: DataFrame, max_iter: int) -> DataFrame:
-    """edges(__s, __o) -> all pairs connected by a path of length >= 1."""
+@dataclass(frozen=True)
+class PathStar:
+    """``p*`` — zero or more: the p+ closure plus the zero-length
+    (reflexive) pairs over the predicate's incident terms."""
+
+    predicate: str
+    max_iter: int = 64
+
+
+@dataclass(frozen=True)
+class PathOpt:
+    """``p?`` — zero or one: the base edges plus the zero-length pairs."""
+
+    predicate: str
+
+
+@dataclass(frozen=True)
+class PathSeq:
+    """``p1/p2/...`` — path sequence. Expanded into chained patterns with
+    fresh hidden intermediate variables before compilation; elements may
+    be predicate IRIs or any non-sequence path object."""
+
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class PathAlt:
+    """``p1|p2|...`` — path alternation: the union of each branch's
+    solutions (bag semantics, like SPARQL). Elements may be predicate
+    IRIs, inverse or closure paths — distribute sequences manually
+    (``(a|b)/c`` == ``a/c | b/c``)."""
+
+    alts: tuple
+
+
+def _transitive_plus(
+    edges: DataFrame, max_iter: int, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """edges(__s, __o[, group...]) -> all pairs connected by a path of
+    length >= 1, closed WITHIN each group (per-graph closure when the
+    pattern is graph-constrained by a variable)."""
     # Each round's frontier is checkpointed eagerly (cuts lineage: the
     # per-round plan stays O(1)). Constraint propagation is switched off
     # for the loop: the closure plan unions the SAME checkpointed leaf
@@ -68,17 +126,25 @@ def _transitive_plus(edges: DataFrame, max_iter: int) -> DataFrame:
     prop_key = "spark.sql.constraintPropagation.enabled"
     prev = spark.conf.get(prop_key, "true")
     spark.conf.set(prop_key, "false")
+    keys = ["__s", "__o", *group_cols]
     try:
         edges = edges.distinct().localCheckpoint()
         closure = edges
         frontier = edges
         for _ in range(max_iter):
+            cond = F.col("f.__o") == F.col("e.__s")
+            for g in group_cols:
+                cond = cond & (F.col(f"f.{g}") == F.col(f"e.{g}"))
             nxt = (
                 frontier.alias("f")
-                .join(edges.alias("e"), F.col("f.__o") == F.col("e.__s"))
-                .select(F.col("f.__s").alias("__s"), F.col("e.__o").alias("__o"))
+                .join(edges.alias("e"), cond)
+                .select(
+                    F.col("f.__s").alias("__s"),
+                    F.col("e.__o").alias("__o"),
+                    *[F.col(f"f.{g}").alias(g) for g in group_cols],
+                )
                 .distinct()
-                .join(closure, ["__s", "__o"], "left_anti")
+                .join(closure, keys, "left_anti")
                 .localCheckpoint()
             )
             if nxt.limit(1).count() == 0:
@@ -90,22 +156,78 @@ def _transitive_plus(edges: DataFrame, max_iter: int) -> DataFrame:
         spark.conf.set(prop_key, prev)
 
 
+def _reflexive(edges: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Zero-length path pairs: (n, n) for every term incident to an edge
+    (per group when graph-constrained)."""
+    nodes = (
+        edges.select(F.col("__s").alias("__n"), *group_cols)
+        .unionByName(edges.select(F.col("__o").alias("__n"), *group_cols))
+        .distinct()
+    )
+    return nodes.select(
+        F.col("__n").alias("__s"), F.col("__n").alias("__o"), *group_cols
+    )
+
+
 def _is_var(t) -> bool:
     return isinstance(t, str) and t.startswith("?")
 
 
-def _pattern_frame(catalog, reader, dicts, pattern, idx: int) -> tuple[DataFrame, dict]:
+def _expand_path_patterns(patterns: list[tuple]) -> list[tuple]:
+    """Rewrite PathSeq predicates into chained patterns with fresh hidden
+    variables (``?__seq<n>_<i>``); normalizes ``^(p1/p2)`` first."""
+    out: list[tuple] = []
+    counter = [0]
+
+    def one(s, p, o):
+        while isinstance(p, PathInverse) and isinstance(p.path, PathSeq):
+            p = PathSeq(tuple(PathInverse(q) for q in reversed(tuple(p.path.parts))))
+        if isinstance(p, PathSeq):
+            parts = tuple(p.parts)
+            mids = [f"?__seq{counter[0]}_{i}" for i in range(len(parts) - 1)]
+            counter[0] += 1
+            terms = [s, *mids, o]
+            for i, part in enumerate(parts):
+                one(terms[i], part, terms[i + 1])
+        else:
+            out.append((s, p, o))
+
+    for s, p, o in patterns:
+        one(s, p, o)
+    return out
+
+
+def _pattern_frame(
+    catalog, reader, dicts, pattern, idx: int, graph=None
+) -> tuple[DataFrame, dict]:
     """One triple pattern -> DataFrame with one column per variable
     (plus hidden uniqueness suffix) and constant filters applied.
 
     A variable predicate unions over ALL predicate maps (the predicate IRI
     becomes a constant-folded literal column per branch — no per-row
     lookup); a constant predicate prunes to that predicate's tables only
-    (partition pruning by construction)."""
+    (partition pruning by construction). ``graph``: None = ignore graphs;
+    an IRI constant = restrict to that graph; "?g" = bind the graph IRI."""
     s, p, o = pattern
     while isinstance(p, PathInverse):  # (s, ^p, o) == (o, p, s)
-        s, p, o = o, p.path, s
-    is_path = isinstance(p, PathPlus)
+        if isinstance(p.path, PathAlt):
+            p = PathAlt(tuple(PathInverse(a) for a in p.path.alts))
+        else:
+            s, p, o = o, p.path, s
+
+    if isinstance(p, PathAlt):
+        compiled = [
+            _pattern_frame(catalog, reader, dicts, (s, alt, o), idx, graph)
+            for alt in p.alts
+        ]
+        df = reduce(DataFrame.unionByName, [f for f, _ in compiled])
+        return df, compiled[0][1]
+
+    g_is_var = graph is not None and _is_var(graph)
+    if graph is not None and (not dicts or "graphs" not in dicts):
+        raise ValueError("graph-constrained queries need the graphs dictionary")
+
+    is_path = isinstance(p, (PathPlus, PathStar, PathOpt))
     p_match = p.predicate if is_path else p
     p_is_var = _is_var(p_match)
     pieces = []
@@ -118,25 +240,83 @@ def _pattern_frame(catalog, reader, dicts, pattern, idx: int) -> tuple[DataFrame
                 df = _decode_encoded(df, [*t.subject_columns, *pm.columns], dicts)
             s_lex, _, _ = _term_exprs(t.subject_columns, t.subject_kind)
             o_lex, o_lang, o_dt = _term_exprs(pm.columns, pm.obj_kind)
-            out = df.select(
+            sel = [
                 s_lex.alias("__s"),
                 F.lit(pm.predicate).alias("__p"),
                 o_lex.alias("__o"),
                 o_lang.alias("__ol"),
                 o_dt.alias("__od"),
-            ).where(F.col("__s").isNotNull() & F.col("__o").isNotNull())
+            ]
+            explode_graphs = False
+            if graph is not None:
+                gc = pm.graph_column
+                if gc is None:
+                    g_col = F.lit(None).cast("bigint")
+                elif not gc.physical:
+                    g_col = F.lit(int(gc.virtual_value)).cast("bigint")
+                elif gc.part == "graph_set":
+                    g_col = F.col(gc.name)  # exploded below
+                    explode_graphs = True
+                else:
+                    g_col = F.col(gc.name).cast("bigint")
+                sel.append(g_col.alias("__gid"))
+            out = df.select(*sel).where(
+                F.col("__s").isNotNull() & F.col("__o").isNotNull()
+            )
+            if explode_graphs:
+                out = out.withColumn("__gid", F.explode("__gid")).withColumn(
+                    "__gid", F.col("__gid").cast("bigint")
+                )
             pieces.append(out)
     if not pieces:
-        raise KeyError(f"no tables for predicate {p}")
+        # a predicate absent from the catalog matches NOTHING (SPARQL:
+        # zero solutions), not an error — OPTIONAL/MINUS groups over it
+        # must still compile (to unbound / no removals)
+        from pyspark.sql import SparkSession
+
+        schema = "__s string, __p string, __o string, __ol string, __od string"
+        if graph is not None:
+            schema += ", __gid bigint"
+        pieces = [SparkSession.getActiveSession().createDataFrame([], schema)]
     df = reduce(DataFrame.unionByName, pieces)
+
+    if graph is not None and not g_is_var:
+        # FROM <iri> / GRAPH <iri>: restrict to the one graph. The filter
+        # runs BEFORE any closure so paths stay inside the graph. The
+        # one-row dictionary side is left to AQE (no forced broadcast).
+        gd = dicts["graphs"].where(F.col("iri") == graph).select(
+            F.col("id").alias("__gid")
+        )
+        df = df.join(gd, "__gid", "semi").drop("__gid")
+
     if is_path:
-        df = _transitive_plus(df.select("__s", "__o"), p.max_iter).select(
+        group = ("__gid",) if g_is_var else ()
+        base = df.select("__s", "__o", *group)
+        if isinstance(p, PathPlus):
+            paths = _transitive_plus(base, p.max_iter, group)
+        elif isinstance(p, PathStar):
+            paths = _transitive_plus(base, p.max_iter, group).unionByName(
+                _reflexive(base, group)
+            ).distinct()
+        else:  # PathOpt
+            paths = base.distinct().unionByName(_reflexive(base, group)).distinct()
+        df = paths.select(
             "__s",
             F.lit(p_match).alias("__p"),
             "__o",
             F.lit(None).cast("string").alias("__ol"),
             F.lit(None).cast("string").alias("__od"),
+            *group,
         )
+
+    if g_is_var:
+        # GRAPH ?g: decode id -> IRI (plain join — unbounded dict) and
+        # bind it; rows with NULL g_id (graph-less data) drop, matching
+        # SPARQL's GRAPH matching named graphs only.
+        gd = dicts["graphs"].select(
+            F.col("id").alias("__gid"), F.col("iri").alias("__giri")
+        )
+        df = df.join(gd, "__gid").drop("__gid")
 
     cols = {}
 
@@ -167,14 +347,17 @@ def _pattern_frame(catalog, reader, dicts, pattern, idx: int) -> tuple[DataFrame
             df = df.where(F.col("__od") == o.datatype)
     else:
         df = df.where(F.col("__o") == o)
+    if g_is_var:
+        bind(graph, "__giri")
     named = df.select(*[c.alias(v[1:]) for v, c in cols.items()]) if cols else df.select(F.lit(1).alias(f"__m{idx}"))
     return named, {v: v[1:] for v in cols}
 
 
-def _join_patterns(catalog, reader, dicts, patterns) -> tuple[DataFrame, set]:
+def _join_patterns(catalog, reader, dicts, patterns, graph=None) -> tuple[DataFrame, set]:
+    patterns = _expand_path_patterns(patterns)
     frames = []
     for i, pat in enumerate(patterns):
-        f, binds = _pattern_frame(catalog, reader, dicts, pat, i)
+        f, binds = _pattern_frame(catalog, reader, dicts, pat, i, graph)
         frames.append((f, set(binds.values())))
     out, bound = frames[0]
     for f, vs in frames[1:]:
@@ -193,6 +376,8 @@ def bgp(
     distinct: bool = False,
     optional: list[list[tuple]] | None = None,
     filter=None,
+    graph=None,
+    minus: list[list[tuple]] | None = None,
 ) -> DataFrame:
     """Compile a BGP to a DataFrame: per-pattern predicate-pruned scans
     joined on shared variables (Catalyst reorders/broadcasts as usual).
@@ -200,24 +385,49 @@ def bgp(
     ``optional``: a list of OPTIONAL pattern groups (SPARQL 1.1 §6): each
     group compiles to its own BGP and LEFT-joins the required part on the
     shared variables — unmatched rows keep NULL for the group's variables.
-    Groups sharing no variable with the required part cross-join against a
-    single marker row (the SPARQL zero-shared-var OPTIONAL corner).
+    Groups sharing no variable left-join through a constant marker key, so
+    required solutions survive even when the group matches nothing.
 
     ``filter``: a FILTER expression — a Column over the bound variable
     names (without '?'), or a callable(df) -> Column. Applied after the
     required part and all OPTIONAL joins, like SPARQL group-level FILTER;
-    Catalyst pushes deterministic predicates down into the scans."""
-    out, bound = _join_patterns(catalog, reader, dicts, patterns)
+    Catalyst pushes deterministic predicates down into the scans.
+
+    ``graph``: an IRI constant (SPARQL FROM <iri> / GRAPH <iri> — every
+    pattern restricted to that graph) or a variable like "?g" (GRAPH ?g —
+    the graph IRI joins each solution and binds). Applies to the required
+    part and to OPTIONAL/MINUS groups (GRAPH-block scoping).
+
+    ``minus``: a list of MINUS pattern groups (SPARQL 1.1 §8.3): solutions
+    compatible with a group's solution on >= 1 shared variable are
+    removed (left-anti join on the shared variables); a group sharing NO
+    variable removes nothing, per spec."""
+    out, bound = _join_patterns(catalog, reader, dicts, patterns, graph)
     for group in optional or []:
-        g, g_vars = _join_patterns(catalog, reader, dicts, group)
+        g, g_vars = _join_patterns(catalog, reader, dicts, group, graph)
         shared = sorted(bound & g_vars)
         if shared:
             # SPARQL OPTIONAL multiplies matching solutions, so the plain
             # left join (no dedupe of the optional side) IS the semantics
             out = out.join(g, on=shared, how="left")
         else:
-            out = out.crossJoin(g)
+            # LeftJoin with disjoint domains: every required solution must
+            # SURVIVE even when the optional group is empty (vars unbound).
+            # A crossJoin would eliminate them all — left-join through a
+            # constant marker key instead (ADVICE r2).
+            out = (
+                out.withColumn("__m", F.lit(1))
+                .join(g.withColumn("__m", F.lit(1)), "__m", "left")
+                .drop("__m")
+            )
         bound |= g_vars
+    for group in minus or []:
+        g, g_vars = _join_patterns(catalog, reader, dicts, group, graph)
+        shared = sorted(bound & g_vars)
+        if shared:
+            out = out.join(g.select(*shared).distinct(), on=shared, how="left_anti")
+        # disjoint domains: MINUS removes nothing (SPARQL 1.1 §8.3 —
+        # a solution with no variable in common is not "compatible")
     if filter is not None:
         out = out.where(filter(out) if callable(filter) else filter)
     if select:
@@ -234,11 +444,12 @@ def bgp_union(
     groups: list[list[tuple]],
     select: list[str] | None = None,
     distinct: bool = False,
+    graph=None,
 ) -> DataFrame:
     """SPARQL UNION: each group compiles to its own BGP; solutions are
     concatenated with NULL for variables a branch does not bind
     (unionByName(allowMissingColumns) — exactly SPARQL's unbound)."""
-    frames = [_join_patterns(catalog, reader, dicts, g)[0] for g in groups]
+    frames = [_join_patterns(catalog, reader, dicts, g, graph)[0] for g in groups]
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
@@ -250,23 +461,46 @@ def bgp_union(
 
 
 def bgp_on_pipeline(
-    pipe, patterns, select=None, distinct=False, stage=None, optional=None, filter=None
+    pipe,
+    patterns,
+    select=None,
+    distinct=False,
+    stage=None,
+    optional=None,
+    filter=None,
+    graph=None,
+    minus=None,
 ) -> DataFrame:
     stage = stage or pipe.last_catalog_stage()
+    dicts = pipe.dicts(stage)
+    if graph is not None and "graphs" not in dicts:
+        # the V-stage catalog carries the graphs dictionary; older stages
+        # read it straight from stage D
+        dicts = {**dicts, "graphs": pipe.graphs()}
     return bgp(
         pipe.catalog(stage),
         pipe.reader(stage),
-        pipe.dicts(stage),
+        dicts,
         patterns,
         select,
         distinct,
         optional,
         filter,
+        graph,
+        minus,
     )
 
 
-def bgp_union_on_pipeline(pipe, groups, select=None, distinct=False, stage=None) -> DataFrame:
+def bgp_union_on_pipeline(
+    pipe, groups, select=None, distinct=False, stage=None, graph=None
+) -> DataFrame:
     stage = stage or pipe.last_catalog_stage()
     return bgp_union(
-        pipe.catalog(stage), pipe.reader(stage), pipe.dicts(stage), groups, select, distinct
+        pipe.catalog(stage),
+        pipe.reader(stage),
+        pipe.dicts(stage),
+        groups,
+        select,
+        distinct,
+        graph,
     )

@@ -209,6 +209,179 @@ def test_bgp_constant_predicate_prunes_scans(pipe):
         assert all("label" in c or c.startswith("subject_") for c in cols), cols
 
 
+def test_graph_constant_from(spark, tmp_path):
+    """The reference's flagship FROM query (SparqlOnLoadedTest.java:117):
+    SELECT DISTINCT ?type FROM <graph> WHERE {[] a ?type} — positive (the
+    graph holding data) and negative (a second graph that must NOT leak
+    in), on the odd/even fixture quadded into two named graphs."""
+    nq = "\n".join(
+        [
+            f"<{EX}i1> <{RDF_TYPE}> <{EX}even> <{EX}g/one> .",
+            f"<{EX}i2> <{RDF_TYPE}> <{EX}odd> <{EX}g/one> .",
+            f"<{EX}i3> <{RDF_TYPE}> <{EX}other> <{EX}g/two> .",
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "g.nq", nq)]))
+    one = bgp_on_pipeline(
+        p, [("?s", RDF_TYPE, "?t")], select=["?t"], distinct=True, graph=EX + "g/one"
+    )
+    assert {r.t for r in one.collect()} == {EX + "even", EX + "odd"}
+    two = bgp_on_pipeline(
+        p, [("?s", RDF_TYPE, "?t")], select=["?t"], distinct=True, graph=EX + "g/two"
+    )
+    assert {r.t for r in two.collect()} == {EX + "other"}
+    # a graph with no data matches nothing (not everything)
+    none = bgp_on_pipeline(
+        p, [("?s", RDF_TYPE, "?t")], select=["?t"], graph=EX + "g/absent"
+    )
+    assert none.count() == 0
+
+
+def test_graph_variable_binds_iri(spark, tmp_path):
+    """GRAPH ?g { ?s a ?t }: each solution carries its graph IRI; joins on
+    a shared graph variable keep patterns within one graph."""
+    nq = "\n".join(
+        [
+            f"<{EX}a> <{RDF_TYPE}> <{EX}T> <{EX}g/one> .",
+            f'<{EX}a> <{RDFS}label> "in-one" <{EX}g/one> .',
+            f'<{EX}a> <{RDFS}label> "in-two" <{EX}g/two> .',
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "gv.nq", nq)]))
+    out = bgp_on_pipeline(
+        p, [("?s", RDF_TYPE, "?t")], select=["?s", "?g"], graph="?g"
+    )
+    assert {(r.s, r.g) for r in out.collect()} == {(EX + "a", EX + "g/one")}
+    # two patterns sharing ?g: the label must come from the SAME graph as
+    # the type — "in-two" (other graph) is excluded
+    joined = bgp_on_pipeline(
+        p,
+        [("?s", RDF_TYPE, "?t"), ("?s", RDFS + "label", "?l")],
+        select=["?l", "?g"],
+        graph="?g",
+    )
+    assert {(r.l, r.g) for r in joined.collect()} == {("in-one", EX + "g/one")}
+
+
+def test_graph_collapsed_set_still_queryable(spark, tmp_path):
+    """After stage O's multi-graph collapse (graph_set arrays) the GRAPH
+    surface still works — set membership is exploded per pattern."""
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.fixture_multigraph(spark))
+    per_graph = bgp_on_pipeline(
+        p, [("?s", "?p", "?o")], select=["?g"], graph="?g", stage="M"
+    )
+    gs = [r.g for r in per_graph.collect()]
+    assert sorted(gs) == [
+        "http://example.org/oneGraph",
+        "http://example.org/zeroGraph",
+    ]
+
+
+def test_path_star_and_opt(spark, tmp_path):
+    """p* = closure + zero-length (incident terms); p? = base +
+    zero-length."""
+    from r2s2_spark.plans.sparql import PathOpt, PathStar
+
+    nt = "\n".join(
+        [
+            f"<{EX}a> <{EX}next> <{EX}b> .",
+            f"<{EX}b> <{EX}next> <{EX}c> .",
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "star.nt", nt)]))
+    star = bgp_on_pipeline(p, [(EX + "a", PathStar(EX + "next"), "?x")], select=["?x"])
+    assert {r.x for r in star.collect()} == {EX + "a", EX + "b", EX + "c"}
+    all_star = bgp_on_pipeline(p, [("?x", PathStar(EX + "next"), "?y")])
+    # 3 reflexive (a,b,c) + 2 edges + 1 transitive = 6
+    assert all_star.count() == 6
+    opt = bgp_on_pipeline(p, [(EX + "a", PathOpt(EX + "next"), "?x")], select=["?x"])
+    assert {r.x for r in opt.collect()} == {EX + "a", EX + "b"}
+
+
+def test_path_sequence_and_alternation(spark, tmp_path):
+    """p1/p2 chains through a hidden variable; p1|p2 unions branches;
+    ^(p1/p2) normalizes to ^p2/^p1."""
+    from r2s2_spark.plans.sparql import PathAlt, PathInverse, PathSeq
+
+    nt = "\n".join(
+        [
+            f"<{EX}a> <{EX}p1> <{EX}m> .",
+            f"<{EX}m> <{EX}p2> <{EX}z> .",
+            f"<{EX}a> <{EX}q> <{EX}w> .",
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "seq.nt", nt)]))
+    seq = bgp_on_pipeline(
+        p, [(EX + "a", PathSeq((EX + "p1", EX + "p2")), "?x")], select=["?x"]
+    )
+    assert [r.x for r in seq.collect()] == [EX + "z"]
+    inv_seq = bgp_on_pipeline(
+        p,
+        [(EX + "z", PathInverse(PathSeq((EX + "p1", EX + "p2"))), "?x")],
+        select=["?x"],
+    )
+    assert [r.x for r in inv_seq.collect()] == [EX + "a"]
+    alt = bgp_on_pipeline(
+        p, [(EX + "a", PathAlt((EX + "p1", EX + "q")), "?x")], select=["?x"]
+    )
+    assert {r.x for r in alt.collect()} == {EX + "m", EX + "w"}
+
+
+def test_minus_groups(pipe):
+    """{ ?s a ?t } MINUS { ?s a ex:odd }: odd-typed subjects drop; a MINUS
+    group sharing no variable removes nothing (SPARQL 1.1 §8.3)."""
+    out = bgp_on_pipeline(
+        pipe,
+        [("?s", RDF_TYPE, "?t")],
+        select=["?s"],
+        minus=[[("?s", RDF_TYPE, EX + "odd")]],
+    )
+    assert out.count() == 50  # 99 - 49 odd-typed
+    disjoint = bgp_on_pipeline(
+        pipe,
+        [("?s", RDF_TYPE, "?t")],
+        minus=[[("?x", RDF_TYPE, EX + "odd")]],
+    )
+    assert disjoint.count() == 99  # no shared variable -> nothing removed
+
+
+def test_optional_disjoint_group_keeps_required(spark, tmp_path):
+    """OPTIONAL group sharing NO variable with the required part: required
+    solutions must survive whether the group matches (cross-product
+    semantics) or is EMPTY (unbound vars) — SPARQL LeftJoin (ADVICE r2:
+    the old crossJoin dropped everything on an empty group)."""
+    nt = "\n".join(
+        [
+            f'<{EX}s1> <{EX}name> "anna" .',
+            f'<{EX}s2> <{EX}name> "bob" .',
+            f'<{EX}t1> <{EX}tag> "x" .',
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "od.nt", nt)]))
+    # non-empty disjoint group: cross product (2 names x 1 tag)
+    full = bgp_on_pipeline(
+        p,
+        [("?s", EX + "name", "?n")],
+        select=["?n", "?v"],
+        optional=[[("?t", EX + "tag", "?v")]],
+    )
+    assert {(r.n, r.v) for r in full.collect()} == {("anna", "x"), ("bob", "x")}
+    # EMPTY disjoint group: both required rows survive with NULL binding
+    empty = bgp_on_pipeline(
+        p,
+        [("?s", EX + "name", "?n")],
+        select=["?n", "?v"],
+        optional=[[("?t", EX + "nosuch", "?v")]],
+    )
+    assert {(r.n, r.v) for r in empty.collect()} == {("anna", None), ("bob", None)}
+
+
 def test_inverse_path(spark, tmp_path):
     """^p and ^(p+): (s, ^p, o) == (o, p, s); composes with closure."""
     from r2s2_spark.plans.sparql import PathInverse, PathPlus
