@@ -67,7 +67,10 @@ def entry(spark: SparkSession) -> DataFrame:
     how large the KG is); the pipeline work dir is removed after the
     result parquet is materialized."""
     work = tempfile.mkdtemp(prefix="r2s2_entry_")
-    result = os.path.join(tempfile.gettempdir(), "r2s2_entry_triples")
+    # unique per call: a fixed shared path would let two concurrent
+    # sessions clobber each other's result mid-read (leaked-but-unique
+    # beats shared-and-clobbered; ADVICE r2)
+    result = os.path.join(tempfile.mkdtemp(prefix="r2s2_entry_out_"), "triples")
     try:
         pipe = KgPipeline(spark, work)
         pipe.load(_nation_rdf(spark, SF_DIR))

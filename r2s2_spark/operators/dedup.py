@@ -23,12 +23,23 @@ from pyspark.sql import functions as F
 from ..functions import hashing, text
 
 
+def deterministic_shard(id_col: str) -> "F.Column":
+    """Deterministic 16-way shard key from the first hex digit of
+    md5(id) — replayable verbatim by a SQL oracle (DuckDB has the same
+    ``instr``/``substr``/``md5``), uniform over hex digits, and stable
+    across retries/cluster sizes (never ``rand()``)."""
+    return F.expr(
+        f"instr('0123456789abcdef', substr(md5(cast({id_col} as string)), 1, 1)) - 1"
+    ).cast("bigint")
+
+
 def pack_by_token_budget(
     docs: DataFrame,
     budget: int = 2048,
     id_col: str = "doc_id",
     text_col: str = "text",
     part_col: str | None = None,
+    global_order: bool = False,
 ) -> DataFrame:
     """Sequence packing for pretraining: concatenate documents in id order
     and cut at ``budget``-token boundaries — each document's bin is
@@ -36,16 +47,35 @@ def pack_by_token_budget(
     (concat-then-chunk semantics: a straddling document belongs to the bin
     it STARTS in). Deterministic: id order, never random.
 
-    ``part_col``: pack within partitions (e.g. a shard key). None packs
-    globally — a single-partition window, fine for corpus-manifest sizes;
-    at 100 TB always pass a shard key so each reducer packs its shard."""
-    w = Window.orderBy(id_col)
-    if part_col is not None:
-        w = Window.partitionBy(part_col).orderBy(id_col)
-    w = w.rowsBetween(Window.unboundedPreceding, -1)
+    Scale-safe by DEFAULT: documents take a deterministic 16-way shard key
+    (:func:`deterministic_shard`) and each shard packs independently under
+    its own window — bins are (shard_id, bin_id) pairs and no
+    single-partition stage exists. ``part_col`` shards on an existing
+    column instead (e.g. a corpus/source shard — the right key at 100 TB).
+    ``global_order=True`` is the explicit opt-in for one whole-corpus
+    concat order through a single global window (the literal "moving all
+    data to a single partition" plan) — corpus-manifest sizes only."""
     n_tok = text.token_count(F.col(text_col)).cast("bigint")
+    if global_order:
+        w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+        return docs.select(
+            F.col(id_col),
+            n_tok.alias("n_tokens"),
+            F.floor(
+                F.coalesce(F.sum(n_tok).over(w), F.lit(0)) / budget
+            ).cast("bigint").alias("bin_id"),
+        )
+    if part_col is None:
+        part_col = "shard_id"
+        docs = docs.withColumn(part_col, deterministic_shard(id_col))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return docs.select(
         F.col(id_col),
+        F.col(part_col),
         n_tok.alias("n_tokens"),
         F.floor(
             F.coalesce(F.sum(n_tok).over(w), F.lit(0)) / budget
@@ -230,17 +260,28 @@ def duplicate_clusters(
     )
     edges = token_jaccard_pairs(
         docs, pairs, threshold=threshold, id_col=id_col, text_col=text_col
-    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    comp = connected_components(edges.withColumn("src", F.col("src").cast("bigint"))
-                                .withColumn("dst", F.col("dst").cast("bigint")))
-    ids = docs.select(F.col(id_col).cast("bigint").alias("node")).distinct()
-    linked = ids.join(comp, "node")
-    keep = linked.groupBy("component").agg(F.min("node").alias("keep_id"))
-    linked_mapped = linked.join(keep, "component").select(
-        F.col("node").alias(id_col), "keep_id"
+    ).select("a_id", "b_id")
+    # connected_components needs bigint nodes; ORIGINAL ids (string or
+    # numeric) are kept through the composite and hashed to a node key
+    # only inside the CC kernel (xxhash64 of the string form — collision
+    # odds ~n^2/2^64, negligible below ~10^9 docs). The keep choice is
+    # min(ORIGINAL id) per component, so the output id/keep_id columns
+    # keep the caller's id type (ADVICE r2: the previous cast('bigint')
+    # threw under ANSI mode for string ids).
+    ids = docs.select(id_col).distinct().withColumn(
+        "node", F.xxhash64(F.col(id_col).cast("string"))
     )
+    e2 = (
+        edges.join(ids.select(F.col(id_col).alias("a_id"), F.col("node").alias("src")), "a_id")
+        .join(ids.select(F.col(id_col).alias("b_id"), F.col("node").alias("dst")), "b_id")
+        .select("src", "dst")
+    )
+    comp = connected_components(e2)
+    linked = ids.join(comp, "node")
+    keep = linked.groupBy("component").agg(F.min(id_col).alias("keep_id"))
+    linked_mapped = linked.join(keep, "component").select(F.col(id_col), "keep_id")
     singles = ids.join(comp, "node", "left_anti").select(
-        F.col("node").alias(id_col), F.col("node").alias("keep_id")
+        F.col(id_col), F.col(id_col).alias("keep_id")
     )
     return linked_mapped.unionByName(singles)
 

@@ -19,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: dictionary domains unbounded at web scale (graphs: one per source file;
+#: hosts: one per crawled site). Joins against these must never force a
+#: broadcast — AQE picks broadcast when the measured size is actually small.
+UNBOUNDED_DICTS = frozenset({"hosts", "graphs"})
+
 
 def build_dictionary(
     df: DataFrame,

@@ -42,7 +42,7 @@ from .. import naming
 from ..functions.uri import PART_KEYS
 from ..naming import RDF_TYPE, XSD
 from ..plans.catalog import Catalog, ColumnSpec, TableSpec
-from .dictionaries import build_dictionary
+from .dictionaries import UNBOUNDED_DICTS, build_dictionary
 
 INT_MAX = 2147483647
 
@@ -391,9 +391,14 @@ def optimize_table(
 
 
 def _encode(df: DataFrame, dictionary: DataFrame, cs: ColumnSpec, dict_name: str) -> DataFrame:
-    dim = F.broadcast(
-        dictionary.select(F.col("iri").alias(cs.name), F.col("id").alias(f"{cs.name}\x00id"))
+    dim = dictionary.select(
+        F.col("iri").alias(cs.name), F.col("id").alias(f"{cs.name}\x00id")
     )
+    if dict_name not in UNBOUNDED_DICTS:
+        # vocabulary-sized dims (schemes) broadcast; unbounded domains
+        # (hosts — one per crawled site) go through a plain join and let
+        # AQE broadcast when the measured size is actually small
+        dim = F.broadcast(dim)
     df = df.join(dim, cs.name, "left").drop(cs.name).withColumnRenamed(f"{cs.name}\x00id", cs.name)
     cs.sql_type = "bigint"
     cs.encoding = dict_name
@@ -448,5 +453,8 @@ def build_scheme_host_dicts(
     IntroduceHostEnums.java:30-39)."""
     v = spark.read.parquet(v_data_path).select("o_scheme", "o_host")
     schemes = build_dictionary(v, "o_scheme")
-    hosts = build_dictionary(v, "o_host")
+    # hosts are closer to unbounded than vocabulary at web scale (every
+    # crawled site is a host) -> two-level bucketed id assignment, no
+    # global-window stage (schemes stay global: the IANA registry is tiny)
+    hosts = build_dictionary(v, "o_host", n_buckets=64)
     return schemes, hosts

@@ -31,6 +31,9 @@ from .plans.r2rml import distinct_types, mapping_document, reconstruct_triples
 from .plans.tableio import StageIO, StageRunner
 from .sources.fixtures import DEFAULT_GRAPH
 
+#: stage directories this pipeline owns — the only names vacuum() may sweep
+KNOWN_STAGES = frozenset({"E", "D", "V", "O", "M", "R", "L", "C"})
+
 #: bound on concurrent per-table Spark jobs from driver-side loops. Each
 #: job is small; the pool keeps the scheduler fed without flooding it
 #: (10^5 simultaneous job submissions would thrash the DAG scheduler).
@@ -320,12 +323,19 @@ class KgPipeline:
                 stats["files_before"] += before
                 stats["files_after"] += after
 
-        # uncommitted stage leftovers (a crash between begin() and commit())
+        # uncommitted stage leftovers (a crash between begin() and commit()).
+        # ONLY known stage names are swept: a directory the user (or a
+        # concurrent writer) placed in the work dir is not ours to delete
+        # (ADVICE r2 — the previous sweep rmtree'd every non-committed dir).
         import shutil as sh
 
         for entry in os.listdir(self.io.root):
             d = os.path.join(self.io.root, entry)
-            if os.path.isdir(d) and not self.io.is_committed(entry):
+            if (
+                entry in KNOWN_STAGES
+                and os.path.isdir(d)
+                and not self.io.is_committed(entry)
+            ):
                 sh.rmtree(d)
                 stats["orphans_removed"] += 1
 
@@ -403,8 +413,12 @@ class KgPipeline:
         return reconstruct_triples(self.catalog(stage), self.reader(stage), self.dicts(stage))
 
     def triples_with_graph_iri(self, stage: str | None = None) -> DataFrame:
+        # NO forced broadcast: the graph domain is unbounded by design
+        # (per-file graphs at 10^12-file scale — the same reason stage D
+        # two-level-buckets graph ids). AQE broadcasts when actually small;
+        # a forced broadcast OOMs the driver at web scale.
         t = self.triples(stage)
-        g = F.broadcast(self.graphs().select(F.col("id").alias("g_id"), F.col("iri").alias("g")))
+        g = self.graphs().select(F.col("id").alias("g_id"), F.col("iri").alias("g"))
         return t.join(g, "g_id", "left").drop("g_id")
 
     def distinct_types(self, stage: str | None = None) -> DataFrame:

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.uri import PART_KEYS, reassemble_iri
+from ..operators.dictionaries import UNBOUNDED_DICTS
 from ..naming import RDF_TYPE
 from ..plans.catalog import Catalog, ColumnSpec, PredicateMapSpec, TableSpec
 
@@ -84,12 +85,15 @@ def _decode_encoded(df: DataFrame, specs: list[ColumnSpec], dicts: dict[str, Dat
     for cs in specs:
         if cs.physical and cs.encoding in dicts:
             d = dicts[cs.encoding]
-            dim = F.broadcast(
-                d.select(
-                    F.col("id").alias(cs.name + "\x00id"),
-                    F.col("iri").alias(cs.name + "\x00str"),
-                )
+            dim = d.select(
+                F.col("id").alias(cs.name + "\x00id"),
+                F.col("iri").alias(cs.name + "\x00str"),
             )
+            if cs.encoding not in UNBOUNDED_DICTS:
+                # schemes/predicates are vocabulary-sized -> broadcast;
+                # hosts/graphs are unbounded at web scale -> plain join
+                # (AQE broadcasts when the measured size is small)
+                dim = F.broadcast(dim)
             df = (
                 df.join(dim, F.col(cs.name) == F.col(cs.name + "\x00id"), "left")
                 .drop(cs.name, cs.name + "\x00id")
@@ -154,7 +158,15 @@ def reconstruct_triples(
         for pm in t.predicates:
             pieces.append(table_triples(df, t, pm, dicts))
     if not pieces:
-        raise ValueError("empty catalog")
+        # an empty KG (e.g. every source statement was a parse error) is a
+        # valid KG with zero triples, not an error condition
+        from pyspark.sql import SparkSession
+
+        return SparkSession.getActiveSession().createDataFrame(
+            [],
+            "s_kind string, s string, p string, o_kind string, "
+            "o_lex string, o_lang string, o_datatype string, g_id bigint",
+        )
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)

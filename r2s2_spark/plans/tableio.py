@@ -146,6 +146,16 @@ class StageIO:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(target)
+        if not any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(target)
+            for f in fs
+        ):
+            # zero rows + partitionBy writes NO data files (just _SUCCESS),
+            # which cannot be read back (UNABLE_TO_INFER_SCHEMA) — e.g. a
+            # corpus whose every statement is a parse error. Re-write one
+            # empty schema-bearing file so the stage dir always reads.
+            df.limit(0).repartition(1).write.mode("overwrite").parquet(target)
         return target
 
     def read_parquet(self, stage: str, name: str = "data") -> DataFrame:

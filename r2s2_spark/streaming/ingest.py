@@ -99,9 +99,15 @@ def compact_stream(spark: SparkSession, work_dir: str, force: bool = True):
     pattern: the streamed statements under ``<work_dir>/stream`` become a
     full committed KG (stage E adopted from the stream's output, then the
     ordinary D/V/O/M batch stages, all snapshot-committed and queryable
-    via the standard KgPipeline surface). Idempotent over re-runs:
-    statements are already exactly-once per the streaming checkpoint, and
-    the stage runner skips committed stages unless ``force``.
+    via the standard KgPipeline surface).
+
+    Delivery contract: the streamed appends are AT-LEAST-ONCE — foreachBatch
+    + parquet append can replay a micro-batch whose files landed but whose
+    checkpoint commit didn't (crash in between), duplicating rows. Adoption
+    therefore dedupes BOTH sides here (files on file_sha256, statements on
+    the full row — a replayed batch rewrites byte-identical rows), so
+    stage E/D counts and lineage see exactly-once data. The stage runner
+    skips committed stages unless ``force``.
 
     Returns the compacted :class:`~r2s2_spark.pipeline.KgPipeline`.
     """
@@ -112,7 +118,11 @@ def compact_stream(spark: SparkSession, work_dir: str, force: bool = True):
     pipe = KgPipeline(spark, os.path.join(work_dir, "compacted"), force=force)
 
     def adopt_e(io) -> dict:
-        stmts = spark.read.parquet(f"{work_dir}/stream/statements").drop("p_part")
+        stmts = (
+            spark.read.parquet(f"{work_dir}/stream/statements")
+            .drop("p_part")
+            .dropDuplicates()
+        )
         files = spark.read.parquet(f"{work_dir}/stream/files").dropDuplicates(
             ["file_sha256"]
         )

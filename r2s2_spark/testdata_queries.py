@@ -633,6 +633,31 @@ def dedup_exact_groups(spark, sf_dir):
 @q(
     "sequence_packing",
     """
+    SELECT doc_id, shard_id, n_tokens,
+           CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard_id
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) / 2048.0) AS BIGINT) AS bin_id
+    FROM (
+      SELECT doc_id,
+             CAST(instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                  AS BIGINT) AS shard_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Concat-then-chunk packing into 2048-token bins, SHARDED by default
+    (deterministic md5-hex shard; each shard packs under its own window —
+    the scale-safe form, no single-partition stage)."""
+    return dedup.pack_by_token_budget(t(spark, sf_dir, "documents"), budget=2048)
+
+
+@q(
+    "sequence_packing_global",
+    """
     SELECT doc_id, n_tokens,
            CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -644,10 +669,12 @@ def dedup_exact_groups(spark, sf_dir):
     )
     """,
 )
-def sequence_packing(spark, sf_dir):
-    """Concat-then-chunk packing into 2048-token bins (deterministic id
-    order; the straddling doc belongs to the bin it starts in)."""
-    return dedup.pack_by_token_budget(t(spark, sf_dir, "documents"), budget=2048)
+def sequence_packing_global(spark, sf_dir):
+    """The explicit opt-in whole-corpus packing order (ONE global window —
+    corpus-manifest sizes only; the sharded default is the 100 TB form)."""
+    return dedup.pack_by_token_budget(
+        t(spark, sf_dir, "documents"), budget=2048, global_order=True
+    )
 
 
 _MINHASH_CTE = """

@@ -160,14 +160,21 @@ def test_vacuum_compacts_and_expires(spark, tmp_path):
 
     pipe = KgPipeline(spark, str(tmp_path / "wd"))
     pipe.load(fx.fixture_loading(spark))
-    # simulate a crash leftover: stage dir without a manifest
-    orphan = os.path.join(pipe.io.root, "X")
+    # simulate a crash leftover: a KNOWN stage dir without a manifest
+    # (stage L was never run here, so its dir is an uncommitted orphan)
+    orphan = os.path.join(pipe.io.root, "L")
     os.makedirs(orphan)
     open(os.path.join(orphan, "junk.parquet"), "w").write("x")
+    # a user-placed directory that is NOT a stage must survive the sweep
+    # (ADVICE r2: vacuum may only delete what the pipeline owns)
+    user_dir = os.path.join(pipe.io.root, "my_notes")
+    os.makedirs(user_dir)
+    open(os.path.join(user_dir, "keep.txt"), "w").write("mine")
 
     before = reconstructed_set(pipe)
     stats = pipe.vacuum(compact_target_mb=128, expire_superseded=True)
     assert stats["orphans_removed"] == 1 and not os.path.exists(orphan)
+    assert os.path.exists(os.path.join(user_dir, "keep.txt"))
     assert stats["superseded_removed"] >= 1
     assert not os.path.exists(pipe.io.path("V", "data"))
     # manifests/catalogs/lineage survive; the current stage still reads

@@ -107,6 +107,31 @@ def test_multigraph_two_rows_precollapse(spark, tmp_path):
     }
 
 
+def test_graph_iri_join_not_forced_broadcast(loaded):
+    """The graphs dict is unbounded by design (per-file graphs at
+    10^12-file scale) — triples_with_graph_iri must NOT force-broadcast it.
+    With auto-broadcast off, a forced hint would still plan
+    BroadcastHashJoin on g_id; the fix leaves strategy choice to AQE, so
+    the g_id join plans as a shuffle join."""
+    spark = loaded.spark
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            loaded.triples_with_graph_iri()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    g_id_joins = [
+        ln for ln in plan.splitlines() if "Join" in ln and "g_id" in ln
+    ]
+    assert g_id_joins, plan
+    assert not any("Broadcast" in ln for ln in g_id_joins), g_id_joins
+
+
 def test_dictionaries_deterministic(loaded):
     preds1 = [(r.id, r.iri) for r in loaded.predicates().orderBy("id").collect()]
     assert preds1 == [(1, RDF + "type"), (2, RDFS + "label")]
@@ -133,3 +158,14 @@ def test_lineage_rows(loaded):
     assert pdf.n_rows.sum() == 15
     shas = {s for row in pdf.input_sha256_set for s in row}
     assert len(shas) == 1  # single fixture file
+
+
+def test_all_parse_errors_yields_empty_kg(spark, tmp_path):
+    """A corpus whose every statement is malformed is a VALID empty KG:
+    the load must complete (zero-row partitioned writes used to leave a
+    file-less parquet dir -> UNABLE_TO_INFER_SCHEMA on the V read) and
+    triples() must return an empty frame, not raise 'empty catalog'."""
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    pipe.load(fx.source_files_df(spark, [fx._row("r", "bad.nt", "<x> malformed")]))
+    assert pipe.triples().count() == 0
+    assert pipe.io.manifest("E")["statements"] == 0
