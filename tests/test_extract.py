@@ -310,8 +310,9 @@ def test_turtle_long_strings_and_trailing_dot():
 
 def test_rdfxml_relative_iri_resolution():
     """rdf:about/rdf:resource relative references resolve against xml:base
-    ('#frag' onto the document, '/abs' onto the authority, 'rel' onto the
-    base path) — ubiquitous in hand-written RDF/XML."""
+    per full RFC 3986 ('#frag' onto the document, '/abs' onto the
+    authority, 'rel' MERGES onto the base path replacing its last segment,
+    '..' climbs) — ubiquitous in hand-written RDF/XML."""
     from r2s2_spark.sources.rdfxml import parse_rdfxml
 
     xml = f"""<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="{EX}"
@@ -319,12 +320,19 @@ def test_rdfxml_relative_iri_resolution():
       <rdf:Description rdf:about="#me">
         <ex:knows rdf:resource="other"/>
         <ex:root rdf:resource="/top"/>
+        <ex:up rdf:resource="../sib/./x"/>
+        <ex:q rdf:resource="?k=v"/>
+        <ex:auth rdf:resource="//cdn.org/z"/>
         <ex:abs rdf:resource="https://x.org/y"/>
       </rdf:Description>
     </rdf:RDF>"""
     stmts, errors = parse_rdfxml(xml, "g")
     assert errors == []
     spo = {(s[2], s[3], s[5]) for s in stmts}
-    assert ("http://b.org/dir/doc#me", EX + "knows", "http://b.org/dir/doc/other") in spo
-    assert ("http://b.org/dir/doc#me", EX + "root", "http://b.org/top") in spo
-    assert ("http://b.org/dir/doc#me", EX + "abs", "https://x.org/y") in spo
+    me = "http://b.org/dir/doc#me"
+    assert (me, EX + "knows", "http://b.org/dir/other") in spo
+    assert (me, EX + "root", "http://b.org/top") in spo
+    assert (me, EX + "up", "http://b.org/sib/x") in spo
+    assert (me, EX + "q", "http://b.org/dir/doc?k=v") in spo
+    assert (me, EX + "auth", "http://cdn.org/z") in spo
+    assert (me, EX + "abs", "https://x.org/y") in spo
