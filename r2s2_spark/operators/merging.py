@@ -40,23 +40,35 @@ SEP = "\x00"
 
 def subject_key(table: TableSpec) -> "F.Column":
     """concatSubjectColumns (TableMergingConcurence.java:232-244): physical
-    columns by value, virtual columns inlined as literals."""
+    columns by value, virtual columns inlined as literals.
+
+    Keys are built from FULL lexical part values: a column's factored-out
+    ``lcp_prefix`` (F3 substring strip) is prepended, exactly as
+    reconstruction does (r2rml.py table_triples). Comparing stripped
+    values cross-merged tables whose subjects share suffixes under
+    different prefixes — e.g. .../nation/0 vs .../region/0 both stripped
+    to '0' — silently attaching one entity's statements to another."""
     pieces = []
     for cs in table.subject_columns:
         if cs.physical:
             # physical NULL propagates -> row never matches (DuckDB
-            # NULL||x = NULL in the reference's concat key)
-            pieces.append(F.col(cs.name).cast("string"))
+            # NULL||x = NULL in the reference's concat key); the prefix
+            # concat preserves that (concat propagates NULL)
+            v = F.col(cs.name).cast("string")
+            if cs.lcp_prefix:
+                v = F.concat(F.lit(cs.lcp_prefix), v)
+            pieces.append(v)
         else:
             # an absent (all-NULL virtual) part is a *column* property, not
             # a row property: sentinel so two tables with the same absent
             # part still match (the reference string-concats Java null into
             # the literal 'null', same effect)
-            pieces.append(
-                F.lit(cs.virtual_value if cs.virtual_value is not None else "\x01null").cast(
-                    "string"
-                )
+            full = (
+                (cs.lcp_prefix or "") + cs.virtual_value
+                if cs.virtual_value is not None
+                else "\x01null"
             )
+            pieces.append(F.lit(full).cast("string"))
         pieces.append(F.lit(SEP))
     return F.concat(*pieces[:-1]) if pieces else F.lit(None)
 
@@ -99,7 +111,13 @@ def merge_pair(
         for cs in [*pm.columns, pm.graph_column]:
             if cs is not None and cs.physical:
                 move_cols.append(cs.name)
-        mc.predicates.append(copy.deepcopy(pm))
+        moved = copy.deepcopy(pm)
+        # non-matched mc rows hold NULL in the moved physical columns;
+        # reconstruction must not render the map's virtual constants for
+        # them (a merged-in all-virtual-but-path IRI map would otherwise
+        # fabricate scheme+host terms for every non-matched subject)
+        moved.merged = True
+        mc.predicates.append(moved)
 
     ok = subject_key(other).alias("__k")
     payload = other_df.select(ok, *move_cols)

@@ -54,6 +54,12 @@ class PredicateMapSpec:
     datatype: str | None = None
     columns: list[ColumnSpec] = field(default_factory=list)  # object group
     graph_column: ColumnSpec | None = None
+    #: True when stage M copied this map into a merge target: rows the
+    #: merged-in predicate does not describe hold NULL in its physical
+    #: columns, so reconstruction must require a physical hit before
+    #: rendering the map's VIRTUAL constants (else a non-matched row
+    #: fabricates a term from the constants alone).
+    merged: bool = False
 
 
 @dataclass
@@ -129,6 +135,7 @@ class Catalog:
                         graph_column=col(p["graph_column"])
                         if p["graph_column"] is not None
                         else None,
+                        merged=p.get("merged", False),
                     )
                     for p in t["predicates"]
                 ],

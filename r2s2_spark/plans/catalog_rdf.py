@@ -104,6 +104,8 @@ def catalog_to_turtle(catalog: Catalog) -> str:
                 pm_pairs.append(("lang", _lit(pm.lang)))
             if pm.datatype is not None:
                 pm_pairs.append(("datatype", _lit(pm.datatype)))
+            if pm.merged:
+                pm_pairs.append(("merged", _lit("true")))
             for j, c in enumerate(pm.columns):
                 pm_pairs.append(("column", f"<{_C}{t.name}:{i}:{j}>"))
             if pm.graph_column is not None:
@@ -172,6 +174,7 @@ def catalog_from_turtle(text: str) -> Catalog:
                     datatype=get(pm_iri, "datatype"),
                     columns=[col(c) for c in by_index(get_all(pm_iri, "column"))],
                     graph_column=col(g_iris[0]) if g_iris else None,
+                    merged=get(pm_iri, "merged") == "true",
                 )
             )
         tables.append(

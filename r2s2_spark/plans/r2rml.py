@@ -102,6 +102,24 @@ def _decode_encoded(df: DataFrame, specs: list[ColumnSpec], dicts: dict[str, Dat
     return df
 
 
+def _merged_presence_filter(df: DataFrame, pm: PredicateMapSpec) -> DataFrame:
+    """For a stage-M merged-in predicate map, keep only rows the merge join
+    actually matched — i.e. at least one moved PHYSICAL column is set.
+    Without this, a non-matched row renders the map's virtual constants as
+    a fabricated term (e.g. a bare scheme+host IRI)."""
+    if not pm.merged:
+        return df
+    phys = [cs.name for cs in pm.columns if cs.physical]
+    if pm.graph_column is not None and pm.graph_column.physical:
+        phys.append(pm.graph_column.name)
+    if not phys:
+        return df
+    present = F.lit(False)
+    for name in phys:
+        present = present | F.col(name).isNotNull()
+    return df.where(present)
+
+
 def table_triples(
     df: DataFrame,
     table: TableSpec,
@@ -111,6 +129,7 @@ def table_triples(
     """One predicate map of one table -> its triples (graph ids exploded)."""
     if dicts:
         df = _decode_encoded(df, [*table.subject_columns, *pm.columns], dicts)
+    df = _merged_presence_filter(df, pm)
     s_lex, _, _ = _term_exprs(table.subject_columns, table.subject_kind)
     o_lex, o_lang, o_dt = _term_exprs(pm.columns, pm.obj_kind)
 
@@ -188,6 +207,7 @@ def distinct_types(
                 df = reader(t)
                 if dicts:
                     df = _decode_encoded(df, list(pm.columns), dicts)
+                df = _merged_presence_filter(df, pm)
                 o_lex, _, _ = _term_exprs(pm.columns, pm.obj_kind)
                 pieces.append(df.select(o_lex.alias("type")).where(o_lex.isNotNull()))
     if not pieces:

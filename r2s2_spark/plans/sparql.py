@@ -33,6 +33,12 @@ path predicate's edges — a documented narrowing of the spec's
 "all terms in the graph" (full-graph term enumeration would scan every
 table; incident terms are what real engines' users observe for connected
 data).
+
+Solution modifiers and filters (SPARQL 1.1 §8, §11): OPTIONAL
+(left join, marker-key form for disjoint domains), FILTER, MINUS,
+FILTER EXISTS / NOT EXISTS (semi/anti joins), BIND (withColumn), and
+GROUP BY aggregates (``group_by`` + ``agg``) — all compile to single
+Catalyst operators, no driver-side evaluation.
 """
 
 from __future__ import annotations
@@ -43,7 +49,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .r2rml import _decode_encoded, _term_exprs
+from .r2rml import _decode_encoded, _merged_presence_filter, _term_exprs
 
 
 @dataclass(frozen=True)
@@ -238,6 +244,7 @@ def _pattern_frame(
             df = reader(t)
             if dicts:
                 df = _decode_encoded(df, [*t.subject_columns, *pm.columns], dicts)
+            df = _merged_presence_filter(df, pm)
             s_lex, _, _ = _term_exprs(t.subject_columns, t.subject_kind)
             o_lex, o_lang, o_dt = _term_exprs(pm.columns, pm.obj_kind)
             sel = [
@@ -378,6 +385,11 @@ def bgp(
     filter=None,
     graph=None,
     minus: list[list[tuple]] | None = None,
+    exists: list[list[tuple]] | None = None,
+    not_exists: list[list[tuple]] | None = None,
+    bind: list[tuple] | None = None,
+    group_by: list[str] | None = None,
+    agg: dict | None = None,
 ) -> DataFrame:
     """Compile a BGP to a DataFrame: per-pattern predicate-pruned scans
     joined on shared variables (Catalyst reorders/broadcasts as usual).
@@ -401,7 +413,23 @@ def bgp(
     ``minus``: a list of MINUS pattern groups (SPARQL 1.1 §8.3): solutions
     compatible with a group's solution on >= 1 shared variable are
     removed (left-anti join on the shared variables); a group sharing NO
-    variable removes nothing, per spec."""
+    variable removes nothing, per spec.
+
+    ``exists`` / ``not_exists``: FILTER (NOT) EXISTS pattern groups
+    (SPARQL 1.1 §8.1.1): a solution passes iff the group matches (resp.
+    does not match) under the solution's bindings — left-semi/left-anti
+    join on the shared variables. A group sharing no variable degenerates
+    to "the group has >= 1 solution at all", realized with the same
+    marker-key join (no driver-side count).
+
+    ``bind``: list of (Column-or-callable, "?var") — SPARQL BIND: each
+    expression (over previously bound variable names, without '?') is
+    evaluated per solution and bound to the new variable, in order.
+
+    ``group_by`` + ``agg``: SPARQL 1.1 §11 aggregates — ``group_by`` lists
+    grouping variables, ``agg`` maps output name -> Column (or
+    callable(df) -> Column) aggregate expression. With ``group_by=[]``
+    the whole solution set is one group (SELECT (COUNT(*) AS ...))."""
     out, bound = _join_patterns(catalog, reader, dicts, patterns, graph)
     for group in optional or []:
         g, g_vars = _join_patterns(catalog, reader, dicts, group, graph)
@@ -428,8 +456,40 @@ def bgp(
             out = out.join(g.select(*shared).distinct(), on=shared, how="left_anti")
         # disjoint domains: MINUS removes nothing (SPARQL 1.1 §8.3 —
         # a solution with no variable in common is not "compatible")
+    for want, groups in ((True, exists or []), (False, not_exists or [])):
+        for group in groups:
+            g, g_vars = _join_patterns(catalog, reader, dicts, group, graph)
+            shared = sorted(bound & g_vars)
+            if shared:
+                out = out.join(
+                    g.select(*shared).distinct(),
+                    on=shared,
+                    how="left_semi" if want else "left_anti",
+                )
+            else:
+                # no shared variable: pass/reject ALL solutions depending
+                # on whether the group has any solution — marker-key join
+                # keeps it lazy and distributed (no driver-side count)
+                marker = g.limit(1).select(F.lit(1).alias("__m"))
+                out = out.withColumn("__m", F.lit(1)).join(
+                    marker, "__m", "left_semi" if want else "left_anti"
+                )
+                if "__m" in out.columns:
+                    out = out.drop("__m")
+    for expr, var in bind or []:
+        out = out.withColumn(
+            var[1:] if var.startswith("?") else var,
+            expr(out) if callable(expr) else expr,
+        )
+        bound.add(var[1:] if var.startswith("?") else var)
     if filter is not None:
         out = out.where(filter(out) if callable(filter) else filter)
+    if agg is not None:
+        keys = [v[1:] if v.startswith("?") else v for v in (group_by or [])]
+        exprs = [
+            (e(out) if callable(e) else e).alias(name) for name, e in agg.items()
+        ]
+        out = out.groupBy(*keys).agg(*exprs) if keys else out.agg(*exprs)
     if select:
         out = out.select(*[v[1:] if v.startswith("?") else v for v in select])
     if distinct:
@@ -470,6 +530,11 @@ def bgp_on_pipeline(
     filter=None,
     graph=None,
     minus=None,
+    exists=None,
+    not_exists=None,
+    bind=None,
+    group_by=None,
+    agg=None,
 ) -> DataFrame:
     stage = stage or pipe.last_catalog_stage()
     dicts = pipe.dicts(stage)
@@ -488,6 +553,11 @@ def bgp_on_pipeline(
         filter,
         graph,
         minus,
+        exists,
+        not_exists,
+        bind,
+        group_by,
+        agg,
     )
 
 

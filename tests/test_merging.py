@@ -140,3 +140,42 @@ def test_sql_views_over_loaded_kg(loaded, spark):
         "AND o_lang = 'en-UK' ORDER BY o_lex"
     ).collect()
     assert [r.o_lex for r in labels] == ["lala", "lala lala"]
+
+
+def test_no_cross_entity_merge_on_stripped_suffixes(spark, tmp_path):
+    """Subject keys must compare FULL lexical values: after stage O's
+    prefix strip, .../nation/0 and .../region/0 both store suffix '0' in
+    their subject path columns under different lcp_prefix values. A key
+    built from stripped values cross-merged the two entity families,
+    silently attaching one entity's statements to another. End-to-end
+    triple-set equality catches both that and the merged-in virtual-
+    constant fabrication (a non-matched subject rendering a bare
+    scheme+host IRI from a merged map's constants)."""
+    nq = []
+    expect = set()
+    for k in range(5):
+        nq.append(f"<{EX}nation/{k}> <{EX}inRegion> <{EX}region/{k}> .")
+        expect.add((f"{EX}nation/{k}", f"{EX}inRegion", f"{EX}region/{k}", None, None, "iri"))
+        nq.append(f'<{EX}region/{k}> <{EX}rname> "r{k}" .')
+        expect.add((f"{EX}region/{k}", f"{EX}rname", f"r{k}", None, XSD + "string", "literal"))
+        if k < 4:
+            nq.append(f"<{EX}region/{k}> <{EX}next> <{EX}region/{k + 1}> .")
+            expect.add((f"{EX}region/{k}", f"{EX}next", f"{EX}region/{k + 1}", None, None, "iri"))
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    pipe.load(fx.source_files_df(spark, [fx._row("r", "x.nt", "\n".join(nq))]))
+    got = reconstructed_set(pipe, "M")
+    assert got == expect, got ^ expect
+
+
+def test_merged_map_flag_roundtrips(loaded):
+    """The merged-in marker survives the catalog JSON round-trip (the
+    presence filter depends on it when a later session reads stage M)."""
+    from r2s2_spark.plans.catalog import Catalog
+
+    cat = loaded.catalog("M")
+    merged_flags = [pm.merged for t in cat.tables for pm in t.predicates]
+    assert any(merged_flags)  # the loading fixture does merge
+    back = Catalog.from_json(cat.to_json())
+    assert [
+        pm.merged for t in back.tables for pm in t.predicates
+    ] == merged_flags
