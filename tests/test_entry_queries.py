@@ -214,3 +214,17 @@ def test_ann_index_partition_pruning(spark, tmp_path):
         for r in cosine_topk_bucketed(emb, 0, k=10, n_bits=8).collect()
     ]
     assert indexed == unindexed and len(indexed) > 0
+
+
+def test_registry_order_complete_and_prioritized():
+    """_ORDER is the driver-facing priority: every registered query appears
+    exactly once, every query has an oracle, and the §2 single-coverage
+    gates precede the redundant twins (CORRECTNESS_r02 showed the driver
+    truncates the registry TAIL, so order is what protects coverage)."""
+    names = list(tq.QUERIES)
+    assert names == tq._ORDER
+    assert len(names) == len(set(names))
+    assert set(tq.ORACLES) == set(names)
+    twins = {"minhash_lsh_pairs", "sequence_packing_global", "ann_cosine_topk"}
+    first_twin = min(names.index(n) for n in twins)
+    assert all(names.index(n) < first_twin for n in names if n not in twins)
