@@ -400,3 +400,65 @@ def test_inverse_path(spark, tmp_path):
         p, [(EX + "c", PathInverse(PathPlus(EX + "next")), "?x")], select=["?x"]
     )
     assert {r.x for r in inv_plus.collect()} == {EX + "a", EX + "b"}
+
+
+def test_filter_exists_and_not_exists(pipe):
+    """FILTER EXISTS / NOT EXISTS (SPARQL 1.1 §8.1.1) on the odd/even
+    fixture with labels: keep subjects that do (not) have a label."""
+    out = bgp_on_pipeline(
+        pipe,
+        [("?s", RDF_TYPE, EX + "even")],
+        select=["?s"],
+        exists=[[("?s", RDFS + "label", "?l")]],
+    )
+    assert out.count() == 50  # every even-classed subject has a label
+    none = bgp_on_pipeline(
+        pipe,
+        [("?s", RDF_TYPE, EX + "even")],
+        select=["?s"],
+        not_exists=[[("?s", RDFS + "label", "?l")]],
+    )
+    assert none.count() == 0
+    # disjoint-variable EXISTS: group non-empty -> all pass; group over an
+    # absent predicate -> empty -> all drop (and NOT EXISTS inverts)
+    alive = bgp_on_pipeline(
+        pipe, [("?s", RDF_TYPE, EX + "even")],
+        exists=[[("?x", RDFS + "label", "?l")]],
+    )
+    assert alive.count() == 50
+    dead = bgp_on_pipeline(
+        pipe, [("?s", RDF_TYPE, EX + "even")],
+        exists=[[("?x", EX + "nosuch", "?l")]],
+    )
+    assert dead.count() == 0
+    inverted = bgp_on_pipeline(
+        pipe, [("?s", RDF_TYPE, EX + "even")],
+        not_exists=[[("?x", EX + "nosuch", "?l")]],
+    )
+    assert inverted.count() == 50
+
+
+def test_bind_and_aggregates(pipe):
+    """BIND + GROUP BY aggregates (SPARQL 1.1 §11): count subjects per
+    class, and bind a computed column usable by a later FILTER."""
+    counts = bgp_on_pipeline(
+        pipe,
+        [("?s", RDF_TYPE, "?t")],
+        group_by=["?t"],
+        agg={"n": F.count(F.lit(1))},
+        select=["?t", "?n"],
+    )
+    got = {r.t: r.n for r in counts.collect()}
+    assert got == {EX + "even": 50, EX + "odd": 49}
+    total = bgp_on_pipeline(
+        pipe, [("?s", RDF_TYPE, "?t")], group_by=[], agg={"n": F.count(F.lit(1))}
+    )
+    assert total.collect()[0].n == 99
+    bound = bgp_on_pipeline(
+        pipe,
+        [("?s", RDF_TYPE, "?t")],
+        bind=[(lambda df: F.upper(df.t), "?ut")],
+        filter=lambda df: df.ut.endswith("EVEN"),
+        select=["?s", "?ut"],
+    )
+    assert bound.count() == 50
