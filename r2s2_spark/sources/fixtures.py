@@ -210,3 +210,66 @@ def synthetic_source_files(
         F.lit("ntriples").alias("lang"),
         F.array_join(line, "\n").alias("content"),
     )
+
+
+def synthetic_source_files_syntax(
+    spark: SparkSession,
+    n_files: int,
+    statements_per_file: int = 100,
+    syntax: str = "turtle",
+    partitions: int | None = None,
+) -> DataFrame:
+    """The same statement population as :func:`synthetic_source_files`
+    rendered in another RDF syntax — feeds the per-syntax parse-throughput
+    benchmark (the NT fast path is vectorized; Turtle/RDF-XML tokenize
+    per-statement inside the Arrow batch, so their ceiling must be
+    measured, not assumed). Generation stays executor-side Catalyst."""
+    from pyspark.sql import functions as F
+
+    n_entities = max(1000, n_files * statements_per_file // 10)
+    df = spark.range(0, n_files, 1, partitions or spark.sparkContext.defaultParallelism)
+    sid = F.col("id")
+    seq = F.sequence(F.lit(0), F.lit(statements_per_file - 1))
+    ent = lambda j: ((sid * statements_per_file + j) % F.lit(n_entities)).cast("string")  # noqa: E731
+    prd = lambda j: (F.abs(F.xxhash64(sid * statements_per_file + j)) % 7).cast("string")  # noqa: E731
+    val = lambda j: ((sid * statements_per_file + j) % 97).cast("string")  # noqa: E731
+
+    if syntax == "turtle":
+        lines = F.transform(
+            seq,
+            lambda j: F.concat(
+                F.lit("ex:e"), ent(j), F.lit(" ex:p"), prd(j),
+                F.lit(' "v'), val(j), F.lit('"^^xsd:string .'),
+            ),
+        )
+        content = F.concat(
+            F.lit(f"@prefix ex: <{EX}> .\n@prefix xsd: <{XSD}> .\n"),
+            F.array_join(lines, "\n"),
+        )
+        lang, suffix = "turtle", ".ttl"
+    elif syntax == "rdfxml":
+        lines = F.transform(
+            seq,
+            lambda j: F.concat(
+                F.lit(f'<rdf:Description rdf:about="{EX}e'), ent(j),
+                F.lit('"><ex:p'), prd(j),
+                F.lit(f' rdf:datatype="{XSD}string">v'), val(j),
+                F.lit("</ex:p"), prd(j), F.lit("></rdf:Description>"),
+            ),
+        )
+        content = F.concat(
+            F.lit(f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="{EX}">\n'),
+            F.array_join(lines, "\n"),
+            F.lit("\n</rdf:RDF>"),
+        )
+        lang, suffix = "rdfxml", ".rdf"
+    else:
+        raise ValueError(syntax)
+
+    return df.select(
+        F.concat(F.lit("repo"), (sid % 257).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), sid.cast("string"), F.lit(suffix)).alias("path"),
+        F.sha1(F.concat(F.lit("c"), sid.cast("string"))).alias("commit"),
+        F.lit(lang).alias("lang"),
+        content.alias("content"),
+    )
