@@ -1,0 +1,750 @@
+"""Textual SPARQL front-end: parse a SPARQL SELECT string and compile it
+through :mod:`r2s2_spark.plans.sparql` to a DataFrame.
+
+The reference exposes textual SPARQL through Ontop over its R2RML mapping
+(SparqlOnLoadedTest.java:111-127 runs ``SELECT DISTINCT ?type FROM
+<http://example.org/graph> WHERE {[] a ?type}`` verbatim); this module is
+the Spark-side equivalent so a reference user can paste their query
+strings unchanged. Parsing is a small recursive-descent pass; ALL
+execution semantics live in ``sparql.bgp`` (predicate-pruned scans,
+Catalyst joins) — the parser only builds the pattern/modifier structure.
+
+Supported surface (SPARQL 1.1 SELECT):
+- prologue: ``PREFIX``, ``BASE``
+- ``SELECT [DISTINCT] ?v ... | * | (AGG(...) AS ?v)`` with COUNT / SUM /
+  AVG / MIN / MAX (+ DISTINCT inside COUNT), ``GROUP BY``
+- ``FROM <iri>`` (named-graph restriction; repeated FROM unsupported)
+- ``WHERE { ... }`` group: triple blocks with ``;`` / ``,`` / ``a`` /
+  ``[]`` / ``_:b`` abbreviations, property paths (``^``, ``/``, ``|``,
+  ``+``, ``*``, ``?``, parens), OPTIONAL, FILTER (expression subset
+  below), FILTER [NOT] EXISTS, MINUS, BIND, GRAPH <iri>|?g { ... },
+  top-level UNION of plain groups
+- solution modifiers: ``ORDER BY [ASC|DESC](expr)``, ``LIMIT``, ``OFFSET``
+
+FILTER/BIND expression subset: ``|| && !``, comparisons (numeric when one
+side is a numeric literal — lexical values try_cast to double; string
+equality otherwise), arithmetic, ``BOUND CONTAINS STRSTARTS STRENDS
+STRLEN UCASE LCASE CONCAT SUBSTR REGEX COALESCE IF``. ``LANG()`` /
+``DATATYPE()`` are rejected at parse time: the solution frames bind
+lexical forms only (use ``sparql.Literal`` constants in the programmatic
+API for language/datatype constraints).
+
+Out of scope (raises ``SparqlUnsupported`` with the construct named):
+CONSTRUCT/ASK/DESCRIBE, subqueries, VALUES, nested OPTIONAL-in-OPTIONAL
+groups, UNION combined with other group elements, sequence paths inside
+alternation, HAVING, federation (SERVICE). The programmatic ``bgp()``
+surface remains the escape hatch.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from ..naming import RDF
+from .sparql import (
+    Literal,
+    PathAlt,
+    PathInverse,
+    PathOpt,
+    PathPlus,
+    PathSeq,
+    PathStar,
+    bgp,
+    bgp_union,
+)
+
+
+class SparqlUnsupported(Exception):
+    """Query uses a construct outside the supported subset."""
+
+
+class SparqlSyntaxError(Exception):
+    pass
+
+
+_TOKEN = re.compile(
+    r"""
+      (?P<ws>\s+|\#[^\n]*)
+    | (?P<iri><[^<>\s{}|^`\\]*>)
+    | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
+    | (?P<bnode>_:[A-Za-z0-9_]+)
+    | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<pname>[A-Za-z_][A-Za-z0-9_.\-]*?:[A-Za-z0-9_.\-]*|:[A-Za-z0-9_.\-]*)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().;,*/|^?+!<>=\[\]$@-])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m:
+            raise SparqlSyntaxError(f"lex error at {text[pos:pos + 30]!r}")
+        if m.lastgroup != "ws":
+            out.append((m.lastgroup, m.group(0)))
+        pos = m.end()
+    out.append(("eof", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.anon = 0
+
+    # -- token helpers ----------------------------------------------------
+    def peek(self, k: int = 0) -> tuple[str, str]:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_word(self, *words: str) -> bool:
+        kind, val = self.peek()
+        return kind == "word" and val.upper() in words
+
+    def eat_word(self, word: str) -> None:
+        kind, val = self.next()
+        if kind != "word" or val.upper() != word:
+            raise SparqlSyntaxError(f"expected {word}, got {val!r}")
+
+    def eat_op(self, op: str) -> None:
+        kind, val = self.next()
+        if val != op:
+            raise SparqlSyntaxError(f"expected {op!r}, got {val!r}")
+
+    # -- terms ------------------------------------------------------------
+    def _iri(self, raw: str) -> str:
+        inner = raw[1:-1]
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", inner):
+            from ..sources.iri import resolve
+
+            return resolve(inner, self.base)
+        return inner
+
+    def _pname(self, raw: str) -> str:
+        p, _, local = raw.partition(":")
+        if p not in self.prefixes:
+            raise SparqlSyntaxError(f"unknown prefix {p!r}:")
+        return self.prefixes[p] + local
+
+    def fresh_var(self) -> str:
+        self.anon += 1
+        return f"?__anon{self.anon}"
+
+    def term(self, position: str):
+        """One s/p/o term. Returns a str (var or IRI), Literal, or raises."""
+        kind, val = self.peek()
+        if kind == "var":
+            self.next()
+            return "?" + val[1:]
+        if kind == "iri":
+            self.next()
+            return self._iri(val)
+        if kind == "pname":
+            self.next()
+            return self._pname(val)
+        if kind == "bnode":
+            self.next()
+            # a query bnode is an anonymous variable scoped to the query
+            return "?__bn_" + val[2:]
+        if kind == "word" and val == "a":
+            self.next()
+            return RDF + "type"
+        if val == "[":
+            self.next()
+            self.eat_op("]")
+            return self.fresh_var()
+        if kind == "string":
+            self.next()
+            lex = _unquote(val)
+            nk, nv = self.peek()
+            if nv == "@":
+                self.next()
+                k2, v2 = self.next()
+                # language tags may lex as word('en') ['-' word('UK')]*
+                tag = v2
+                while self.peek()[1] == "-":
+                    self.next()
+                    tag += "-" + self.next()[1]
+                return Literal(lex, lang=tag)
+            if nv == "^^":
+                self.next()
+                k2, v2 = self.next()
+                dt = self._iri(v2) if k2 == "iri" else self._pname(v2)
+                return Literal(lex, datatype=dt)
+            return lex if position == "o" else lex
+        if kind == "number":
+            self.next()
+            return Literal(val)
+        raise SparqlSyntaxError(f"unexpected term {val!r} in {position}")
+
+    # -- property paths ---------------------------------------------------
+    def path(self):
+        return self._path_alt()
+
+    def _path_alt(self):
+        parts = [self._path_seq()]
+        while self.peek()[1] == "|":
+            self.next()
+            parts.append(self._path_seq())
+        if len(parts) == 1:
+            return parts[0]
+        if any(isinstance(p, PathSeq) for p in parts):
+            raise SparqlUnsupported("sequence path inside alternation")
+        return PathAlt(tuple(parts))
+
+    def _path_seq(self):
+        parts = [self._path_elt()]
+        while self.peek()[1] == "/":
+            self.next()
+            parts.append(self._path_elt())
+        return parts[0] if len(parts) == 1 else PathSeq(tuple(parts))
+
+    def _path_elt(self):
+        inverse = False
+        if self.peek()[1] == "^":
+            self.next()
+            inverse = True
+        p = self._path_primary()
+        mod = self.peek()[1]
+        if mod in ("+", "*", "?"):
+            if not isinstance(p, str):
+                raise SparqlUnsupported(
+                    f"path modifier {mod!r} on a compound path (closure is "
+                    "supported over a single predicate)"
+                )
+            self.next()
+            p = {"+": PathPlus, "*": PathStar, "?": PathOpt}[mod](p)
+        return PathInverse(p) if inverse else p
+
+    def _path_primary(self):
+        kind, val = self.peek()
+        if val == "(":
+            self.next()
+            inner = self.path()
+            self.eat_op(")")
+            return inner
+        if kind == "iri":
+            self.next()
+            return self._iri(val)
+        if kind == "pname":
+            self.next()
+            return self._pname(val)
+        if kind == "word" and val == "a":
+            self.next()
+            return RDF + "type"
+        raise SparqlSyntaxError(f"bad path element {val!r}")
+
+    # -- triples block ----------------------------------------------------
+    def triples_block(self, patterns: list) -> None:
+        """subject (path object (',' object)*) (';' path objects)* '.'"""
+        s = self.term("s")
+        if isinstance(s, Literal):
+            raise SparqlSyntaxError("literal subject")
+        while True:
+            p = self.path() if self.peek()[0] != "var" else self.term("p")
+            o = self.term("o")
+            patterns.append((s, p, o))
+            while self.peek()[1] == ",":
+                self.next()
+                patterns.append((s, p, self.term("o")))
+            if self.peek()[1] != ";":
+                break
+            while self.peek()[1] == ";":
+                self.next()
+            # trailing ';' before '.' or '}' ends the block
+            if self.peek()[1] in (".", "}"):
+                break
+        if self.peek()[1] == ".":
+            self.next()
+
+    # -- group graph pattern ----------------------------------------------
+    def group(self) -> dict:
+        """Parse '{ ... }' into {patterns, optional, minus, exists,
+        not_exists, filters, binds, graph}."""
+        self.eat_op("{")
+        g = {
+            "patterns": [], "optional": [], "minus": [], "exists": [],
+            "not_exists": [], "filters": [], "binds": [], "graph": None,
+            "union": None,
+        }
+        while True:
+            kind, val = self.peek()
+            if val == "}":
+                self.next()
+                break
+            if val == ".":
+                self.next()
+                continue
+            if self.at_word("OPTIONAL"):
+                self.next()
+                sub = self.group()
+                _require_plain(sub, "OPTIONAL group")
+                g["optional"].append(sub["patterns"])
+            elif self.at_word("MINUS"):
+                self.next()
+                sub = self.group()
+                _require_plain(sub, "MINUS group")
+                g["minus"].append(sub["patterns"])
+            elif self.at_word("FILTER"):
+                self.next()
+                if self.at_word("EXISTS"):
+                    self.next()
+                    sub = self.group()
+                    _require_plain(sub, "EXISTS group")
+                    g["exists"].append(sub["patterns"])
+                elif self.at_word("NOT"):
+                    self.next()
+                    self.eat_word("EXISTS")
+                    sub = self.group()
+                    _require_plain(sub, "NOT EXISTS group")
+                    g["not_exists"].append(sub["patterns"])
+                else:
+                    g["filters"].append(self.bracketed_expression())
+            elif self.at_word("BIND"):
+                self.next()
+                self.eat_op("(")
+                expr = self.expression()
+                self.eat_word("AS")
+                k2, v2 = self.next()
+                if k2 != "var":
+                    raise SparqlSyntaxError("BIND ... AS ?var")
+                self.eat_op(")")
+                g["binds"].append((expr, "?" + v2[1:]))
+            elif self.at_word("GRAPH"):
+                self.next()
+                kind2, val2 = self.peek()
+                if kind2 == "var":
+                    self.next()
+                    gterm = "?" + val2[1:]
+                elif kind2 == "iri":
+                    self.next()
+                    gterm = self._iri(val2)
+                elif kind2 == "pname":
+                    self.next()
+                    gterm = self._pname(val2)
+                else:
+                    raise SparqlSyntaxError("GRAPH needs an IRI or variable")
+                sub = self.group()
+                _require_plain(sub, "GRAPH group")
+                if g["graph"] is not None and g["graph"] != gterm:
+                    raise SparqlUnsupported("multiple distinct GRAPH scopes")
+                if g["patterns"] and g["graph"] is None:
+                    # bgp() applies the graph constraint to EVERY pattern,
+                    # so default-graph patterns can't mix with a GRAPH block
+                    raise SparqlUnsupported(
+                        "GRAPH block mixed with non-GRAPH patterns"
+                    )
+                g["graph"] = gterm
+                g["patterns"].extend(sub["patterns"])
+            elif val == "{":
+                # '{A} UNION {B} [UNION {C}...]'
+                branches = [self.group()]
+                while self.at_word("UNION"):
+                    self.next()
+                    branches.append(self.group())
+                for b in branches:
+                    _require_plain(b, "UNION branch")
+                if len(branches) == 1:
+                    g["patterns"].extend(branches[0]["patterns"])
+                else:
+                    g["union"] = [b["patterns"] for b in branches]
+            else:
+                if g["graph"] is not None:
+                    raise SparqlUnsupported(
+                        "GRAPH block mixed with non-GRAPH patterns"
+                    )
+                self.triples_block(g["patterns"])
+        return g
+
+    # -- expressions ------------------------------------------------------
+    def bracketed_expression(self):
+        self.eat_op("(")
+        e = self.expression()
+        self.eat_op(")")
+        return e
+
+    def expression(self):
+        return self._or_expr()
+
+    def _or_expr(self):
+        left = self._and_expr()
+        while self.peek()[1] == "||":
+            self.next()
+            right = self._and_expr()
+            left = _lift2(left, right, lambda a, b: a | b)
+        return left
+
+    def _and_expr(self):
+        left = self._cmp_expr()
+        while self.peek()[1] == "&&":
+            self.next()
+            right = self._cmp_expr()
+            left = _lift2(left, right, lambda a, b: a & b)
+        return left
+
+    def _cmp_expr(self):
+        left = self._add_expr()
+        op = self.peek()[1]
+        if op in ("=", "!=", "<", ">", "<=", ">="):
+            self.next()
+            right = self._add_expr()
+            numeric = isinstance(left, _Num) or isinstance(right, _Num)
+            fns = {
+                "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+                "<": lambda a, b: a < b, ">": lambda a, b: a > b,
+                "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b,
+            }
+            f = fns[op]
+            if numeric:
+                # SPARQL compares typed values; lexical forms try_cast to
+                # double when either side is a numeric literal
+                return _lift2(_as_num(left), _as_num(right), f)
+            return _lift2(left, right, f)
+        return left
+
+    def _add_expr(self):
+        left = self._mul_expr()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            right = self._mul_expr()
+            f = (lambda a, b: a + b) if op == "+" else (lambda a, b: a - b)
+            left = _lift2(_as_num(left), _as_num(right), f)
+        return left
+
+    def _mul_expr(self):
+        left = self._unary_expr()
+        while self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            right = self._unary_expr()
+            f = (lambda a, b: a * b) if op == "*" else (lambda a, b: a / b)
+            left = _lift2(_as_num(left), _as_num(right), f)
+        return left
+
+    def _unary_expr(self):
+        if self.peek()[1] == "!":
+            self.next()
+            inner = self._unary_expr()
+            return lambda df: ~inner(df)
+        return self._primary_expr()
+
+    def _primary_expr(self):
+        kind, val = self.peek()
+        if val == "(":
+            return self.bracketed_expression()
+        if kind == "var":
+            self.next()
+            name = val[1:]
+            return lambda df, n=name: df[n]
+        if kind == "number":
+            self.next()
+            return _Num(float(val) if "." in val or "e" in val.lower() else int(val))
+        if kind == "string":
+            self.next()
+            s = _unquote(val)
+            return lambda df, s=s: F.lit(s)
+        if kind in ("iri", "pname"):
+            self.next()
+            iri = self._iri(val) if kind == "iri" else self._pname(val)
+            return lambda df, s=iri: F.lit(s)
+        if kind == "word":
+            return self._function_call()
+        raise SparqlSyntaxError(f"bad expression at {val!r}")
+
+    def _function_call(self):
+        name = self.next()[1].upper()
+        if name in ("LANG", "DATATYPE"):
+            raise SparqlUnsupported(
+                f"{name}(): solution frames bind lexical forms only — use "
+                "sparql.Literal constants for language/datatype constraints"
+            )
+        if name in ("TRUE", "FALSE"):
+            return lambda df, b=(name == "TRUE"): F.lit(b)
+        self.eat_op("(")
+        args = []
+        if self.peek()[1] != ")":
+            args.append(self.expression())
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(self.expression())
+        self.eat_op(")")
+        return _compile_function(name, args)
+
+    # -- query ------------------------------------------------------------
+    def parse_select(self) -> dict:
+        while True:
+            if self.at_word("PREFIX"):
+                self.next()
+                _, pn = self.next()
+                _, iri = self.next()
+                self.prefixes[pn[:-1] if pn.endswith(":") else pn.partition(":")[0]] = self._iri(iri)
+            elif self.at_word("BASE"):
+                self.next()
+                _, iri = self.next()
+                self.base = self._iri(iri)
+            else:
+                break
+        self.eat_word("SELECT")
+        q = {
+            "distinct": False, "select": [], "agg": {}, "group_by": None,
+            "graph": None, "order": [], "limit": None, "offset": None,
+            "star": False,
+        }
+        if self.at_word("DISTINCT"):
+            self.next()
+            q["distinct"] = True
+        if self.at_word("REDUCED"):
+            self.next()  # REDUCED may legally return DISTINCT's answer
+            q["distinct"] = True
+        while True:
+            kind, val = self.peek()
+            if kind == "var":
+                self.next()
+                q["select"].append(val[1:])
+            elif val == "*":
+                self.next()
+                q["star"] = True
+            elif val == "(":
+                self.next()
+                agg = self._aggregate()
+                self.eat_word("AS")
+                k2, v2 = self.next()
+                self.eat_op(")")
+                q["agg"][v2[1:]] = agg
+                q["select"].append(v2[1:])
+            else:
+                break
+        if self.at_word("FROM"):
+            self.next()
+            if self.at_word("NAMED"):
+                raise SparqlUnsupported("FROM NAMED")
+            kind, val = self.next()
+            q["graph"] = self._iri(val) if kind == "iri" else self._pname(val)
+            if self.at_word("FROM"):
+                raise SparqlUnsupported("multiple FROM graphs")
+        if self.at_word("WHERE"):
+            self.next()
+        q["where"] = self.group()
+        if self.at_word("GROUP"):
+            self.next()
+            self.eat_word("BY")
+            q["group_by"] = []
+            while self.peek()[0] == "var":
+                q["group_by"].append("?" + self.next()[1][1:])
+        if self.at_word("HAVING"):
+            raise SparqlUnsupported("HAVING")
+        if self.at_word("ORDER"):
+            self.next()
+            self.eat_word("BY")
+            while True:
+                if self.at_word("ASC", "DESC"):
+                    desc = self.next()[1].upper() == "DESC"
+                    e = self.bracketed_expression()
+                elif self.peek()[0] == "var":
+                    desc = False
+                    name = self.next()[1][1:]
+                    e = lambda df, n=name: df[n]
+                else:
+                    break
+                q["order"].append((e, desc))
+        if self.at_word("LIMIT"):
+            self.next()
+            q["limit"] = int(self.next()[1])
+        if self.at_word("OFFSET"):
+            self.next()
+            q["offset"] = int(self.next()[1])
+        kind, val = self.peek()
+        if kind != "eof":
+            raise SparqlSyntaxError(f"trailing content at {val!r}")
+        return q
+
+    def _aggregate(self):
+        name = self.next()[1].upper()
+        if name not in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+            raise SparqlUnsupported(f"aggregate {name}")
+        self.eat_op("(")
+        distinct = False
+        if self.at_word("DISTINCT"):
+            self.next()
+            distinct = True
+        if self.peek()[1] == "*":
+            self.next()
+            self.eat_op(")")
+            if name != "COUNT":
+                raise SparqlSyntaxError(f"{name}(*)")
+            return lambda df: F.count(F.lit(1))
+        var = self.next()[1][1:]
+        self.eat_op(")")
+        if name == "COUNT":
+            return (lambda df, v=var: F.countDistinct(df[v])) if distinct else (
+                lambda df, v=var: F.count(df[v])
+            )
+        num = lambda df, v=var: df[v].cast("string").try_cast("double")  # noqa: E731
+        if name == "SUM":
+            return lambda df, _n=num: F.sum(_n(df))
+        if name == "AVG":
+            return lambda df, _n=num: F.avg(_n(df))
+        if name == "MIN":
+            return lambda df, v=var: F.min(df[v])
+        return lambda df, v=var: F.max(df[v])
+
+
+class _Num:
+    """Numeric literal marker: forces numeric comparison semantics."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def __call__(self, df):
+        return F.lit(self.value)
+
+
+def _as_num(e):
+    if isinstance(e, _Num):
+        return e
+    return lambda df: e(df).cast("string").try_cast("double")
+
+
+def _lift2(a, b, f):
+    return lambda df: f(a(df) if callable(a) else a, b(df) if callable(b) else b)
+
+
+def _unquote(raw: str) -> str:
+    body = raw[1:-1]
+    return re.sub(
+        r"\\(.)",
+        lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(m.group(1), m.group(1)),
+        body,
+    )
+
+
+def _compile_function(name: str, args: list):
+    fns = {
+        "BOUND": lambda a: a.isNotNull(),
+        "STR": lambda a: a.cast("string"),
+        "UCASE": F.upper,
+        "LCASE": F.lower,
+        "STRLEN": F.length,
+        "CONTAINS": lambda a, b: a.contains(b),
+        "STRSTARTS": lambda a, b: a.startswith(b),
+        "STRENDS": lambda a, b: a.endswith(b),
+        "ABS": F.abs,
+        "CEIL": F.ceil,
+        "FLOOR": F.floor,
+        "ROUND": F.round,
+        "COALESCE": F.coalesce,
+        "IF": F.when,  # handled below
+    }
+    if name == "REGEX":
+        def regex(df):
+            col = args[0](df)
+            pat = args[1](df)
+            # flags: only a literal 'i' is honored, as (?i)
+            if len(args) > 2:
+                return F.regexp_like(col, F.concat(F.lit("(?i)"), pat))
+            return F.regexp_like(col, pat)
+        return regex
+    if name == "SUBSTR":
+        def substr(df):
+            start = args[1](df) if not isinstance(args[1], _Num) else F.lit(args[1].value)
+            if len(args) > 2:
+                ln = args[2](df) if not isinstance(args[2], _Num) else F.lit(args[2].value)
+                return F.substring(args[0](df), start, ln)
+            return F.substring(args[0](df), start, F.lit(2147483647))
+        return substr
+    if name == "CONCAT":
+        return lambda df: F.concat(*[a(df) for a in args])
+    if name == "IF":
+        return lambda df: F.when(args[0](df), args[1](df)).otherwise(args[2](df))
+    if name == "COALESCE":
+        return lambda df: F.coalesce(*[a(df) for a in args])
+    if name in fns and len(args) == 1:
+        return lambda df: fns[name](args[0](df))
+    if name in fns and len(args) == 2:
+        return lambda df: fns[name](args[0](df), args[1](df))
+    raise SparqlUnsupported(f"function {name}()")
+
+
+def _require_plain(sub: dict, what: str) -> None:
+    extras = [
+        k for k in ("optional", "minus", "exists", "not_exists", "filters", "binds")
+        if sub[k]
+    ]
+    if extras or sub["union"] or sub["graph"]:
+        raise SparqlUnsupported(f"nested {extras or 'group'} inside {what}")
+
+
+def parse_sparql(text: str) -> dict:
+    """Parse a SPARQL SELECT string into the compile plan dict."""
+    return _Parser(text).parse_select()
+
+
+def sparql_query(pipe, text: str, stage: str | None = None):
+    """Run a textual SPARQL SELECT over a loaded :class:`KgPipeline`.
+
+    The reference's flagship query runs verbatim::
+
+        sparql_query(pipe, "SELECT DISTINCT ?type "
+                           "FROM <http://example.org/graph> "
+                           "WHERE {[] a ?type}")
+    """
+    from .sparql import bgp_on_pipeline, bgp_union_on_pipeline
+
+    q = parse_sparql(text)
+    w = q["where"]
+    graph = q["graph"] if q["graph"] is not None else w["graph"]
+
+    if w["union"] is not None:
+        if w["patterns"] or q["agg"]:
+            raise SparqlUnsupported("UNION combined with other group elements")
+        select = None if q["star"] else ["?" + v for v in q["select"]]
+        out = bgp_union_on_pipeline(
+            pipe, w["union"], select=select, distinct=q["distinct"],
+            stage=stage, graph=graph,
+        )
+    else:
+        filters = w["filters"]
+        filt = None
+        if filters:
+            def filt(df, fs=filters):  # noqa: E731
+                cond = fs[0](df)
+                for f in fs[1:]:
+                    cond = cond & f(df)
+                return cond
+        select = None if q["star"] else ["?" + v for v in q["select"]]
+        out = bgp_on_pipeline(
+            pipe,
+            w["patterns"],
+            select=select,
+            distinct=q["distinct"],
+            stage=stage,
+            optional=w["optional"] or None,
+            filter=filt,
+            graph=graph,
+            minus=w["minus"] or None,
+            exists=w["exists"] or None,
+            not_exists=w["not_exists"] or None,
+            bind=w["binds"] or None,
+            group_by=q["group_by"] if q["agg"] else None,
+            agg={k: v for k, v in q["agg"].items()} or None,
+        )
+    for e, desc in reversed(q["order"]):
+        col = e(out)
+        out = out.orderBy(col.desc() if desc else col.asc())
+    if q["offset"]:
+        out = out.offset(q["offset"])
+    if q["limit"] is not None:
+        out = out.limit(q["limit"])
+    return out

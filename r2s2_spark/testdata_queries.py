@@ -1454,6 +1454,30 @@ def sparql_graph_agg(spark, sf_dir):
 
 
 
+@q(
+    "sparql_text_query",
+    f"SELECT '{EX}nation/' || n_nationkey AS s, r_name AS n "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name LIKE 'A%'",
+)
+def sparql_text_query(spark, sf_dir):
+    """TEXTUAL SPARQL front-end (plans/sparql_text.py): a query STRING —
+    prefixes, join, FILTER with STRSTARTS — parsed and compiled through
+    the same BGP engine (the reference's users write textual SPARQL via
+    Ontop; SparqlOnLoadedTest.java:117)."""
+    from .plans.sparql_text import sparql_query
+
+    return sparql_query(
+        _sparql_kg(spark, sf_dir),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?n WHERE {{
+          ?s ex:inRegion ?r . ?r ex:name ?n .
+          FILTER (STRSTARTS(?n, "A"))
+        }}""",
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Registry order. CORRECTNESS_r02 recorded 50 of 52 registered queries —
 # the two missing rows were exactly the LAST TWO registered, i.e. the
@@ -1480,6 +1504,7 @@ _ORDER = [
     # SPARQL surface over a loaded KG (named graphs, paths, MINUS)
     "sparql_from_graph", "sparql_graph_var", "sparql_minus",
     "sparql_path_seq", "sparql_path_star", "sparql_graph_agg",
+    "sparql_text_query",
     # LLM-pipeline operators (each the only gate for its family member)
     "text_stats", "doc_fingerprint", "lang_id_heuristic", "text_clean",
     "dataset_split", "quality_scores", "dedup_exact_groups",
