@@ -203,8 +203,16 @@ def _expand_path_patterns(patterns: list[tuple]) -> list[tuple]:
     return out
 
 
+#: prefixes of the hidden per-variable term-metadata columns carried for
+#: LANG()/DATATYPE() (see ``term_meta``); dropped before projection
+META_LANG, META_DT = "__lang_", "__dt_"
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
 def _pattern_frame(
-    catalog, reader, dicts, pattern, idx: int, graph=None
+    catalog, reader, dicts, pattern, idx: int, graph=None,
+    term_meta: frozenset = frozenset(),
 ) -> tuple[DataFrame, dict]:
     """One triple pattern -> DataFrame with one column per variable
     (plus hidden uniqueness suffix) and constant filters applied.
@@ -213,7 +221,15 @@ def _pattern_frame(
     becomes a constant-folded literal column per branch — no per-row
     lookup); a constant predicate prunes to that predicate's tables only
     (partition pruning by construction). ``graph``: None = ignore graphs;
-    an IRI constant = restrict to that graph; "?g" = bind the graph IRI."""
+    an IRI constant = restrict to that graph; "?g" = bind the graph IRI.
+
+    ``term_meta``: variable names (with '?') whose object-position
+    bindings must carry hidden ``__lang_<v>`` / ``__dt_<v>`` columns for
+    LANG()/DATATYPE(). The object kind is known per predicate map at plan
+    time, so the SPARQL semantics constant-fold per branch: IRI/bnode
+    objects -> NULL (the spec's type error, observed as unbound);
+    lang-tagged literals -> (lang, rdf:langString); typed -> (``''``,
+    datatype); plain -> (``''``, xsd:string)."""
     s, p, o = pattern
     while isinstance(p, PathInverse):  # (s, ^p, o) == (o, p, s)
         if isinstance(p.path, PathAlt):
@@ -223,7 +239,9 @@ def _pattern_frame(
 
     if isinstance(p, PathAlt):
         compiled = [
-            _pattern_frame(catalog, reader, dicts, (s, alt, o), idx, graph)
+            _pattern_frame(
+                catalog, reader, dicts, (s, alt, o), idx, graph, term_meta
+            )
             for alt in p.alts
         ]
         df = reduce(DataFrame.unionByName, [f for f, _ in compiled])
@@ -254,6 +272,17 @@ def _pattern_frame(
                 o_lang.alias("__ol"),
                 o_dt.alias("__od"),
             ]
+            if _is_var(o) and o in term_meta:
+                if pm.obj_kind == "literal":
+                    lang_c = F.coalesce(o_lang, F.lit(""))
+                    dt_c = F.when(
+                        o_lang.isNotNull(), F.lit(_RDF_LANGSTRING)
+                    ).otherwise(F.coalesce(o_dt, F.lit(_XSD_STRING)))
+                else:  # IRI / bnode objects: LANG/DATATYPE is a type error
+                    lang_c = F.lit(None).cast("string")
+                    dt_c = F.lit(None).cast("string")
+                sel.append(lang_c.alias(META_LANG + o[1:]))
+                sel.append(dt_c.alias(META_DT + o[1:]))
             explode_graphs = False
             if graph is not None:
                 gc = pm.graph_column
@@ -282,6 +311,8 @@ def _pattern_frame(
         from pyspark.sql import SparkSession
 
         schema = "__s string, __p string, __o string, __ol string, __od string"
+        if _is_var(o) and o in term_meta:
+            schema += f", `{META_LANG}{o[1:]}` string, `{META_DT}{o[1:]}` string"
         if graph is not None:
             schema += ", __gid bigint"
         pieces = [SparkSession.getActiveSession().createDataFrame([], schema)]
@@ -307,12 +338,20 @@ def _pattern_frame(
             ).distinct()
         else:  # PathOpt
             paths = base.distinct().unionByName(_reflexive(base, group)).distinct()
+        path_meta = []
+        if _is_var(o) and o in term_meta:
+            # path endpoints are IRIs/bnodes: LANG/DATATYPE type-errors
+            path_meta = [
+                F.lit(None).cast("string").alias(META_LANG + o[1:]),
+                F.lit(None).cast("string").alias(META_DT + o[1:]),
+            ]
         df = paths.select(
             "__s",
             F.lit(p_match).alias("__p"),
             "__o",
             F.lit(None).cast("string").alias("__ol"),
             F.lit(None).cast("string").alias("__od"),
+            *path_meta,
             *group,
         )
 
@@ -356,18 +395,40 @@ def _pattern_frame(
         df = df.where(F.col("__o") == o)
     if g_is_var:
         bind(graph, "__giri")
-    named = df.select(*[c.alias(v[1:]) for v, c in cols.items()]) if cols else df.select(F.lit(1).alias(f"__m{idx}"))
+    meta_cols = [
+        F.col(n)
+        for n in df.columns
+        if n.startswith((META_LANG, META_DT)) and _is_var(o) and o in term_meta
+    ]
+    named = (
+        df.select(*[c.alias(v[1:]) for v, c in cols.items()], *meta_cols)
+        if cols
+        else df.select(F.lit(1).alias(f"__m{idx}"))
+    )
     return named, {v: v[1:] for v in cols}
 
 
-def _join_patterns(catalog, reader, dicts, patterns, graph=None) -> tuple[DataFrame, set]:
+def _join_patterns(
+    catalog, reader, dicts, patterns, graph=None,
+    term_meta: frozenset = frozenset(),
+) -> tuple[DataFrame, set]:
     patterns = _expand_path_patterns(patterns)
     frames = []
     for i, pat in enumerate(patterns):
-        f, binds = _pattern_frame(catalog, reader, dicts, pat, i, graph)
+        f, binds = _pattern_frame(
+            catalog, reader, dicts, pat, i, graph, term_meta
+        )
         frames.append((f, set(binds.values())))
     out, bound = frames[0]
     for f, vs in frames[1:]:
+        # a variable bound in two object positions would carry the meta
+        # columns twice: the FIRST binding pattern wins (documented)
+        dup_meta = [
+            c for c in f.columns
+            if c.startswith((META_LANG, META_DT)) and c in out.columns
+        ]
+        if dup_meta:
+            f = f.drop(*dup_meta)
         shared = sorted(bound & vs)
         out = out.join(f, on=shared, how="inner") if shared else out.crossJoin(f)
         bound |= vs
@@ -390,6 +451,10 @@ def bgp(
     bind: list[tuple] | None = None,
     group_by: list[str] | None = None,
     agg: dict | None = None,
+    values: list[tuple] | None = None,
+    frames: list[DataFrame] | None = None,
+    having=None,
+    term_meta: frozenset = frozenset(),
 ) -> DataFrame:
     """Compile a BGP to a DataFrame: per-pattern predicate-pruned scans
     joined on shared variables (Catalyst reorders/broadcasts as usual).
@@ -429,10 +494,58 @@ def bgp(
     ``group_by`` + ``agg``: SPARQL 1.1 §11 aggregates — ``group_by`` lists
     grouping variables, ``agg`` maps output name -> Column (or
     callable(df) -> Column) aggregate expression. With ``group_by=[]``
-    the whole solution set is one group (SELECT (COUNT(*) AS ...))."""
-    out, bound = _join_patterns(catalog, reader, dicts, patterns, graph)
+    the whole solution set is one group (SELECT (COUNT(*) AS ...)).
+
+    ``values``: list of (var_names, rows) — SPARQL VALUES inline data
+    (§10.2, no UNDEF): each block becomes a literal DataFrame joined on
+    its variables (inner join on shared vars; a block sharing no variable
+    cross-joins, i.e. multiplies solutions, per the spec's Join with a
+    disjoint multiset). Catalyst broadcast-joins the literal side.
+
+    ``frames``: pre-compiled solution DataFrames (sub-SELECTs): each
+    joins the running solution set on the shared column names — SPARQL
+    §12 evaluates the subquery first and joins it into the group.
+
+    ``having``: Column or callable(df) -> Column over the aggregated
+    frame (aggregate aliases included) — SPARQL HAVING, applied after
+    ``agg``.
+
+    ``term_meta``: variable names (with '?') whose bindings carry hidden
+    ``__lang_<v>`` / ``__dt_<v>`` columns so FILTER/BIND expressions can
+    compile LANG()/DATATYPE(); the hidden columns are dropped after the
+    filters run (joins still compare lexical forms — documented)."""
+    out, bound = _join_patterns(
+        catalog, reader, dicts, patterns, graph, term_meta
+    )
+    for sub in frames or []:
+        sub_vars = set(sub.columns)
+        shared = sorted(bound & sub_vars)
+        out = out.join(sub, on=shared, how="inner") if shared else out.crossJoin(sub)
+        bound |= sub_vars
+    if values:
+        spark = out.sparkSession
+        for var_names, rows in values:
+            names = [v[1:] if v.startswith("?") else v for v in var_names]
+            lit_df = spark.createDataFrame(
+                [tuple(r) for r in rows], ", ".join(f"`{n}` string" for n in names)
+            )
+            shared = sorted(bound & set(names))
+            out = (
+                out.join(F.broadcast(lit_df), on=shared, how="inner")
+                if shared
+                else out.crossJoin(F.broadcast(lit_df))
+            )
+            bound |= set(names)
     for group in optional or []:
-        g, g_vars = _join_patterns(catalog, reader, dicts, group, graph)
+        g, g_vars = _join_patterns(
+            catalog, reader, dicts, group, graph, term_meta
+        )
+        dup_meta = [
+            c for c in g.columns
+            if c.startswith((META_LANG, META_DT)) and c in out.columns
+        ]
+        if dup_meta:
+            g = g.drop(*dup_meta)
         shared = sorted(bound & g_vars)
         if shared:
             # SPARQL OPTIONAL multiplies matching solutions, so the plain
@@ -484,12 +597,17 @@ def bgp(
         bound.add(var[1:] if var.startswith("?") else var)
     if filter is not None:
         out = out.where(filter(out) if callable(filter) else filter)
+    meta_hidden = [c for c in out.columns if c.startswith((META_LANG, META_DT))]
+    if meta_hidden:
+        out = out.drop(*meta_hidden)
     if agg is not None:
         keys = [v[1:] if v.startswith("?") else v for v in (group_by or [])]
         exprs = [
             (e(out) if callable(e) else e).alias(name) for name, e in agg.items()
         ]
         out = out.groupBy(*keys).agg(*exprs) if keys else out.agg(*exprs)
+        if having is not None:
+            out = out.where(having(out) if callable(having) else having)
     if select:
         out = out.select(*[v[1:] if v.startswith("?") else v for v in select])
     if distinct:
@@ -535,6 +653,10 @@ def bgp_on_pipeline(
     bind=None,
     group_by=None,
     agg=None,
+    values=None,
+    frames=None,
+    having=None,
+    term_meta: frozenset = frozenset(),
 ) -> DataFrame:
     stage = stage or pipe.last_catalog_stage()
     dicts = pipe.dicts(stage)
@@ -558,6 +680,10 @@ def bgp_on_pipeline(
         bind,
         group_by,
         agg,
+        values,
+        frames,
+        having,
+        term_meta,
     )
 
 
@@ -565,10 +691,13 @@ def bgp_union_on_pipeline(
     pipe, groups, select=None, distinct=False, stage=None, graph=None
 ) -> DataFrame:
     stage = stage or pipe.last_catalog_stage()
+    dicts = pipe.dicts(stage)
+    if graph is not None and "graphs" not in dicts:
+        dicts = {**dicts, "graphs": pipe.graphs()}
     return bgp_union(
         pipe.catalog(stage),
         pipe.reader(stage),
-        pipe.dicts(stage),
+        dicts,
         groups,
         select,
         distinct,

@@ -9,31 +9,41 @@ strings unchanged. Parsing is a small recursive-descent pass; ALL
 execution semantics live in ``sparql.bgp`` (predicate-pruned scans,
 Catalyst joins) — the parser only builds the pattern/modifier structure.
 
-Supported surface (SPARQL 1.1 SELECT):
+Supported surface (SPARQL 1.1):
+- query forms: ``SELECT``, ``ASK`` (one-row boolean frame), ``CONSTRUCT``
+  (template instantiation to a (subject, predicate, object) triple frame,
+  set semantics)
 - prologue: ``PREFIX``, ``BASE``
 - ``SELECT [DISTINCT] ?v ... | * | (AGG(...) AS ?v)`` with COUNT / SUM /
-  AVG / MIN / MAX (+ DISTINCT inside COUNT), ``GROUP BY``
+  AVG / MIN / MAX (+ DISTINCT inside COUNT), ``GROUP BY``, ``HAVING``
+  (aggregates compile to hidden agg columns)
 - ``FROM <iri>`` (named-graph restriction; repeated FROM unsupported)
 - ``WHERE { ... }`` group: triple blocks with ``;`` / ``,`` / ``a`` /
   ``[]`` / ``_:b`` abbreviations, property paths (``^``, ``/``, ``|``,
   ``+``, ``*``, ``?``, parens), OPTIONAL, FILTER (expression subset
   below), FILTER [NOT] EXISTS, MINUS, BIND, GRAPH <iri>|?g { ... },
-  top-level UNION of plain groups
-- solution modifiers: ``ORDER BY [ASC|DESC](expr)``, ``LIMIT``, ``OFFSET``
+  top-level UNION of plain groups, ``VALUES`` inline data (no UNDEF),
+  sub-``SELECT`` groups (evaluated first, joined on shared variables)
+- solution modifiers: ``ORDER BY [ASC|DESC](expr)`` (multi-key, one
+  sort), ``LIMIT``, ``OFFSET``, trailing ``VALUES``
 
 FILTER/BIND expression subset: ``|| && !``, comparisons (numeric when one
 side is a numeric literal — lexical values try_cast to double; string
 equality otherwise), arithmetic, ``BOUND CONTAINS STRSTARTS STRENDS
-STRLEN UCASE LCASE CONCAT SUBSTR REGEX COALESCE IF``. ``LANG()`` /
-``DATATYPE()`` are rejected at parse time: the solution frames bind
-lexical forms only (use ``sparql.Literal`` constants in the programmatic
-API for language/datatype constraints).
+STRLEN UCASE LCASE CONCAT SUBSTR REGEX COALESCE IF``, and ``LANG()`` /
+``DATATYPE()`` / ``LANGMATCHES()`` — variables inside LANG/DATATYPE make
+the compiler carry hidden per-variable term-metadata columns
+(``plans/sparql.py`` ``term_meta``), constant-folded per predicate map
+(the object kind is known at plan time). Joins still compare lexical
+forms — a documented narrowing; LANG/DATATYPE over a variable never
+bound in object position yields NULL (the spec's type error).
 
 Out of scope (raises ``SparqlUnsupported`` with the construct named):
-CONSTRUCT/ASK/DESCRIBE, subqueries, VALUES, nested OPTIONAL-in-OPTIONAL
+DESCRIBE, ``VALUES``/``UNDEF`` wildcards, nested OPTIONAL-in-OPTIONAL
 groups, UNION combined with other group elements, sequence paths inside
-alternation, HAVING, federation (SERVICE). The programmatic ``bgp()``
-surface remains the escape hatch.
+alternation, aggregates inside ORDER BY (order by the SELECT alias
+instead), federation (SERVICE). The programmatic ``bgp()`` surface
+remains the escape hatch.
 """
 
 from __future__ import annotations
@@ -44,6 +54,8 @@ from pyspark.sql import functions as F
 
 from ..naming import RDF
 from .sparql import (
+    META_DT,
+    META_LANG,
     Literal,
     PathAlt,
     PathInverse,
@@ -100,6 +112,13 @@ class _Parser:
         self.prefixes: dict[str, str] = {}
         self.base = ""
         self.anon = 0
+        # when parsing HAVING, aggregate calls compile to hidden agg
+        # columns registered here (name -> agg lambda)
+        self.agg_sink: dict | None = None
+        self.hidden = 0
+        # variables appearing inside LANG()/DATATYPE(): the compiler
+        # carries hidden term-metadata columns for exactly these
+        self.meta_vars: set[str] = set()
 
     # -- token helpers ----------------------------------------------------
     def peek(self, k: int = 0) -> tuple[str, str]:
@@ -278,7 +297,7 @@ class _Parser:
         g = {
             "patterns": [], "optional": [], "minus": [], "exists": [],
             "not_exists": [], "filters": [], "binds": [], "graph": None,
-            "union": None,
+            "union": None, "values": [], "subselects": [],
         }
         while True:
             kind, val = self.peek()
@@ -349,6 +368,17 @@ class _Parser:
                     )
                 g["graph"] = gterm
                 g["patterns"].extend(sub["patterns"])
+            elif self.at_word("SERVICE"):
+                raise SparqlUnsupported("SERVICE federation")
+            elif self.at_word("VALUES"):
+                self.next()
+                g["values"].append(self._values_block())
+            elif val == "{" and self.peek(1)[0] == "word" and self.peek(1)[1].upper() == "SELECT":
+                # sub-SELECT group: evaluated first, joined on shared vars
+                self.next()
+                sub = self.select_query(embedded=True)
+                self.eat_op("}")
+                g["subselects"].append(sub)
             elif val == "{":
                 # '{A} UNION {B} [UNION {C}...]'
                 branches = [self.group()]
@@ -368,6 +398,71 @@ class _Parser:
                     )
                 self.triples_block(g["patterns"])
         return g
+
+    # -- VALUES inline data ------------------------------------------------
+    def _values_datum(self) -> str:
+        """One data term in a VALUES block -> lexical string (solution
+        frames bind lexical forms). UNDEF wildcards are unsupported."""
+        kind, val = self.next()
+        if kind == "iri":
+            return self._iri(val)
+        if kind == "pname":
+            return self._pname(val)
+        if kind == "number":
+            return val
+        if kind == "string":
+            lex = _unquote(val)
+            nv = self.peek()[1]
+            if nv == "@":  # language tag: bind the lexical form
+                self.next()
+                self.next()
+                while self.peek()[1] == "-":
+                    self.next()
+                    self.next()
+            elif nv == "^^":
+                self.next()
+                self.next()
+            return lex
+        if kind == "word" and val.upper() == "UNDEF":
+            raise SparqlUnsupported("VALUES UNDEF wildcard")
+        if kind == "word" and val.upper() in ("TRUE", "FALSE"):
+            return val.lower()
+        raise SparqlSyntaxError(f"bad VALUES datum {val!r}")
+
+    def _values_block(self) -> tuple:
+        """'VALUES' already eaten: ?v { d* } | (?v ...) { (d ...)* }"""
+        kind, val = self.peek()
+        if kind == "var":
+            self.next()
+            names = [val[1:]]
+            self.eat_op("{")
+            rows = []
+            while self.peek()[1] != "}":
+                rows.append((self._values_datum(),))
+            self.next()
+            return names, rows
+        self.eat_op("(")
+        names = []
+        while self.peek()[0] == "var":
+            names.append(self.next()[1][1:])
+        self.eat_op(")")
+        if not names:
+            raise SparqlSyntaxError("VALUES with no variables")
+        self.eat_op("{")
+        rows = []
+        while self.peek()[1] != "}":
+            self.eat_op("(")
+            row = []
+            while self.peek()[1] != ")":
+                row.append(self._values_datum())
+            self.next()
+            if len(row) != len(names):
+                raise SparqlSyntaxError(
+                    f"VALUES row arity {len(row)} != {len(names)} variables"
+                )
+            rows.append(tuple(row))
+        self.next()
+        return names, rows
 
     # -- expressions ------------------------------------------------------
     def bracketed_expression(self):
@@ -465,11 +560,48 @@ class _Parser:
 
     def _function_call(self):
         name = self.next()[1].upper()
+        if name in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+            if self.agg_sink is None:
+                raise SparqlUnsupported(
+                    f"aggregate {name}() outside SELECT/HAVING"
+                )
+            # HAVING aggregate: compile to a hidden agg column that the
+            # query compiler computes alongside the SELECT aggregates and
+            # drops after the filter
+            self.hidden += 1
+            hname = f"__h{self.hidden}"
+            self.agg_sink[hname] = self._aggregate_body(name)
+            return lambda df, n=hname: df[n]
         if name in ("LANG", "DATATYPE"):
-            raise SparqlUnsupported(
-                f"{name}(): solution frames bind lexical forms only — use "
-                "sparql.Literal constants for language/datatype constraints"
+            # compile against the hidden per-variable term-metadata
+            # columns (plans/sparql.py term_meta); a variable never bound
+            # in object position yields NULL (the spec's type error)
+            self.eat_op("(")
+            k, v = self.next()
+            if k != "var":
+                raise SparqlUnsupported(f"{name}() over a non-variable expression")
+            self.eat_op(")")
+            var = v[1:]
+            self.meta_vars.add("?" + var)
+            col = (META_LANG if name == "LANG" else META_DT) + var
+            return lambda df, c=col: (
+                df[c] if c in df.columns else F.lit(None).cast("string")
             )
+        if name == "LANGMATCHES":
+            self.eat_op("(")
+            a = self.expression()
+            self.eat_op(",")
+            b = self.expression()
+            self.eat_op(")")
+
+            def langmatches(df):
+                tag = F.lower(a(df))
+                rng = F.lower(b(df) if callable(b) else b)
+                return F.when(rng == "*", tag != "").otherwise(
+                    (tag == rng) | tag.startswith(F.concat(rng, F.lit("-")))
+                )
+
+            return langmatches
         if name in ("TRUE", "FALSE"):
             return lambda df, b=(name == "TRUE"): F.lit(b)
         self.eat_op("(")
@@ -483,7 +615,7 @@ class _Parser:
         return _compile_function(name, args)
 
     # -- query ------------------------------------------------------------
-    def parse_select(self) -> dict:
+    def _prologue(self) -> None:
         while True:
             if self.at_word("PREFIX"):
                 self.next()
@@ -496,11 +628,84 @@ class _Parser:
                 self.base = self._iri(iri)
             else:
                 break
+
+    def parse_query(self) -> dict:
+        """Parse a full query: prologue + SELECT | ASK | CONSTRUCT."""
+        self._prologue()
+        if self.at_word("SELECT"):
+            q = self.select_query(embedded=False)
+        elif self.at_word("ASK"):
+            q = self.ask_query()
+        elif self.at_word("CONSTRUCT"):
+            q = self.construct_query()
+        elif self.at_word("DESCRIBE"):
+            raise SparqlUnsupported("DESCRIBE")
+        else:
+            raise SparqlSyntaxError(f"expected a query form, got {self.peek()[1]!r}")
+        kind, val = self.peek()
+        if kind != "eof":
+            raise SparqlSyntaxError(f"trailing content at {val!r}")
+        return q
+
+    def parse_select(self) -> dict:
+        self._prologue()
+        q = self.select_query(embedded=False)
+        kind, val = self.peek()
+        if kind != "eof":
+            raise SparqlSyntaxError(f"trailing content at {val!r}")
+        return q
+
+    def ask_query(self) -> dict:
+        self.eat_word("ASK")
+        q = {"form": "ask", "graph": None}
+        if self.at_word("FROM"):
+            self.next()
+            kind, val = self.next()
+            q["graph"] = self._iri(val) if kind == "iri" else self._pname(val)
+        if self.at_word("WHERE"):
+            self.next()
+        q["where"] = self.group()
+        q["meta_vars"] = self.meta_vars
+        return q
+
+    def construct_query(self) -> dict:
+        self.eat_word("CONSTRUCT")
+        template: list = []
+        self.eat_op("{")
+        while self.peek()[1] != "}":
+            if self.peek()[1] == ".":
+                self.next()
+                continue
+            self.triples_block(template)
+        self.next()
+        for _, p, _ in template:
+            if not isinstance(p, str):
+                raise SparqlUnsupported("property path in CONSTRUCT template")
+        q = {"form": "construct", "template": template, "graph": None,
+             "limit": None, "offset": None}
+        if self.at_word("FROM"):
+            self.next()
+            kind, val = self.next()
+            q["graph"] = self._iri(val) if kind == "iri" else self._pname(val)
+        if self.at_word("WHERE"):
+            self.next()
+        q["where"] = self.group()
+        if self.at_word("LIMIT"):
+            self.next()
+            q["limit"] = int(self.next()[1])
+        if self.at_word("OFFSET"):
+            self.next()
+            q["offset"] = int(self.next()[1])
+        q["meta_vars"] = self.meta_vars
+        return q
+
+    def select_query(self, embedded: bool = False) -> dict:
         self.eat_word("SELECT")
         q = {
+            "form": "select",
             "distinct": False, "select": [], "agg": {}, "group_by": None,
             "graph": None, "order": [], "limit": None, "offset": None,
-            "star": False,
+            "star": False, "having": None, "values": [],
         }
         if self.at_word("DISTINCT"):
             self.next()
@@ -544,7 +749,15 @@ class _Parser:
             while self.peek()[0] == "var":
                 q["group_by"].append("?" + self.next()[1][1:])
         if self.at_word("HAVING"):
-            raise SparqlUnsupported("HAVING")
+            self.next()
+            # aggregate calls inside the HAVING expression register hidden
+            # agg columns in q["agg"]; the compiler drops them after the
+            # post-aggregation filter
+            prev_sink, self.agg_sink = self.agg_sink, q["agg"]
+            try:
+                q["having"] = self.bracketed_expression()
+            finally:
+                self.agg_sink = prev_sink
         if self.at_word("ORDER"):
             self.next()
             self.eat_word("BY")
@@ -565,15 +778,22 @@ class _Parser:
         if self.at_word("OFFSET"):
             self.next()
             q["offset"] = int(self.next()[1])
-        kind, val = self.peek()
-        if kind != "eof":
-            raise SparqlSyntaxError(f"trailing content at {val!r}")
+        if not embedded and self.at_word("VALUES"):
+            # trailing ValuesClause (SPARQL grammar rule [28])
+            self.next()
+            q["values"].append(self._values_block())
+        q["meta_vars"] = self.meta_vars
         return q
 
     def _aggregate(self):
         name = self.next()[1].upper()
         if name not in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
             raise SparqlUnsupported(f"aggregate {name}")
+        return self._aggregate_body(name)
+
+    def _aggregate_body(self, name: str):
+        """Parse '( [DISTINCT] * | ?var )' for an already-consumed
+        aggregate name and return the agg lambda."""
         self.eat_op("(")
         distinct = False
         if self.at_word("DISTINCT"):
@@ -679,7 +899,8 @@ def _compile_function(name: str, args: list):
 
 def _require_plain(sub: dict, what: str) -> None:
     extras = [
-        k for k in ("optional", "minus", "exists", "not_exists", "filters", "binds")
+        k for k in ("optional", "minus", "exists", "not_exists", "filters",
+                    "binds", "values", "subselects")
         if sub[k]
     ]
     if extras or sub["union"] or sub["graph"]:
@@ -687,27 +908,22 @@ def _require_plain(sub: dict, what: str) -> None:
 
 
 def parse_sparql(text: str) -> dict:
-    """Parse a SPARQL SELECT string into the compile plan dict."""
-    return _Parser(text).parse_select()
+    """Parse a SPARQL query string (SELECT/ASK/CONSTRUCT) into the
+    compile plan dict (``q["form"]`` names the query form)."""
+    return _Parser(text).parse_query()
 
 
-def sparql_query(pipe, text: str, stage: str | None = None):
-    """Run a textual SPARQL SELECT over a loaded :class:`KgPipeline`.
-
-    The reference's flagship query runs verbatim::
-
-        sparql_query(pipe, "SELECT DISTINCT ?type "
-                           "FROM <http://example.org/graph> "
-                           "WHERE {[] a ?type}")
-    """
+def _compile_select(pipe, q: dict, stage: str | None):
+    """Compile a parsed SELECT plan dict to a DataFrame (recursive for
+    sub-SELECT groups)."""
     from .sparql import bgp_on_pipeline, bgp_union_on_pipeline
 
-    q = parse_sparql(text)
     w = q["where"]
     graph = q["graph"] if q["graph"] is not None else w["graph"]
+    values = w["values"]
 
     if w["union"] is not None:
-        if w["patterns"] or q["agg"]:
+        if w["patterns"] or q["agg"] or values or w["subselects"]:
             raise SparqlUnsupported("UNION combined with other group elements")
         select = None if q["star"] else ["?" + v for v in q["select"]]
         out = bgp_union_on_pipeline(
@@ -724,6 +940,9 @@ def sparql_query(pipe, text: str, stage: str | None = None):
                     cond = cond & f(df)
                 return cond
         select = None if q["star"] else ["?" + v for v in q["select"]]
+        frames = [
+            _compile_select(pipe, sub, stage) for sub in w["subselects"]
+        ] or None
         out = bgp_on_pipeline(
             pipe,
             w["patterns"],
@@ -739,12 +958,148 @@ def sparql_query(pipe, text: str, stage: str | None = None):
             bind=w["binds"] or None,
             group_by=q["group_by"] if q["agg"] else None,
             agg={k: v for k, v in q["agg"].items()} or None,
+            values=values or None,
+            frames=frames,
+            having=q["having"],
+            term_meta=frozenset(q.get("meta_vars") or ()),
         )
-    for e, desc in reversed(q["order"]):
-        col = e(out)
-        out = out.orderBy(col.desc() if desc else col.asc())
+    for var_names, rows in q["values"]:
+        # trailing VALUES joins the QUERY result (SPARQL rule [28] —
+        # after projection), so it sees the projected columns. Bound
+        # compatibility only: a solution with the variable unbound (NULL
+        # from OPTIONAL) does not match — a documented narrowing.
+        names = [v for v in var_names]
+        lit_df = out.sparkSession.createDataFrame(
+            [tuple(r) for r in rows], ", ".join(f"`{n}` string" for n in names)
+        )
+        shared = sorted(set(out.columns) & set(names))
+        out = (
+            out.join(F.broadcast(lit_df), on=shared, how="inner")
+            if shared
+            else out.crossJoin(F.broadcast(lit_df))
+        )
+    if q["order"]:
+        # one orderBy with ALL keys: chaining orderBy calls would re-sort
+        # from scratch each time, dropping every earlier (secondary) key
+        sort_cols = [
+            (e(out).desc() if desc else e(out).asc()) for e, desc in q["order"]
+        ]
+        out = out.orderBy(*sort_cols)
     if q["offset"]:
         out = out.offset(q["offset"])
     if q["limit"] is not None:
         out = out.limit(q["limit"])
     return out
+
+
+def _compile_ask(pipe, q: dict, stage: str | None):
+    """ASK -> one-row DataFrame with a boolean ``ask`` column. Stays lazy
+    and distributed: existence is a limit(1) left join against a
+    constant row, not a driver-side count."""
+    from .sparql import bgp_on_pipeline
+
+    w = q["where"]
+    if w["union"] is not None or w["subselects"]:
+        raise SparqlUnsupported("UNION/subquery inside ASK")
+    graph = q["graph"] if q["graph"] is not None else w["graph"]
+    filters = w["filters"]
+    filt = None
+    if filters:
+        def filt(df, fs=filters):  # noqa: E731
+            cond = fs[0](df)
+            for f in fs[1:]:
+                cond = cond & f(df)
+            return cond
+    sol = bgp_on_pipeline(
+        pipe, w["patterns"], stage=stage,
+        optional=w["optional"] or None, filter=filt, graph=graph,
+        minus=w["minus"] or None, exists=w["exists"] or None,
+        not_exists=w["not_exists"] or None, bind=w["binds"] or None,
+        values=w["values"] or None,
+        term_meta=frozenset(q.get("meta_vars") or ()),
+    )
+    marker = sol.limit(1).select(F.lit(True).alias("ask"))
+    one = sol.sparkSession.range(1).select(F.lit(1).alias("__k"))
+    return (
+        one.join(marker.withColumn("__k", F.lit(1)), "__k", "left")
+        .select(F.coalesce(F.col("ask"), F.lit(False)).alias("ask"))
+    )
+
+
+def _compile_construct(pipe, q: dict, stage: str | None):
+    """CONSTRUCT -> (subject, predicate, object) triple frame, set
+    semantics (the constructed result is an RDF graph). Template rows
+    with an unbound variable are skipped per SPARQL §16.2; objects bind
+    lexical forms."""
+    from .sparql import Literal as _Lit
+    from .sparql import bgp_on_pipeline
+
+    w = q["where"]
+    if w["union"] is not None or w["subselects"]:
+        raise SparqlUnsupported("UNION/subquery inside CONSTRUCT")
+    graph = q["graph"] if q["graph"] is not None else w["graph"]
+    filters = w["filters"]
+    filt = None
+    if filters:
+        def filt(df, fs=filters):  # noqa: E731
+            cond = fs[0](df)
+            for f in fs[1:]:
+                cond = cond & f(df)
+            return cond
+    sol = bgp_on_pipeline(
+        pipe, w["patterns"], stage=stage,
+        optional=w["optional"] or None, filter=filt, graph=graph,
+        minus=w["minus"] or None, exists=w["exists"] or None,
+        not_exists=w["not_exists"] or None, bind=w["binds"] or None,
+        values=w["values"] or None,
+        term_meta=frozenset(q.get("meta_vars") or ()),
+    )
+
+    def term_col(t):
+        if isinstance(t, str) and t.startswith("?"):
+            return F.col(t[1:])
+        if isinstance(t, _Lit):
+            return F.lit(t.lex)
+        return F.lit(t)
+
+    pieces = []
+    for s, p, o in q["template"]:
+        row = sol.select(
+            term_col(s).alias("subject"),
+            term_col(p).alias("predicate"),
+            term_col(o).alias("object"),
+        ).where(
+            F.col("subject").isNotNull()
+            & F.col("predicate").isNotNull()
+            & F.col("object").isNotNull()
+        )
+        pieces.append(row)
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out.unionByName(piece)
+    out = out.distinct()
+    if q["offset"]:
+        out = out.offset(q["offset"])
+    if q["limit"] is not None:
+        out = out.limit(q["limit"])
+    return out
+
+
+def sparql_query(pipe, text: str, stage: str | None = None):
+    """Run a textual SPARQL query over a loaded :class:`KgPipeline`.
+
+    The reference's flagship query runs verbatim::
+
+        sparql_query(pipe, "SELECT DISTINCT ?type "
+                           "FROM <http://example.org/graph> "
+                           "WHERE {[] a ?type}")
+
+    SELECT returns the solution frame; ASK a one-row boolean ``ask``
+    frame; CONSTRUCT a deduplicated (subject, predicate, object) frame.
+    """
+    q = parse_sparql(text)
+    if q["form"] == "ask":
+        return _compile_ask(pipe, q, stage)
+    if q["form"] == "construct":
+        return _compile_construct(pipe, q, stage)
+    return _compile_select(pipe, q, stage)

@@ -1477,6 +1477,102 @@ def sparql_text_query(spark, sf_dir):
     )
 
 
+@q(
+    "sparql_text_having",
+    f"SELECT '{EX}region/' || n_regionkey AS r, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY n_regionkey HAVING MIN(r_name) < 'B'",
+)
+def sparql_text_having(spark, sf_dir):
+    """HAVING with an aggregate NOT in the projection (MIN over the region
+    name compiles to a hidden agg column, filtered then dropped)."""
+    from .plans.sparql_text import sparql_query
+
+    return sparql_query(
+        _sparql_kg(spark, sf_dir),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?r (COUNT(?s) AS ?c) WHERE {{
+          ?s ex:inRegion ?r . ?r ex:name ?n .
+        }} GROUP BY ?r HAVING (MIN(?n) < "B")""",
+    )
+
+
+@q(
+    "sparql_text_values",
+    f"SELECT '{EX}nation/' || n_nationkey AS s, '{EX}region/' || n_regionkey AS r "
+    "FROM nation WHERE n_regionkey IN (0, 2)",
+)
+def sparql_text_values(spark, sf_dir):
+    """VALUES inline data restricting a join variable — compiles to a
+    broadcast join against the literal rows (SPARQL 1.1 §10.2)."""
+    from .plans.sparql_text import sparql_query
+
+    return sparql_query(
+        _sparql_kg(spark, sf_dir),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?r WHERE {{
+          ?s ex:inRegion ?r .
+          VALUES ?r {{ <{EX}region/0> <{EX}region/2> }}
+        }}""",
+    )
+
+
+@q("sparql_text_ask", "SELECT TRUE AS ask")
+def sparql_text_ask(spark, sf_dir):
+    """ASK query form: one-row boolean frame, lazily evaluated (limit(1)
+    left join against a constant row — no driver-side count)."""
+    from .plans.sparql_text import sparql_query
+
+    return sparql_query(
+        _sparql_kg(spark, sf_dir),
+        f"PREFIX ex: <{EX}> ASK {{ ?s ex:inRegion <{EX}region/0> }}",
+    )
+
+
+@q(
+    "sparql_text_construct",
+    f"SELECT '{EX}nation/' || n_nationkey AS subject, "
+    f"'{EX}locatedIn' AS predicate, "
+    f"'{EX}region/' || n_regionkey AS object FROM nation WHERE n_regionkey = 1 "
+    "UNION "
+    f"SELECT DISTINCT '{EX}region/' || n_regionkey, '{EX}hasMember', "
+    f"'{EX}Nation' FROM nation WHERE n_regionkey = 1",
+)
+def sparql_text_construct(spark, sf_dir):
+    """CONSTRUCT template instantiation: two template triples per solution,
+    deduplicated to a (subject, predicate, object) graph (SPARQL §16.2)."""
+    from .plans.sparql_text import sparql_query
+
+    return sparql_query(
+        _sparql_kg(spark, sf_dir),
+        f"""PREFIX ex: <{EX}>
+        CONSTRUCT {{
+          ?s ex:locatedIn ?r .
+          ?r ex:hasMember ex:Nation .
+        }} WHERE {{ ?s ex:inRegion ?r VALUES ?r {{ <{EX}region/1> }} }}""",
+    )
+
+
+@q(
+    "sparql_text_subquery",
+    f"SELECT r_name AS n, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+)
+def sparql_text_subquery(spark, sf_dir):
+    """Sub-SELECT (SPARQL §12): the inner aggregate evaluates first and
+    joins the outer name lookup on the shared ?r."""
+    from .plans.sparql_text import sparql_query
+
+    return sparql_query(
+        _sparql_kg(spark, sf_dir),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?n ?c WHERE {{
+          ?r ex:name ?n .
+          {{ SELECT ?r (COUNT(?s) AS ?c) WHERE {{ ?s ex:inRegion ?r }} GROUP BY ?r }}
+        }}""",
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Registry order. CORRECTNESS_r02 recorded 50 of 52 registered queries —
@@ -1504,7 +1600,8 @@ _ORDER = [
     # SPARQL surface over a loaded KG (named graphs, paths, MINUS)
     "sparql_from_graph", "sparql_graph_var", "sparql_minus",
     "sparql_path_seq", "sparql_path_star", "sparql_graph_agg",
-    "sparql_text_query",
+    "sparql_text_query", "sparql_text_having", "sparql_text_values",
+    "sparql_text_ask", "sparql_text_construct", "sparql_text_subquery",
     # LLM-pipeline operators (each the only gate for its family member)
     "text_stats", "doc_fingerprint", "lang_id_heuristic", "text_clean",
     "dataset_split", "quality_scores", "dedup_exact_groups",

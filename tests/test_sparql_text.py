@@ -41,14 +41,22 @@ def test_parse_abbreviations_and_paths():
 
 
 def test_parse_unsupported_named_clearly():
-    with pytest.raises(SparqlUnsupported, match="HAVING"):
-        parse_sparql("SELECT ?x WHERE { ?x <http://p> ?y } HAVING (?y > 2)")
-    with pytest.raises(SparqlUnsupported, match="LANG"):
-        parse_sparql("SELECT ?x WHERE { ?x <http://p> ?y FILTER(LANG(?y) = 'en') }")
+    with pytest.raises(SparqlUnsupported, match="DESCRIBE"):
+        parse_sparql("DESCRIBE <http://example.org/x>")
+    with pytest.raises(SparqlUnsupported, match="UNDEF"):
+        parse_sparql(
+            "SELECT ?x WHERE { ?x <http://p> ?y VALUES ?y { UNDEF } }"
+        )
+    with pytest.raises(SparqlUnsupported, match="SERVICE"):
+        parse_sparql(
+            "SELECT ?x WHERE { SERVICE <http://remote/sparql> { ?x <http://p> ?y } }"
+        )
     with pytest.raises(SparqlUnsupported, match="GRAPH"):
         parse_sparql(
             "SELECT ?x WHERE { ?x <http://p> ?y . GRAPH ?g { ?x <http://q> ?z } }"
         )
+    with pytest.raises(SparqlUnsupported, match="aggregate"):
+        parse_sparql("SELECT ?x WHERE { ?x <http://p> ?y FILTER(COUNT(?y) > 2) }")
 
 
 # -- executed goldens ------------------------------------------------------
@@ -198,3 +206,181 @@ def test_graph_var_text(spark, tmp_path):
     assert {(r.s, r.g) for r in out.collect()} == {
         (EX + "s1", EX + "g/one"), (EX + "s2", EX + "g/two"),
     }
+
+
+# -- round-3 surface: HAVING / VALUES / subqueries / ASK / CONSTRUCT -------
+
+
+def test_having_with_aggregates(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"PREFIX ex: <{EX}> SELECT ?t (COUNT(?s) AS ?n) "
+        "WHERE { ?s a ?t } GROUP BY ?t HAVING (COUNT(?s) > 49)",
+    )
+    assert [(r.t, r.n) for r in out.collect()] == [(EX + "even", 50)]
+    # hidden agg columns must not leak into the projection
+    assert out.columns == ["t", "n"]
+
+
+def test_having_without_select_aggregate(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"PREFIX ex: <{EX}> SELECT ?t WHERE {{ ?s a ?t }} "
+        "GROUP BY ?t HAVING (COUNT(?s) < 50)",
+    )
+    assert [r.t for r in out.collect()] == [EX + "odd"]
+
+
+def test_values_in_group(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l WHERE {{
+          ?s rdfs:label ?l .
+          VALUES ?s {{ ex:i1 ex:i2 ex:nosuch }}
+        }}""",
+    )
+    assert {(r.s, r.l) for r in out.collect()} == {
+        (EX + "i1", "1"), (EX + "i2", "2")
+    }
+
+
+def test_values_multi_var_and_trailing(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l WHERE {{ ?s rdfs:label ?l }}
+        VALUES (?s ?l) {{ (ex:i3 "3") (ex:i3 "nope") (ex:i4 "4") }}""",
+    )
+    assert {(r.s, r.l) for r in out.collect()} == {
+        (EX + "i3", "3"), (EX + "i4", "4")
+    }
+
+
+def test_subquery_joins_on_shared_vars(oddeven):
+    # per-subject max label via a sub-SELECT, joined to the outer type
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?t ?mx WHERE {{
+          ?s a ?t .
+          {{ SELECT ?s (MAX(?l) AS ?mx) WHERE {{ ?s rdfs:label ?l }} GROUP BY ?s }}
+        }}""",
+    )
+    rows = {(r.s, r.t, r.mx) for r in out.collect()}
+    assert (EX + "i1", EX + "even", "1") in rows
+    assert (EX + "i2", EX + "odd", "2") in rows
+    assert len(rows) == 99
+
+
+def test_order_by_multiple_keys(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?t ?l WHERE {{ ?s a ?t ; rdfs:label ?l }}
+        ORDER BY ?t DESC(?l)""",
+    )
+    rows = [(r.t, r.l) for r in out.collect()]
+    # expected: primary ?t asc, secondary ?l lexicographically desc —
+    # built by a stable two-pass sort (secondary first, then primary)
+    expected = sorted(sorted(rows, key=lambda r: r[1], reverse=True), key=lambda r: r[0])
+    assert rows == expected
+    # secondary key must actually order within the primary groups
+    assert rows[0] == (EX + "even", "99")
+
+
+def test_ask_true_and_false(oddeven):
+    yes = sparql_query(
+        oddeven, f"PREFIX ex: <{EX}> ASK {{ ?s a ex:even }}"
+    )
+    assert [r.ask for r in yes.collect()] == [True]
+    no = sparql_query(
+        oddeven, f"PREFIX ex: <{EX}> ASK {{ ?s a ex:nosuchclass }}"
+    )
+    assert [r.ask for r in no.collect()] == [False]
+
+
+def test_construct_template(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        CONSTRUCT {{
+          ?s ex:tagged ex:seen .
+          ?s ex:labelCopy ?l .
+        }} WHERE {{ ?s a ex:even ; rdfs:label ?l FILTER (?l < 3) }}""",
+    )
+    rows = {(r.subject, r.predicate, r.object) for r in out.collect()}
+    assert rows == {
+        (EX + "i1", EX + "tagged", EX + "seen"),
+        (EX + "i1", EX + "labelCopy", "1"),
+    }
+    assert out.columns == ["subject", "predicate", "object"]
+
+
+# -- LANG / DATATYPE / LANGMATCHES over term metadata ----------------------
+
+
+def test_lang_filter(loaded):
+    out = sparql_query(
+        loaded,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l WHERE {{ ?s rdfs:label ?l FILTER(LANG(?l) = "cz") }}""",
+    )
+    assert {(r.s, r.l) for r in out.collect()} == {
+        (RDF + "Bag", "杭州"), (RDF + "Alt", "杭州市"),
+    }
+    # hidden term-metadata columns must not leak
+    assert out.columns == ["s", "l"]
+
+
+def test_langmatches_range(loaded):
+    out = sparql_query(
+        loaded,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?l WHERE {{
+          ?s rdfs:label ?l FILTER(LANGMATCHES(LANG(?l), "en"))
+        }}""",
+    )
+    # "en" matches the en-UK tagged labels (RFC 4647 prefix rule)
+    assert {r.l for r in out.collect()} == {"lala", "lala lala"}
+
+
+def test_datatype_filter(loaded):
+    out = sparql_query(
+        loaded,
+        f"""PREFIX rdfs: <{RDFS}>
+        PREFIX xsd: <{XSD}>
+        SELECT ?s ?l WHERE {{
+          ?s rdfs:label ?l FILTER(DATATYPE(?l) = xsd:boolean)
+        }}""",
+    )
+    assert {(r.s, r.l) for r in out.collect()} == {
+        (RDF + "Alt", "true"), (RDF + "Alt", "false"), (RDF + "List", "false"),
+    }
+
+
+def test_datatype_of_langtagged_is_langstring(loaded):
+    out = sparql_query(
+        loaded,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?l WHERE {{
+          ?s rdfs:label ?l
+          FILTER(DATATYPE(?l) = <{RDF}langString>)
+        }}""",
+    )
+    assert {r.l for r in out.collect()} == {"杭州", "杭州市", "lala", "lala lala"}
+
+
+def test_lang_of_iri_object_is_null(loaded):
+    # rdf:type objects are IRIs: LANG() is a type error -> NULL -> filter
+    # eliminates every solution
+    out = sparql_query(
+        loaded,
+        "SELECT ?t WHERE { ?s a ?t FILTER(LANG(?t) = \"\") }",
+    )
+    assert out.count() == 0
