@@ -12,7 +12,8 @@ Catalyst joins) — the parser only builds the pattern/modifier structure.
 Supported surface (SPARQL 1.1):
 - query forms: ``SELECT``, ``ASK`` (one-row boolean frame), ``CONSTRUCT``
   (template instantiation to a (subject, predicate, object) triple frame,
-  set semantics)
+  set semantics), ``DESCRIBE`` (subject-oriented description of constant
+  and/or WHERE-bound resources)
 - prologue: ``PREFIX``, ``BASE``
 - ``SELECT [DISTINCT] ?v ... | * | (AGG(...) AS ?v)`` with COUNT / SUM /
   AVG / MIN / MAX (+ DISTINCT inside COUNT), ``GROUP BY``, ``HAVING``
@@ -22,7 +23,8 @@ Supported surface (SPARQL 1.1):
   ``[]`` / ``_:b`` abbreviations, property paths (``^``, ``/``, ``|``,
   ``+``, ``*``, ``?``, parens), OPTIONAL, FILTER (expression subset
   below), FILTER [NOT] EXISTS, MINUS, BIND, GRAPH <iri>|?g { ... },
-  top-level UNION of plain groups, ``VALUES`` inline data (no UNDEF),
+  UNION of plain groups (standalone or joined with the rest of the
+  group on shared variables), ``VALUES`` inline data (no UNDEF),
   sub-``SELECT`` groups (evaluated first, joined on shared variables)
 - solution modifiers: ``ORDER BY [ASC|DESC](expr)`` (multi-key, one
   sort), ``LIMIT``, ``OFFSET``, trailing ``VALUES``
@@ -39,11 +41,11 @@ forms — a documented narrowing; LANG/DATATYPE over a variable never
 bound in object position yields NULL (the spec's type error).
 
 Out of scope (raises ``SparqlUnsupported`` with the construct named):
-DESCRIBE, ``VALUES``/``UNDEF`` wildcards, nested OPTIONAL-in-OPTIONAL
-groups, UNION combined with other group elements, sequence paths inside
-alternation, aggregates inside ORDER BY (order by the SELECT alias
-instead), federation (SERVICE). The programmatic ``bgp()`` surface
-remains the escape hatch.
+``DESCRIBE *``, ``VALUES``/``UNDEF`` wildcards, nested
+OPTIONAL-in-OPTIONAL groups, multiple UNION blocks in one group,
+sequence paths inside alternation, aggregates inside ORDER BY (order by
+the SELECT alias instead), federation (SERVICE). The programmatic
+``bgp()`` surface remains the escape hatch.
 """
 
 from __future__ import annotations
@@ -389,6 +391,8 @@ class _Parser:
                     _require_plain(b, "UNION branch")
                 if len(branches) == 1:
                     g["patterns"].extend(branches[0]["patterns"])
+                elif g["union"] is not None:
+                    raise SparqlUnsupported("multiple UNION blocks in one group")
                 else:
                     g["union"] = [b["patterns"] for b in branches]
             else:
@@ -639,7 +643,7 @@ class _Parser:
         elif self.at_word("CONSTRUCT"):
             q = self.construct_query()
         elif self.at_word("DESCRIBE"):
-            raise SparqlUnsupported("DESCRIBE")
+            q = self.describe_query()
         else:
             raise SparqlSyntaxError(f"expected a query form, got {self.peek()[1]!r}")
         kind, val = self.peek()
@@ -665,6 +669,44 @@ class _Parser:
         if self.at_word("WHERE"):
             self.next()
         q["where"] = self.group()
+        q["meta_vars"] = self.meta_vars
+        return q
+
+    def describe_query(self) -> dict:
+        """DESCRIBE <iri>... ?var... [WHERE { ... }] — subject-oriented
+        description (the spec leaves the description form to the
+        implementation; this engine emits every triple whose SUBJECT is a
+        described resource, the common concise-bounded-description core)."""
+        self.eat_word("DESCRIBE")
+        q = {"form": "describe", "resources": [], "vars": [], "where": None,
+             "graph": None}
+        while True:
+            kind, val = self.peek()
+            if kind == "iri":
+                self.next()
+                q["resources"].append(self._iri(val))
+            elif kind == "pname":
+                self.next()
+                q["resources"].append(self._pname(val))
+            elif kind == "var":
+                self.next()
+                q["vars"].append("?" + val[1:])
+            elif val == "*":
+                raise SparqlUnsupported("DESCRIBE *")
+            else:
+                break
+        if not q["resources"] and not q["vars"]:
+            raise SparqlSyntaxError("DESCRIBE needs at least one resource")
+        if self.at_word("FROM"):
+            self.next()
+            kind, val = self.next()
+            q["graph"] = self._iri(val) if kind == "iri" else self._pname(val)
+        if self.at_word("WHERE") or self.peek()[1] == "{":
+            if self.at_word("WHERE"):
+                self.next()
+            q["where"] = self.group()
+        if q["vars"] and q["where"] is None:
+            raise SparqlSyntaxError("DESCRIBE ?var requires a WHERE group")
         q["meta_vars"] = self.meta_vars
         return q
 
@@ -922,8 +964,11 @@ def _compile_select(pipe, q: dict, stage: str | None):
     graph = q["graph"] if q["graph"] is not None else w["graph"]
     values = w["values"]
 
-    if w["union"] is not None:
-        if w["patterns"] or q["agg"] or values or w["subselects"]:
+    if w["union"] is not None and not w["patterns"]:
+        # pure union group: each branch compiles to its own BGP and the
+        # solutions concatenate (NULL for variables a branch leaves
+        # unbound). Modifiers beyond DISTINCT would need the mixed path.
+        if q["agg"] or values or w["subselects"]:
             raise SparqlUnsupported("UNION combined with other group elements")
         select = None if q["star"] else ["?" + v for v in q["select"]]
         out = bgp_union_on_pipeline(
@@ -940,9 +985,16 @@ def _compile_select(pipe, q: dict, stage: str | None):
                     cond = cond & f(df)
                 return cond
         select = None if q["star"] else ["?" + v for v in q["select"]]
-        frames = [
-            _compile_select(pipe, sub, stage) for sub in w["subselects"]
-        ] or None
+        frames = [_compile_select(pipe, sub, stage) for sub in w["subselects"]]
+        if w["union"] is not None:
+            # UNION mixed with other patterns: SPARQL Join(Union(A,B), G)
+            # — the union compiles to its own frame and joins the required
+            # part on shared variables (bound compatibility; a branch-
+            # unbound NULL does not match, the documented narrowing)
+            frames.append(
+                bgp_union_on_pipeline(pipe, w["union"], stage=stage, graph=graph)
+            )
+        frames = frames or None
         out = bgp_on_pipeline(
             pipe,
             w["patterns"],
@@ -1085,6 +1137,64 @@ def _compile_construct(pipe, q: dict, stage: str | None):
     return out
 
 
+def _compile_describe(pipe, q: dict, stage: str | None):
+    """DESCRIBE -> (subject, predicate, object) frame: every triple whose
+    subject is a described resource (constants and/or the bindings of the
+    described variables from the WHERE group). The described set joins
+    the reconstructed triples with a semi join — plain (AQE broadcasts
+    when the set is small; a DESCRIBE ?x over a huge solution set stays
+    distributed)."""
+    from .sparql import bgp_on_pipeline
+
+    tr = pipe.triples(stage)
+    spark = tr.sparkSession
+    pieces = []
+    if q["resources"]:
+        pieces.append(
+            spark.createDataFrame([(r,) for r in q["resources"]], "`s` string")
+        )
+    if q["where"] is not None and q["vars"]:
+        w = q["where"]
+        if w["union"] is not None or w["subselects"]:
+            raise SparqlUnsupported("UNION/subquery inside DESCRIBE")
+        filters = w["filters"]
+        filt = None
+        if filters:
+            def filt(df, fs=filters):  # noqa: E731
+                cond = fs[0](df)
+                for f in fs[1:]:
+                    cond = cond & f(df)
+                return cond
+        sol = bgp_on_pipeline(
+            pipe, w["patterns"], stage=stage,
+            optional=w["optional"] or None, filter=filt, graph=w["graph"],
+            minus=w["minus"] or None, exists=w["exists"] or None,
+            not_exists=w["not_exists"] or None, bind=w["binds"] or None,
+            values=w["values"] or None,
+            term_meta=frozenset(q.get("meta_vars") or ()),
+        )
+        for v in q["vars"]:
+            pieces.append(sol.select(F.col(v[1:]).alias("s")))
+    subjects = pieces[0]
+    for piece in pieces[1:]:
+        subjects = subjects.unionByName(piece)
+    subjects = subjects.where(F.col("s").isNotNull()).distinct()
+    if q["graph"]:
+        gd = pipe.graphs().where(F.col("iri") == q["graph"]).select(
+            F.col("id").alias("g_id")
+        )
+        tr = tr.join(gd, "g_id", "semi")
+    return (
+        tr.join(subjects, "s", "semi")
+        .select(
+            F.col("s").alias("subject"),
+            F.col("p").alias("predicate"),
+            F.col("o_lex").alias("object"),
+        )
+        .distinct()
+    )
+
+
 def sparql_query(pipe, text: str, stage: str | None = None):
     """Run a textual SPARQL query over a loaded :class:`KgPipeline`.
 
@@ -1102,4 +1212,6 @@ def sparql_query(pipe, text: str, stage: str | None = None):
         return _compile_ask(pipe, q, stage)
     if q["form"] == "construct":
         return _compile_construct(pipe, q, stage)
+    if q["form"] == "describe":
+        return _compile_describe(pipe, q, stage)
     return _compile_select(pipe, q, stage)

@@ -1554,6 +1554,44 @@ def sparql_text_construct(spark, sf_dir):
 
 
 @q(
+    "sparql_text_describe",
+    f"SELECT '{EX}region/1' AS subject, "
+    "'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate, "
+    f"'{EX}Region' AS object "
+    f"UNION SELECT '{EX}region/1', '{EX}name', r_name "
+    "FROM region WHERE r_regionkey = 1 "
+    f"UNION SELECT '{EX}region/1', '{EX}next', '{EX}region/2'",
+)
+def sparql_text_describe(spark, sf_dir):
+    """DESCRIBE a constant resource: every triple with that subject
+    (concise-bounded-description core) from the reconstructed KG."""
+    from .plans.sparql_text import sparql_query
+
+    return sparql_query(_sparql_kg(spark, sf_dir), f"DESCRIBE <{EX}region/1>")
+
+
+@q(
+    "sparql_text_union_mixed",
+    f"SELECT '{EX}nation/' || n_nationkey AS s, '{EX}region/' || n_regionkey AS r "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name IN ('AFRICA', 'ASIA')",
+)
+def sparql_text_union_mixed(spark, sf_dir):
+    """UNION joined with the rest of the group (SPARQL Join(Union(A,B),
+    G)): the union restricts ?r, the required pattern supplies (s, r)."""
+    from .plans.sparql_text import sparql_query
+
+    return sparql_query(
+        _sparql_kg(spark, sf_dir),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?r WHERE {{
+          ?s ex:inRegion ?r .
+          {{ ?r ex:name "AFRICA" }} UNION {{ ?r ex:name "ASIA" }}
+        }}""",
+    )
+
+
+@q(
     "sparql_text_subquery",
     f"SELECT r_name AS n, CAST(COUNT(*) AS BIGINT) AS c "
     "FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
@@ -1602,6 +1640,7 @@ _ORDER = [
     "sparql_path_seq", "sparql_path_star", "sparql_graph_agg",
     "sparql_text_query", "sparql_text_having", "sparql_text_values",
     "sparql_text_ask", "sparql_text_construct", "sparql_text_subquery",
+    "sparql_text_describe", "sparql_text_union_mixed",
     # LLM-pipeline operators (each the only gate for its family member)
     "text_stats", "doc_fingerprint", "lang_id_heuristic", "text_clean",
     "dataset_split", "quality_scores", "dedup_exact_groups",

@@ -42,7 +42,7 @@ def test_parse_abbreviations_and_paths():
 
 def test_parse_unsupported_named_clearly():
     with pytest.raises(SparqlUnsupported, match="DESCRIBE"):
-        parse_sparql("DESCRIBE <http://example.org/x>")
+        parse_sparql("DESCRIBE * WHERE { ?s ?p ?o }")
     with pytest.raises(SparqlUnsupported, match="UNDEF"):
         parse_sparql(
             "SELECT ?x WHERE { ?x <http://p> ?y VALUES ?y { UNDEF } }"
@@ -384,3 +384,48 @@ def test_lang_of_iri_object_is_null(loaded):
         "SELECT ?t WHERE { ?s a ?t FILTER(LANG(?t) = \"\") }",
     )
     assert out.count() == 0
+
+
+# -- DESCRIBE and mixed UNION ----------------------------------------------
+
+
+def test_describe_constant(loaded):
+    out = sparql_query(loaded, f"DESCRIBE <{RDF}Bag>")
+    rows = {(r.subject, r.predicate, r.object) for r in out.collect()}
+    assert rows == {
+        (RDF + "Bag", RDF + "type", RDF + "Alt"),
+        (RDF + "Bag", RDFS + "label", "杭州"),
+    }
+    assert out.columns == ["subject", "predicate", "object"]
+
+
+def test_describe_var_with_where(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        DESCRIBE ?s WHERE {{ ?s rdfs:label ?l FILTER(?l < 2) }}""",
+    )
+    rows = {(r.subject, r.predicate, r.object) for r in out.collect()}
+    assert rows == {
+        (EX + "i1", RDF + "type", EX + "even"),
+        (EX + "i1", RDFS + "label", "1"),
+    }
+
+
+def test_union_joined_with_patterns(oddeven):
+    # Join(Union(A,B), G): the union restricts ?s to classed subjects,
+    # the required pattern pulls each one's label
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l WHERE {{
+          ?s rdfs:label ?l .
+          {{ ?s a ex:even }} UNION {{ ?s a ex:odd }}
+          FILTER(?l < 3)
+        }}""",
+    )
+    assert {(r.s, r.l) for r in out.collect()} == {
+        (EX + "i1", "1"), (EX + "i2", "2")
+    }
