@@ -27,7 +27,8 @@ dictionary is never force-broadcast (AQE broadcasts when actually small).
 Property paths (SPARQL 1.1 §9; the reference gets these from Ontop,
 pom.xml:118-127): ``PathPlus`` (p+), ``PathStar`` (p*), ``PathOpt``
 (p?), ``PathSeq`` (p1/p2), ``PathAlt`` (p1|p2), ``PathInverse`` (^p),
-composable (``^(p1/p2)`` normalizes to ``^p2/^p1``). Zero-length paths
+``PathNeg`` (!(p1|p2), plan-time map pruning), composable (``^(p1/p2)``
+normalizes to ``^p2/^p1``). Zero-length paths
 (p*/p?) draw their reflexive endpoints from the terms INCIDENT to the
 path predicate's edges — a documented narrowing of the spec's
 "all terms in the graph" (full-graph term enumeration would scan every
@@ -113,6 +114,17 @@ class PathAlt:
     (``(a|b)/c`` == ``a/c | b/c``)."""
 
     alts: tuple
+
+
+@dataclass(frozen=True)
+class PathNeg:
+    """``!(p1|...|pn)`` — negated property set (SPARQL 1.1 §9.1): matches
+    any edge whose predicate is NOT in the set. Compiles like a variable
+    predicate (union over all predicate maps) with the listed maps pruned
+    at PLAN time — no per-row predicate test. Forward properties only
+    (``!^p`` forms are not supported)."""
+
+    predicates: tuple
 
 
 def _transitive_plus(
@@ -251,13 +263,20 @@ def _pattern_frame(
     if graph is not None and (not dicts or "graphs" not in dicts):
         raise ValueError("graph-constrained queries need the graphs dictionary")
 
+    is_neg = isinstance(p, PathNeg)
     is_path = isinstance(p, (PathPlus, PathStar, PathOpt))
     p_match = p.predicate if is_path else p
-    p_is_var = _is_var(p_match)
+    p_is_var = not is_neg and _is_var(p_match)
     pieces = []
     for t in catalog.tables:
         for pm in t.predicates:
-            if not p_is_var and pm.predicate != p_match:
+            if is_neg:
+                # negated property set: prune the EXCLUDED maps at plan
+                # time; every other map contributes (like a variable
+                # predicate, no per-row predicate comparison)
+                if pm.predicate in p.predicates:
+                    continue
+            elif not p_is_var and pm.predicate != p_match:
                 continue
             df = reader(t)
             if dicts:

@@ -21,7 +21,8 @@ Supported surface (SPARQL 1.1):
 - ``FROM <iri>`` (named-graph restriction; repeated FROM unsupported)
 - ``WHERE { ... }`` group: triple blocks with ``;`` / ``,`` / ``a`` /
   ``[]`` / ``_:b`` abbreviations, property paths (``^``, ``/``, ``|``,
-  ``+``, ``*``, ``?``, parens), OPTIONAL, FILTER (expression subset
+  ``+``, ``*``, ``?``, ``!(p1|p2)`` negated sets, parens), OPTIONAL,
+  FILTER (expression subset
   below), FILTER [NOT] EXISTS, MINUS, BIND, GRAPH <iri>|?g { ... },
   UNION of plain groups (standalone or joined with the rest of the
   group on shared variables), ``VALUES`` inline data (no UNDEF),
@@ -61,6 +62,7 @@ from .sparql import (
     Literal,
     PathAlt,
     PathInverse,
+    PathNeg,
     PathOpt,
     PathPlus,
     PathSeq,
@@ -252,6 +254,25 @@ class _Parser:
 
     def _path_primary(self):
         kind, val = self.peek()
+        if val == "!":
+            # negated property set !p or !(p1|p2|...) — forward only
+            self.next()
+            preds = []
+            if self.peek()[1] == "(":
+                self.next()
+                while True:
+                    if self.peek()[1] == "^":
+                        raise SparqlUnsupported("inverse member in negated property set")
+                    preds.append(self._nps_member())
+                    if self.peek()[1] != "|":
+                        break
+                    self.next()
+                self.eat_op(")")
+            else:
+                if self.peek()[1] == "^":
+                    raise SparqlUnsupported("inverse member in negated property set")
+                preds.append(self._nps_member())
+            return PathNeg(tuple(preds))
         if val == "(":
             self.next()
             inner = self.path()
@@ -267,6 +288,16 @@ class _Parser:
             self.next()
             return RDF + "type"
         raise SparqlSyntaxError(f"bad path element {val!r}")
+
+    def _nps_member(self) -> str:
+        kind, val = self.next()
+        if kind == "iri":
+            return self._iri(val)
+        if kind == "pname":
+            return self._pname(val)
+        if kind == "word" and val == "a":
+            return RDF + "type"
+        raise SparqlSyntaxError(f"bad negated-property-set member {val!r}")
 
     # -- triples block ----------------------------------------------------
     def triples_block(self, patterns: list) -> None:

@@ -429,3 +429,19 @@ def test_union_joined_with_patterns(oddeven):
     assert {(r.s, r.l) for r in out.collect()} == {
         (EX + "i1", "1"), (EX + "i2", "2")
     }
+
+
+def test_negated_property_set(oddeven):
+    # !rdf:type leaves only the label edges; !(rdf:type|rdfs:label) is empty
+    out = sparql_query(
+        oddeven,
+        f"PREFIX rdfs: <{RDFS}> SELECT ?s ?o WHERE {{ ?s !a ?o FILTER(?o < 2) }}",
+    )
+    assert {(r.s, r.o) for r in out.collect()} == {(EX + "i1", "1")}
+    none = sparql_query(
+        oddeven,
+        f"PREFIX rdfs: <{RDFS}> SELECT ?s WHERE {{ ?s !(a|rdfs:label) ?o }}",
+    )
+    assert none.count() == 0
+    with pytest.raises(SparqlUnsupported, match="inverse member"):
+        parse_sparql("SELECT ?s WHERE { ?s !(^<http://p>) ?o }")
