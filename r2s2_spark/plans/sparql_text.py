@@ -129,7 +129,10 @@ class _Parser:
         return self.toks[min(self.i + k, len(self.toks) - 1)]
 
     def next(self) -> tuple[str, str]:
-        t = self.toks[self.i]
+        # clamp at the trailing eof token: consuming past end-of-input
+        # (e.g. a bare 'PREFIX') must surface as a syntax error from the
+        # caller, not an IndexError
+        t = self.toks[min(self.i, len(self.toks) - 1)]
         self.i += 1
         return t
 

@@ -71,3 +71,54 @@ def test_uri_decompose_reassemble_identity(host, path, query, frag, scheme):
     parts_df = decompose_series(pd.Series([iri], dtype=object))
     parts = {k: (None if pd.isna(v.iloc[0]) else v.iloc[0]) for k, v in parts_df.items()}
     assert _reassemble_py(parts) == iri, (iri, parts)
+
+
+# -- SPARQL text parser total-ness ----------------------------------------
+#
+# The parser must be TOTAL over arbitrary input: any string either parses
+# or raises one of the two documented exception types — never an
+# IndexError/KeyError/RecursionError from a malformed query. (Spark-free:
+# parse only, no compilation.)
+
+_SPARQL_FRAGMENTS = st.lists(
+    st.sampled_from([
+        "SELECT", "ASK", "CONSTRUCT", "DESCRIBE", "WHERE", "{", "}", "(", ")",
+        "?x", "?y", "<http://e/p>", "ex:p", "PREFIX", "ex:", "a", ".", ";",
+        ",", "FILTER", "OPTIONAL", "MINUS", "UNION", "BIND", "AS", "VALUES",
+        "GRAPH", "ORDER", "BY", "LIMIT", "OFFSET", "GROUP", "HAVING",
+        "COUNT", "DISTINCT", "*", "+", "/", "|", "^", "!", "=", "<", ">",
+        '"lit"', "42", "UNDEF", "LANG", "DATATYPE", "EXISTS", "NOT",
+    ]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_SPARQL_FRAGMENTS)
+@settings(max_examples=300, deadline=None)
+def test_sparql_parser_total_over_token_soup(frags):
+    from r2s2_spark.plans.sparql_text import (
+        SparqlSyntaxError,
+        SparqlUnsupported,
+        parse_sparql,
+    )
+
+    try:
+        parse_sparql(" ".join(frags))
+    except (SparqlSyntaxError, SparqlUnsupported):
+        pass  # the documented failure modes
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_sparql_parser_total_over_arbitrary_text(text):
+    from r2s2_spark.plans.sparql_text import (
+        SparqlSyntaxError,
+        SparqlUnsupported,
+        parse_sparql,
+    )
+
+    try:
+        parse_sparql(text)
+    except (SparqlSyntaxError, SparqlUnsupported):
+        pass
