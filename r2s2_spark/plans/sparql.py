@@ -75,26 +75,30 @@ class PathPlus:
     """SPARQL one-or-more property path ``p+`` in predicate position.
     Evaluated by semi-naive transitive closure: each round joins only the
     NEW pairs (frontier) against the base edges — O(graph diameter)
-    rounds, lineage cut per round (same shape as operators/components)."""
+    rounds, lineage cut per round (same shape as operators/components).
+    ``predicate`` may be an IRI or any non-sequence path object —
+    ``(p1/p2)+`` closes over the COMPILED inner path's edge set."""
 
-    predicate: str
+    predicate: object
     max_iter: int = 64
 
 
 @dataclass(frozen=True)
 class PathStar:
     """``p*`` — zero or more: the p+ closure plus the zero-length
-    (reflexive) pairs over the predicate's incident terms."""
+    (reflexive) pairs over the predicate's incident terms. ``predicate``
+    may be an IRI or a compound path (see ``PathPlus``)."""
 
-    predicate: str
+    predicate: object
     max_iter: int = 64
 
 
 @dataclass(frozen=True)
 class PathOpt:
-    """``p?`` — zero or one: the base edges plus the zero-length pairs."""
+    """``p?`` — zero or one: the base edges plus the zero-length pairs.
+    ``predicate`` may be an IRI or a compound path (see ``PathPlus``)."""
 
-    predicate: str
+    predicate: object
 
 
 @dataclass(frozen=True)
@@ -267,8 +271,28 @@ def _pattern_frame(
     is_path = isinstance(p, (PathPlus, PathStar, PathOpt))
     p_match = p.predicate if is_path else p
     p_is_var = not is_neg and _is_var(p_match)
+    compound = is_path and not isinstance(p_match, str)
+    if compound:
+        # closure over a COMPOUND path, e.g. (p1/p2)+ or (p|^q)*: compile
+        # the inner path to its edge set through hidden endpoint
+        # variables; the shared closure block below closes it
+        # transitively. A constant graph filters inside the inner compile
+        # (per-leaf, before closure); binding GRAPH ?g would need a
+        # per-graph edge set the hidden-variable join does not carry.
+        if g_is_var:
+            raise ValueError(
+                "closure over a compound path cannot bind GRAPH ?g "
+                "(constant graphs and the default graph are supported)"
+            )
+        ep_a, ep_b = f"?__cp{idx}a", f"?__cp{idx}b"
+        inner, _ = _join_patterns(
+            catalog, reader, dicts, [(ep_a, p_match, ep_b)], graph
+        )
+        df = inner.select(
+            F.col(ep_a[1:]).alias("__s"), F.col(ep_b[1:]).alias("__o")
+        )
     pieces = []
-    for t in catalog.tables:
+    for t in (() if compound else catalog.tables):
         for pm in t.predicates:
             if is_neg:
                 # negated property set: prune the EXCLUDED maps at plan
@@ -323,7 +347,7 @@ def _pattern_frame(
                     "__gid", F.col("__gid").cast("bigint")
                 )
             pieces.append(out)
-    if not pieces:
+    if not pieces and not compound:
         # a predicate absent from the catalog matches NOTHING (SPARQL:
         # zero solutions), not an error — OPTIONAL/MINUS groups over it
         # must still compile (to unbound / no removals)
@@ -335,9 +359,10 @@ def _pattern_frame(
         if graph is not None:
             schema += ", __gid bigint"
         pieces = [SparkSession.getActiveSession().createDataFrame([], schema)]
-    df = reduce(DataFrame.unionByName, pieces)
+    if not compound:
+        df = reduce(DataFrame.unionByName, pieces)
 
-    if graph is not None and not g_is_var:
+    if not compound and graph is not None and not g_is_var:
         # FROM <iri> / GRAPH <iri>: restrict to the one graph. The filter
         # runs BEFORE any closure so paths stay inside the graph. The
         # one-row dictionary side is left to AQE (no forced broadcast).
@@ -366,7 +391,7 @@ def _pattern_frame(
             ]
         df = paths.select(
             "__s",
-            F.lit(p_match).alias("__p"),
+            F.lit(p_match if isinstance(p_match, str) else "__path__").alias("__p"),
             "__o",
             F.lit(None).cast("string").alias("__ol"),
             F.lit(None).cast("string").alias("__od"),

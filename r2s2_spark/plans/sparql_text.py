@@ -21,7 +21,8 @@ Supported surface (SPARQL 1.1):
 - ``FROM <iri>`` (named-graph restriction; repeated FROM unsupported)
 - ``WHERE { ... }`` group: triple blocks with ``;`` / ``,`` / ``a`` /
   ``[]`` / ``_:b`` abbreviations, property paths (``^``, ``/``, ``|``,
-  ``+``, ``*``, ``?``, ``!(p1|p2)`` negated sets, parens), OPTIONAL,
+  ``+``, ``*``, ``?`` — closures compose over compound paths like
+  ``(p1/p2)+`` — ``!(p1|p2)`` negated sets, parens), OPTIONAL,
   FILTER (expression subset
   below), FILTER [NOT] EXISTS, MINUS, BIND, GRAPH <iri>|?g { ... },
   UNION of plain groups (standalone or joined with the rest of the
@@ -246,11 +247,8 @@ class _Parser:
         p = self._path_primary()
         mod = self.peek()[1]
         if mod in ("+", "*", "?"):
-            if not isinstance(p, str):
-                raise SparqlUnsupported(
-                    f"path modifier {mod!r} on a compound path (closure is "
-                    "supported over a single predicate)"
-                )
+            # closure composes over compound paths too: (p1/p2)+ compiles
+            # the inner path to an edge set and closes it transitively
             self.next()
             p = {"+": PathPlus, "*": PathStar, "?": PathOpt}[mod](p)
         return PathInverse(p) if inverse else p

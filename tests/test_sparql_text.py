@@ -36,8 +36,11 @@ def test_parse_abbreviations_and_paths():
     assert [(s, o) for s, _, o in pats[:3]] == [
         ("?s", "?a"), ("?s", "?b"), ("?s", "?c")
     ]
-    with pytest.raises(SparqlUnsupported, match="compound"):
-        parse_sparql(f"PREFIX ex: <{EX}> SELECT * WHERE {{ ?s (ex:a/ex:b)+ ?d }}")
+    q2 = parse_sparql(f"PREFIX ex: <{EX}> SELECT * WHERE {{ ?s (ex:a/ex:b)+ ?d }}")
+    [(_, path, _)] = q2["where"]["patterns"]
+    from r2s2_spark.plans.sparql import PathPlus, PathSeq
+
+    assert isinstance(path, PathPlus) and isinstance(path.predicate, PathSeq)
 
 
 def test_parse_unsupported_named_clearly():
@@ -445,3 +448,27 @@ def test_negated_property_set(oddeven):
     assert none.count() == 0
     with pytest.raises(SparqlUnsupported, match="inverse member"):
         parse_sparql("SELECT ?s WHERE { ?s !(^<http://p>) ?o }")
+
+
+def test_compound_path_closure(spark, tmp_path):
+    # hop = next/next: a ->2 c ->2 e; (next/next)+ from a = {c, e};
+    # (next/next)* adds the zero-length endpoints incident to hop edges
+    nt = "\n".join(
+        f"<{EX}{x}> <{EX}next> <{EX}y>".replace("y", y) + " ."
+        for x, y in [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "p.nt", nt)]))
+    plus = sparql_query(
+        p, f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ ex:a (ex:next/ex:next)+ ?x }}"
+    )
+    assert {r.x for r in plus.collect()} == {EX + "c", EX + "e"}
+    star = sparql_query(
+        p, f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ ex:c (ex:next/ex:next)* ?x }}"
+    )
+    assert {r.x for r in star.collect()} == {EX + "c", EX + "e"}
+    # alternation closure: (next|^next)+ from c reaches every node
+    alt = sparql_query(
+        p, f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ ex:c (ex:next|^ex:next)+ ?x }}"
+    )
+    assert {r.x for r in alt.collect()} == {EX + s for s in "abcde"}
