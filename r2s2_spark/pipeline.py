@@ -87,7 +87,9 @@ class KgPipeline:
             io.write_parquet("E", stmts)
             out = io.read_parquet("E")
             io.write_lineage("E", out)
-            n = out.count()
+            # the lineage pass counted every partition — sum the tiny
+            # lineage table instead of a second full scan of E
+            n = int(io.read_lineage("E").agg(F.sum("n_rows")).first()[0] or 0)
             return {"statements": n}
 
         self.runner.run("E", fn)
@@ -95,12 +97,43 @@ class KgPipeline:
     def stage_d(self) -> None:
         def fn(io: StageIO) -> dict:
             stmts = io.read_parquet("E")
-            preds = build_dictionary(stmts, "p_iri")
+            # ONE scan of E feeds both dictionaries: the (kind, value)
+            # explode distincts predicates and graphs together, the small
+            # distinct set persists, and each dictionary assigns ids from
+            # it (ids identical to per-column builds — same distinct
+            # sets). Two full scans of a 100 TB E become one.
+            pairs = (
+                stmts.select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.lit("p").alias("k"), F.col("p_iri").alias("v")
+                            ),
+                            F.struct(
+                                F.lit("g").alias("k"), F.col("g_iri").alias("v")
+                            ),
+                        )
+                    ).alias("kv")
+                )
+                .select("kv.k", "kv.v")
+                .where(F.col("v").isNotNull())
+                .distinct()
+                .persist()
+            )
+            preds = build_dictionary(
+                pairs.where(F.col("k") == "p").withColumnRenamed("v", "p_iri"),
+                "p_iri",
+            )
             # graph domain is unbounded at 10^12-file scale (per-file
             # graphs) -> two-level deterministic id assignment
-            graphs = build_dictionary(stmts, "g_iri", n_buckets=64)
+            graphs = build_dictionary(
+                pairs.where(F.col("k") == "g").withColumnRenamed("v", "g_iri"),
+                "g_iri",
+                n_buckets=64,
+            )
             preds.coalesce(1).write.mode("overwrite").parquet(io.path("D", "predicates"))
             graphs.write.mode("overwrite").parquet(io.path("D", "graphs"))
+            pairs.unpersist()
 
             return {
                 "predicates": self.predicates().count(),
@@ -119,8 +152,25 @@ class KgPipeline:
             io.write_parquet("V", routed, partition_by=["t"])
             written = io.read_parquet("V")
             files = self.spark.read.parquet(io.path("E", "files"))
-            io.write_lineage("V", written, sha_col="file_id", sha_dict=files)
-            counts = {r["t"]: r["n"] for r in written.groupBy("t").agg(F.count("*").alias("n")).collect()}
+            # ONE scan of V serves both per-table counts and lineage: the
+            # (partition, table) pre-aggregate is tiny (partitions x
+            # tables), persists, and re-aggregates each way
+            pre = (
+                written.groupBy(
+                    F.spark_partition_id().alias("partition_id"), "t"
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sort_array(F.collect_set("file_id")).alias("__idset"),
+                )
+                .persist()
+            )
+            counts = {
+                r["t"]: int(r["n"])
+                for r in pre.groupBy("t").agg(F.sum("n_rows").alias("n")).collect()
+            }
+            io.write_lineage_from_pre("V", pre, sha_col="file_id", sha_dict=files)
+            pre.unpersist()
             for t in catalog.tables:
                 t.row_count = counts.get(t.name, 0)
             catalog.tables = [t for t in catalog.tables if t.row_count]

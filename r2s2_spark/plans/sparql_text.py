@@ -779,7 +779,7 @@ class _Parser:
             "form": "select",
             "distinct": False, "select": [], "agg": {}, "group_by": None,
             "graph": None, "order": [], "limit": None, "offset": None,
-            "star": False, "having": None, "values": [],
+            "star": False, "having": None, "values": [], "select_exprs": [],
         }
         if self.at_word("DISTINCT"):
             self.next()
@@ -797,12 +797,27 @@ class _Parser:
                 q["star"] = True
             elif val == "(":
                 self.next()
-                agg = self._aggregate()
-                self.eat_word("AS")
-                k2, v2 = self.next()
-                self.eat_op(")")
-                q["agg"][v2[1:]] = agg
-                q["select"].append(v2[1:])
+                k0, v0 = self.peek()
+                if k0 == "word" and v0.upper() in (
+                    "COUNT", "SUM", "AVG", "MIN", "MAX"
+                ):
+                    agg = self._aggregate()
+                    self.eat_word("AS")
+                    k2, v2 = self.next()
+                    self.eat_op(")")
+                    q["agg"][v2[1:]] = agg
+                    q["select"].append(v2[1:])
+                else:
+                    # SELECT (expr AS ?v): a per-solution projection
+                    # expression — compiles as a trailing BIND
+                    expr = self.expression()
+                    self.eat_word("AS")
+                    k2, v2 = self.next()
+                    if k2 != "var":
+                        raise SparqlSyntaxError("SELECT (expr AS ?var)")
+                    self.eat_op(")")
+                    q["select_exprs"].append((expr, v2[1:]))
+                    q["select"].append(v2[1:])
             else:
                 break
         if self.at_word("FROM"):
@@ -1000,7 +1015,7 @@ def _compile_select(pipe, q: dict, stage: str | None):
         # pure union group: each branch compiles to its own BGP and the
         # solutions concatenate (NULL for variables a branch leaves
         # unbound). Modifiers beyond DISTINCT would need the mixed path.
-        if q["agg"] or values or w["subselects"]:
+        if q["agg"] or values or w["subselects"] or q["select_exprs"]:
             raise SparqlUnsupported("UNION combined with other group elements")
         select = None if q["star"] else ["?" + v for v in q["select"]]
         out = bgp_union_on_pipeline(
@@ -1017,6 +1032,16 @@ def _compile_select(pipe, q: dict, stage: str | None):
                     cond = cond & f(df)
                 return cond
         select = None if q["star"] else ["?" + v for v in q["select"]]
+        binds = list(w["binds"])
+        if q["select_exprs"]:
+            # SELECT (expr AS ?v) binds per solution; with aggregates the
+            # expression would have to run post-grouping, which the BIND
+            # slot cannot express
+            if q["agg"]:
+                raise SparqlUnsupported(
+                    "SELECT expression combined with aggregates"
+                )
+            binds.extend((e, "?" + v) for e, v in q["select_exprs"])
         frames = [_compile_select(pipe, sub, stage) for sub in w["subselects"]]
         if w["union"] is not None:
             # UNION mixed with other patterns: SPARQL Join(Union(A,B), G)
@@ -1039,7 +1064,7 @@ def _compile_select(pipe, q: dict, stage: str | None):
             minus=w["minus"] or None,
             exists=w["exists"] or None,
             not_exists=w["not_exists"] or None,
-            bind=w["binds"] or None,
+            bind=binds or None,
             group_by=q["group_by"] if q["agg"] else None,
             agg={k: v for k, v in q["agg"].items()} or None,
             values=values or None,

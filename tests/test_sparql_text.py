@@ -472,3 +472,24 @@ def test_compound_path_closure(spark, tmp_path):
         p, f"PREFIX ex: <{EX}> SELECT ?x WHERE {{ ex:c (ex:next|^ex:next)+ ?x }}"
     )
     assert {r.x for r in alt.collect()} == {EX + s for s in "abcde"}
+
+
+def test_select_expression(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?s (?l * 2 AS ?dbl) WHERE {{
+          ?s rdfs:label ?l FILTER(?l > 97)
+        }}""",
+    )
+    assert {(r.s, r.dbl) for r in out.collect()} == {
+        (EX + "i98", 196.0), (EX + "i99", 198.0)
+    }
+    assert out.columns == ["s", "dbl"]
+    with pytest.raises(SparqlUnsupported, match="SELECT expression"):
+        sparql_query(
+            oddeven,
+            f"PREFIX rdfs: <{RDFS}> SELECT (STRLEN(?l) AS ?n) (COUNT(?s) AS ?c) "
+            "WHERE { ?s rdfs:label ?l }",
+        )
