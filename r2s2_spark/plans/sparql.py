@@ -220,8 +220,10 @@ def _expand_path_patterns(patterns: list[tuple]) -> list[tuple]:
 
 
 #: prefixes of the hidden per-variable term-metadata columns carried for
-#: LANG()/DATATYPE() (see ``term_meta``); dropped before projection
-META_LANG, META_DT = "__lang_", "__dt_"
+#: LANG()/DATATYPE()/isIRI()-family (see ``term_meta``); dropped before
+#: projection
+META_LANG, META_DT, META_KIND = "__lang_", "__dt_", "__kind_"
+META_PREFIXES = (META_LANG, META_DT, META_KIND)
 _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
@@ -326,6 +328,13 @@ def _pattern_frame(
                     dt_c = F.lit(None).cast("string")
                 sel.append(lang_c.alias(META_LANG + o[1:]))
                 sel.append(dt_c.alias(META_DT + o[1:]))
+                sel.append(F.lit(pm.obj_kind).alias(META_KIND + o[1:]))
+            if _is_var(s) and s in term_meta and s != o:
+                # subject-position term metadata: kind is table metadata;
+                # LANG/DATATYPE of an IRI/bnode is a type error -> NULL
+                sel.append(F.lit(None).cast("string").alias(META_LANG + s[1:]))
+                sel.append(F.lit(None).cast("string").alias(META_DT + s[1:]))
+                sel.append(F.lit(t.subject_kind).alias(META_KIND + s[1:]))
             explode_graphs = False
             if graph is not None:
                 gc = pm.graph_column
@@ -355,7 +364,15 @@ def _pattern_frame(
 
         schema = "__s string, __p string, __o string, __ol string, __od string"
         if _is_var(o) and o in term_meta:
-            schema += f", `{META_LANG}{o[1:]}` string, `{META_DT}{o[1:]}` string"
+            schema += (
+                f", `{META_LANG}{o[1:]}` string, `{META_DT}{o[1:]}` string"
+                f", `{META_KIND}{o[1:]}` string"
+            )
+        if _is_var(s) and s in term_meta and s != o:
+            schema += (
+                f", `{META_LANG}{s[1:]}` string, `{META_DT}{s[1:]}` string"
+                f", `{META_KIND}{s[1:]}` string"
+            )
         if graph is not None:
             schema += ", __gid bigint"
         pieces = [SparkSession.getActiveSession().createDataFrame([], schema)]
@@ -383,12 +400,17 @@ def _pattern_frame(
         else:  # PathOpt
             paths = base.distinct().unionByName(_reflexive(base, group)).distinct()
         path_meta = []
-        if _is_var(o) and o in term_meta:
-            # path endpoints are IRIs/bnodes: LANG/DATATYPE type-errors
-            path_meta = [
-                F.lit(None).cast("string").alias(META_LANG + o[1:]),
-                F.lit(None).cast("string").alias(META_DT + o[1:]),
-            ]
+        for v in (o, s):
+            # path endpoints are IRIs/bnodes: LANG/DATATYPE type-errors;
+            # the exact kind is not tracked through the closure -> NULL
+            if _is_var(v) and v in term_meta:
+                path_meta += [
+                    F.lit(None).cast("string").alias(META_LANG + v[1:]),
+                    F.lit(None).cast("string").alias(META_DT + v[1:]),
+                    F.lit(None).cast("string").alias(META_KIND + v[1:]),
+                ]
+        if s == o:
+            path_meta = path_meta[:3]
         df = paths.select(
             "__s",
             F.lit(p_match if isinstance(p_match, str) else "__path__").alias("__p"),
@@ -439,11 +461,7 @@ def _pattern_frame(
         df = df.where(F.col("__o") == o)
     if g_is_var:
         bind(graph, "__giri")
-    meta_cols = [
-        F.col(n)
-        for n in df.columns
-        if n.startswith((META_LANG, META_DT)) and _is_var(o) and o in term_meta
-    ]
+    meta_cols = [F.col(n) for n in df.columns if n.startswith(META_PREFIXES)]
     named = (
         df.select(*[c.alias(v[1:]) for v, c in cols.items()], *meta_cols)
         if cols
@@ -469,7 +487,7 @@ def _join_patterns(
         # columns twice: the FIRST binding pattern wins (documented)
         dup_meta = [
             c for c in f.columns
-            if c.startswith((META_LANG, META_DT)) and c in out.columns
+            if c.startswith(META_PREFIXES) and c in out.columns
         ]
         if dup_meta:
             f = f.drop(*dup_meta)
@@ -586,7 +604,7 @@ def bgp(
         )
         dup_meta = [
             c for c in g.columns
-            if c.startswith((META_LANG, META_DT)) and c in out.columns
+            if c.startswith(META_PREFIXES) and c in out.columns
         ]
         if dup_meta:
             g = g.drop(*dup_meta)
@@ -641,7 +659,7 @@ def bgp(
         bound.add(var[1:] if var.startswith("?") else var)
     if filter is not None:
         out = out.where(filter(out) if callable(filter) else filter)
-    meta_hidden = [c for c in out.columns if c.startswith((META_LANG, META_DT))]
+    meta_hidden = [c for c in out.columns if c.startswith(META_PREFIXES)]
     if meta_hidden:
         out = out.drop(*meta_hidden)
     if agg is not None:

@@ -33,14 +33,16 @@ Supported surface (SPARQL 1.1):
 
 FILTER/BIND expression subset: ``|| && !``, comparisons (numeric when one
 side is a numeric literal — lexical values try_cast to double; string
-equality otherwise), arithmetic, ``BOUND CONTAINS STRSTARTS STRENDS
-STRLEN UCASE LCASE CONCAT SUBSTR REGEX COALESCE IF``, and ``LANG()`` /
-``DATATYPE()`` / ``LANGMATCHES()`` — variables inside LANG/DATATYPE make
-the compiler carry hidden per-variable term-metadata columns
-(``plans/sparql.py`` ``term_meta``), constant-folded per predicate map
-(the object kind is known at plan time). Joins still compare lexical
-forms — a documented narrowing; LANG/DATATYPE over a variable never
-bound in object position yields NULL (the spec's type error).
+equality otherwise), ``IN`` / ``NOT IN`` lists, arithmetic, ``BOUND
+CONTAINS STRSTARTS STRENDS STRBEFORE STRAFTER REPLACE STRLEN UCASE
+LCASE CONCAT SUBSTR REGEX COALESCE IF``, and the term-inspection family
+``LANG() DATATYPE() LANGMATCHES() isIRI() isBlank() isLiteral()
+isNumeric()`` — variables inside these make the compiler carry hidden
+per-variable term-metadata columns (``plans/sparql.py`` ``term_meta``),
+constant-folded per predicate map (object/subject kinds are catalog
+metadata, known at plan time). Joins still compare lexical forms — a
+documented narrowing; term inspection over a variable never bound in a
+pattern position yields NULL (the spec's type error).
 
 Out of scope (raises ``SparqlUnsupported`` with the construct named):
 ``DESCRIBE *``, ``VALUES``/``UNDEF`` wildcards, nested
@@ -59,6 +61,7 @@ from pyspark.sql import functions as F
 from ..naming import RDF
 from .sparql import (
     META_DT,
+    META_KIND,
     META_LANG,
     Literal,
     PathAlt,
@@ -528,6 +531,18 @@ class _Parser:
 
     def _cmp_expr(self):
         left = self._add_expr()
+        kind, val = self.peek()
+        if kind == "word" and val.upper() == "IN":
+            self.next()
+            return self._in_list(left, negate=False)
+        if (
+            kind == "word"
+            and val.upper() == "NOT"
+            and self.peek(1)[1].upper() == "IN"
+        ):
+            self.next()
+            self.next()
+            return self._in_list(left, negate=True)
         op = self.peek()[1]
         if op in ("=", "!=", "<", ">", "<=", ">="):
             self.next()
@@ -545,6 +560,27 @@ class _Parser:
                 return _lift2(_as_num(left), _as_num(right), f)
             return _lift2(left, right, f)
         return left
+
+    def _in_list(self, left, negate: bool):
+        """?x [NOT] IN (e1, e2, ...) — an OR of equalities (SPARQL §17.4.1.9)."""
+        self.eat_op("(")
+        elems = []
+        if self.peek()[1] != ")":
+            elems.append(self.expression())
+            while self.peek()[1] == ",":
+                self.next()
+                elems.append(self.expression())
+        self.eat_op(")")
+
+        def compiled(df):
+            if not elems:
+                return F.lit(negate)  # IN () is false; NOT IN () is true
+            cond = left(df) == elems[0](df)
+            for e in elems[1:]:
+                cond = cond | (left(df) == e(df))
+            return ~cond if negate else cond
+
+        return compiled
 
     def _add_expr(self):
         left = self._mul_expr()
@@ -608,6 +644,39 @@ class _Parser:
             hname = f"__h{self.hidden}"
             self.agg_sink[hname] = self._aggregate_body(name)
             return lambda df, n=hname: df[n]
+        if name in ("ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC"):
+            # term-kind tests compile on the hidden __kind_<v> metadata
+            # column (the object kind is catalog metadata per predicate
+            # map, so the test constant-folds per scan branch)
+            self.eat_op("(")
+            k, v = self.next()
+            if k != "var":
+                raise SparqlUnsupported(f"{name}() over a non-variable expression")
+            self.eat_op(")")
+            var = v[1:]
+            self.meta_vars.add("?" + var)
+            kcol, dcol = META_KIND + var, META_DT + var
+            if name in ("ISIRI", "ISURI"):
+                want = "iri"
+            elif name == "ISBLANK":
+                want = "bnode"
+            else:
+                want = "literal"
+            if name == "ISNUMERIC":
+                xsd = "http://www.w3.org/2001/XMLSchema#"
+                numeric = [
+                    xsd + t for t in (
+                        "integer", "decimal", "double", "float", "int",
+                        "long", "short", "byte", "nonNegativeInteger",
+                        "positiveInteger", "unsignedInt", "unsignedLong",
+                    )
+                ]
+                return lambda df, c=dcol, ns=numeric: (
+                    df[c].isin(ns) if c in df.columns else F.lit(None).cast("boolean")
+                )
+            return lambda df, c=kcol, w=want: (
+                (df[c] == w) if c in df.columns else F.lit(None).cast("boolean")
+            )
         if name in ("LANG", "DATATYPE"):
             # compile against the hidden per-variable term-metadata
             # columns (plans/sparql.py term_meta); a variable never bound
@@ -956,6 +1025,25 @@ def _compile_function(name: str, args: list):
         "COALESCE": F.coalesce,
         "IF": F.when,  # handled below
     }
+    if name == "STRBEFORE":
+        def strbefore(df):
+            a, b = args[0](df), args[1](df)
+            pos = F.position(b, a)
+            return F.when(pos > 0, F.substring(a, F.lit(1), pos - 1)).otherwise(F.lit(""))
+        return strbefore
+    if name == "STRAFTER":
+        def strafter(df):
+            a, b = args[0](df), args[1](df)
+            pos = F.position(b, a)
+            return F.when(
+                pos > 0,
+                F.substring(a, pos + F.length(b), F.lit(2147483647)),
+            ).otherwise(F.lit(""))
+        return strafter
+    if name == "REPLACE":
+        def replace(df):
+            return F.regexp_replace(args[0](df), args[1](df), args[2](df))
+        return replace
     if name == "REGEX":
         def regex(df):
             col = args[0](df)

@@ -493,3 +493,78 @@ def test_select_expression(oddeven):
             f"PREFIX rdfs: <{RDFS}> SELECT (STRLEN(?l) AS ?n) (COUNT(?s) AS ?c) "
             "WHERE { ?s rdfs:label ?l }",
         )
+
+
+# -- IN / NOT IN, STRBEFORE/STRAFTER/REPLACE, term-kind tests --------------
+
+
+def test_in_and_not_in(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?l WHERE {{ ?s rdfs:label ?l FILTER(?l IN ("1", "2", "77")) }}""",
+    )
+    assert {r.l for r in out.collect()} == {"1", "2", "77"}
+    neg = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?l WHERE {{
+          ?s rdfs:label ?l FILTER(?l < 4 && ?l NOT IN ("2", "3"))
+        }}""",
+    )
+    assert {r.l for r in neg.collect()} == {"1"}
+
+
+def test_strbefore_strafter_replace(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?tail ?rep WHERE {{
+          ?s rdfs:label ?l FILTER(?l = "42")
+          BIND(STRAFTER(STR(?s), "org/") AS ?tail)
+          BIND(REPLACE(?tail, "[0-9]+", "N") AS ?rep)
+        }}""",
+    )
+    [(s, tail, rep)] = [(r.s, r.tail, r.rep) for r in out.collect()]
+    assert (tail, rep) == ("i42", "iN")
+    before = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?b WHERE {{
+          ?s rdfs:label ?l FILTER(?l = "42")
+          BIND(STRBEFORE("key=value", "=") AS ?b)
+        }}""",
+    )
+    assert [r.b for r in before.collect()] == ["key"]
+
+
+def test_term_kind_tests(loaded):
+    blank = sparql_query(
+        loaded,
+        f"PREFIX rdfs: <{RDFS}> SELECT ?s WHERE "
+        "{ ?s rdfs:label ?l FILTER(ISBLANK(?l)) }",
+    )
+    assert [r.s for r in blank.collect()] == [RDF + "Alt"]
+    lit = sparql_query(
+        loaded,
+        f"PREFIX rdfs: <{RDFS}> SELECT ?l WHERE "
+        "{ ?s rdfs:label ?l FILTER(ISLITERAL(?l) && LANG(?l) = \"cz\") }",
+    )
+    assert {r.l for r in lit.collect()} == {"杭州", "杭州市"}
+    iri = sparql_query(
+        loaded,
+        "SELECT ?t WHERE { ?s a ?t FILTER(ISIRI(?t)) }",
+    )
+    all_types = sparql_query(loaded, "SELECT ?t WHERE { ?s a ?t }")
+    # every rdf:type object is an IRI -> the filter removes nothing
+    assert iri.count() == all_types.count() > 0
+
+
+def test_isnumeric(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?l WHERE {{ ?s rdfs:label ?l FILTER(ISNUMERIC(?l) && ?l = 7) }}""",
+    )
+    assert [r.l for r in out.collect()] == ["7"]
