@@ -1592,6 +1592,26 @@ def sparql_text_union_mixed(spark, sf_dir):
 
 
 @q(
+    "sparql_text_expr",
+    f"SELECT '{EX}nation/' || n_nationkey AS s, "
+    "CAST(n_nationkey AS VARCHAR) AS tail FROM nation WHERE n_regionkey IN (1, 3)",
+)
+def sparql_text_expr(spark, sf_dir):
+    """Expression surface in one query: IN list on the region, STRAFTER
+    in a SELECT expression, term-kind guard (isIRI on the subject)."""
+    from .plans.sparql_text import sparql_query
+
+    return sparql_query(
+        _sparql_kg(spark, sf_dir),
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s (STRAFTER(STR(?s), "nation/") AS ?tail) WHERE {{
+          ?s ex:inRegion ?r .
+          FILTER(ISIRI(?s) && ?r IN (<{EX}region/1>, <{EX}region/3>))
+        }}""",
+    )
+
+
+@q(
     "sparql_text_subquery",
     f"SELECT r_name AS n, CAST(COUNT(*) AS BIGINT) AS c "
     "FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
@@ -1640,6 +1660,7 @@ _ORDER = [
     "sparql_path_seq", "sparql_path_star", "sparql_graph_agg",
     "sparql_text_query", "sparql_text_having", "sparql_text_values",
     "sparql_text_ask", "sparql_text_construct", "sparql_text_subquery",
+    "sparql_text_expr",
     "sparql_text_describe", "sparql_text_union_mixed",
     # LLM-pipeline operators (each the only gate for its family member)
     "text_stats", "doc_fingerprint", "lang_id_heuristic", "text_clean",
