@@ -380,12 +380,17 @@ def _pattern_frame(
         df = reduce(DataFrame.unionByName, pieces)
 
     if not compound and graph is not None and not g_is_var:
-        # FROM <iri> / GRAPH <iri>: restrict to the one graph. The filter
-        # runs BEFORE any closure so paths stay inside the graph. The
-        # one-row dictionary side is left to AQE (no forced broadcast).
-        gd = dicts["graphs"].where(F.col("iri") == graph).select(
-            F.col("id").alias("__gid")
-        )
+        # FROM <iri> / GRAPH <iri>: restrict to the graph — or to the
+        # MERGED dataset when ``graph`` is a list/tuple of IRIs (SPARQL
+        # repeated FROM merges the named graphs into the query's default
+        # graph). The filter runs BEFORE any closure so paths stay inside
+        # the dataset. The small dictionary side is left to AQE (no
+        # forced broadcast).
+        if isinstance(graph, (list, tuple, set, frozenset)):
+            cond = F.col("iri").isin(list(graph))
+        else:
+            cond = F.col("iri") == graph
+        gd = dicts["graphs"].where(cond).select(F.col("id").alias("__gid"))
         df = df.join(gd, "__gid", "semi").drop("__gid")
 
     if is_path:

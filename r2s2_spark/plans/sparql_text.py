@@ -18,7 +18,9 @@ Supported surface (SPARQL 1.1):
 - ``SELECT [DISTINCT] ?v ... | * | (AGG(...) AS ?v)`` with COUNT / SUM /
   AVG / MIN / MAX (+ DISTINCT inside COUNT), ``GROUP BY``, ``HAVING``
   (aggregates compile to hidden agg columns)
-- ``FROM <iri>`` (named-graph restriction; repeated FROM unsupported)
+- ``FROM <iri>`` (named-graph restriction; repeated FROM merges the
+  graphs into the query's default graph — one isin() dataset filter;
+  ``FROM NAMED`` unsupported)
 - ``WHERE { ... }`` group: triple blocks with ``;`` / ``,`` / ``a`` /
   ``[]`` / ``_:b`` abbreviations, property paths (``^``, ``/``, ``|``,
   ``+``, ``*``, ``?`` — closures compose over compound paths like
@@ -889,14 +891,17 @@ class _Parser:
                     q["select"].append(v2[1:])
             else:
                 break
-        if self.at_word("FROM"):
+        froms = []
+        while self.at_word("FROM"):
             self.next()
             if self.at_word("NAMED"):
                 raise SparqlUnsupported("FROM NAMED")
             kind, val = self.next()
-            q["graph"] = self._iri(val) if kind == "iri" else self._pname(val)
-            if self.at_word("FROM"):
-                raise SparqlUnsupported("multiple FROM graphs")
+            froms.append(self._iri(val) if kind == "iri" else self._pname(val))
+        if froms:
+            # repeated FROM merges the graphs into the query's default
+            # graph (SPARQL §13.2) — compiles to one isin() dataset filter
+            q["graph"] = froms[0] if len(froms) == 1 else tuple(froms)
         if self.at_word("WHERE"):
             self.next()
         q["where"] = self.group()

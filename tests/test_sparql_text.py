@@ -568,3 +568,26 @@ def test_isnumeric(oddeven):
         SELECT ?l WHERE {{ ?s rdfs:label ?l FILTER(ISNUMERIC(?l) && ?l = 7) }}""",
     )
     assert [r.l for r in out.collect()] == ["7"]
+
+
+def test_multiple_from_merges_graphs(spark, tmp_path):
+    nq = "\n".join(
+        [
+            f"<{EX}s1> <{RDF}type> <{EX}T> <{EX}g/one> .",
+            f"<{EX}s2> <{RDF}type> <{EX}T> <{EX}g/two> .",
+            f"<{EX}s3> <{RDF}type> <{EX}T> <{EX}g/three> .",
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "g.nq", nq)]))
+    both = sparql_query(
+        p,
+        f"PREFIX ex: <{EX}> SELECT ?s FROM <{EX}g/one> FROM <{EX}g/two> "
+        "WHERE { ?s a ex:T }",
+    )
+    assert {r.s for r in both.collect()} == {EX + "s1", EX + "s2"}
+    one = sparql_query(
+        p,
+        f"PREFIX ex: <{EX}> SELECT ?s FROM <{EX}g/three> WHERE {{ ?s a ex:T }}",
+    )
+    assert {r.s for r in one.collect()} == {EX + "s3"}
