@@ -170,6 +170,8 @@ def run_many_tables_layout(spark) -> dict:
     )
     work = tempfile.mkdtemp(prefix="r2s2_widecat_")
     try:
+        from r2s2_spark import pipeline as pl
+
         pipe = KgPipeline(spark, work)
         pipe.stage_e(src)
         pipe.stage_d()
@@ -183,6 +185,11 @@ def run_many_tables_layout(spark) -> dict:
         return {
             "stage_o_64tables_sec": round(t_o, 3),
             "stage_m_64tables_sec": round(t_m, 3),
+            # per-pass attribution (pipeline.TIMINGS): which pass moved
+            # when a stage total drifts between rounds
+            "stage_passes_64tables_sec": {
+                k: v for k, v in sorted(pl.TIMINGS.items())
+            },
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -326,6 +333,7 @@ def main() -> None:
         "parse_turtle_vs_nt_ratio": r["parse_turtle_vs_nt_ratio"],
         "stage_o_64tables_sec": r["stage_o_64tables_sec"],
         "stage_m_64tables_sec": r["stage_m_64tables_sec"],
+        "stage_passes_64tables_sec": r["stage_passes_64tables_sec"],
         "query_rows": {
             k[: -len("_rows")]: v for k, v in r["queries"].items() if k.endswith("_rows")
         },

@@ -37,6 +37,11 @@ from ..plans.catalog import Catalog, TableSpec
 
 SEP = "\x00"
 
+#: wall-clock of the most recent run_merges, keyed by sub-phase ("probe",
+#: "cascade") plus counters ("merges", "reprobes") — the bench harness
+#: reads these through pipeline.TIMINGS to attribute stage-M drift.
+LAST_TIMINGS: dict = {}
+
 
 def subject_key(table: TableSpec) -> "F.Column":
     """concatSubjectColumns (TableMergingConcurence.java:232-244): physical
@@ -134,15 +139,90 @@ def merge_pair(
     return merged, remaining
 
 
-def subject_key_range(df: DataFrame, table: TableSpec) -> tuple:
-    """(min, max) of the subject key — one tiny agg job. Feeds the merge
-    prefilter: disjoint key ranges can NEVER overlap, so the O(T^2)
-    pairwise semi-join probes collapse to the pairs whose ranges touch
-    (parquet min/max stats answer this scan cheaply)."""
-    row = df.agg(
-        F.min(subject_key(table)).alias("mn"), F.max(subject_key(table)).alias("mx")
-    ).first()
-    return row.mn, row.mx
+def _tagged_subject_keys(
+    frames: dict[str, DataFrame], tables: list[TableSpec]
+) -> DataFrame:
+    """Union every table's subject keys tagged with the table name — the
+    single input both fused probes aggregate. Uniform 2-column schema, so
+    the union is cheap regardless of per-table column sets. The plan is
+    linear in the table count (one parquet scan branch per table); at
+    10^5-table catalogs the branches still compile in seconds and the job
+    replaces 10^5 separate probe jobs (and, for overlaps, 10^10 pair jobs)."""
+    parts = [
+        frames[t.name].select(
+            F.lit(t.name).alias("tbl"), subject_key(t).alias("k")
+        )
+        for t in tables
+    ]
+    # balanced-tree union: a left-deep chain re-analyzes the growing plan
+    # on every unionByName (O(T^2) analyzer work — measured 4.3 s of pure
+    # driver time at 64 tables); pairing halves keeps it O(T log T)
+    while len(parts) > 1:
+        parts = [
+            parts[i].unionByName(parts[i + 1])
+            if i + 1 < len(parts)
+            else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]
+
+
+def _fused_probe(
+    spark: SparkSession,
+    frames: dict[str, DataFrame],
+    tables: list[TableSpec],
+) -> tuple[dict[str, bool], set[frozenset]]:
+    """ONE pass over all tables answering both merge questions:
+
+    - repeating-subject flag per table (A2 probe: any key with count>1;
+      NULL keys group like any value, matching has_repeating_subjects);
+    - the set of table PAIRS whose subject keys overlap (J1 probe): among
+      non-repeating candidates every key appears once per table, so
+      grouping keys across tables and emitting co-occurring table pairs
+      costs one shuffle — where the per-pair semi-join architecture costs
+      O(T^2) driver-submitted jobs (the round-3 4x stage-M regression at
+      64 tables; fatal at the 10^4-10^5 tables of a real KG vocabulary).
+
+    Pair sets are DISTINCT-ed distributed-side; only the (small) distinct
+    pair list is collected, never the per-key sets.
+    """
+    if not tables:
+        return {}, set()
+    pool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "stage_m")
+    try:
+        per_key = (
+            _tagged_subject_keys(frames, tables)
+            .groupBy("tbl", "k")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
+        )
+        rep_rows = per_key.groupBy("tbl").agg(F.max("c").alias("mx")).collect()
+        mx = {r.tbl: r.mx for r in rep_rows}
+        # absent => empty table => trivially non-repeating (matches the
+        # per-table probe: zero groups exceed count 1)
+        repeating = {t.name: int(mx.get(t.name, 0) or 0) > 1 for t in tables}
+        cand = [t.name for t in tables if not repeating[t.name]]
+        pairs = set()
+        if len(cand) > 1:
+            sets = (
+                per_key.where(F.col("k").isNotNull() & F.col("tbl").isin(cand))
+                .groupBy("k")
+                .agg(F.collect_set("tbl").alias("ts"))
+                .where(F.size("ts") >= 2)
+            )
+            pair_rows = (
+                sets.select(F.explode("ts").alias("a"), "ts")
+                .select("a", F.explode("ts").alias("b"))
+                .where(F.col("a") < F.col("b"))
+                .distinct()
+                .collect()
+            )
+            pairs = {frozenset((r.a, r.b)) for r in pair_rows}
+        per_key.unpersist()
+        return repeating, pairs
+    finally:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
 
 
 def run_merges(
@@ -150,37 +230,46 @@ def run_merges(
     catalog: Catalog,
     frames: dict[str, DataFrame],
     sizes: dict[str, int],
-) -> tuple[list[str], list[str]]:
+) -> tuple[list[str], list[str], dict[str, bool]]:
     """The full TableMergingConcurence driver loop over in-memory (lazy)
     frames. Mutates ``catalog``/``frames``/``sizes``. Returns
-    (names of tables that changed, names of emptied/dropped tables).
+    (names of tables that changed, names of emptied/dropped tables,
+    {name: subject-unique} — the probe's verdict, still valid after the
+    cascade, see below).
 
-    Driver-loop scale: the per-table probes (repeating-subject, key range)
-    are submitted from a bounded thread pool — serial submission would
-    idle the executors between 10^4+ tiny jobs — and pairwise overlap
-    probes only run for pairs whose subject-key [min,max] ranges intersect.
+    Driver-loop scale: ALL repeating-subject flags and ALL overlapping
+    table pairs come from one fused probe job (see _fused_probe) instead
+    of per-table + per-pair jobs. The upfront pair set stays valid through
+    the cascade because merging never grows a side: ``mc`` keeps its rows
+    (left join adds columns), ``other`` only shrinks (anti join) — so a
+    pair the probe called disjoint can never become overlapping, and a
+    pair involving a since-shrunk table is re-probed live before merging.
+
+    The same monotonicity makes the returned uniqueness map valid AFTER
+    the cascade: a non-candidate is never touched; an ``mc`` keeps its
+    exact row set (the payload it left-joins has unique keys — ``other``
+    is itself a candidate — so no row duplication); an ``other`` only
+    loses rows, and a subset of a unique-keyed set is unique. Step 10
+    (verify_subject_uniqueness) consumes it via ``known=`` and probes
+    nothing.
     """
-    from ..pipeline import _pooled_map
+    import time as _time
 
     def order_key(t: TableSpec):
         return (0 if t.name.startswith("type_") else 1, sizes[t.name], t.name)
 
     tables = sorted(catalog.tables, key=order_key)
-
-    def probe(t: TableSpec):
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "stage_m")
-        repeating = has_repeating_subjects(frames[t.name], t)
-        rng = None if repeating else subject_key_range(frames[t.name], t)
-        return t.name, repeating, rng
-
-    probed = _pooled_map(probe, tables)
-    repeating = {name: rep for name, rep, _ in probed}
-    # ranges are used as SUPERSETS: merges only shrink `other`, so a stale
-    # wider range is safe (costs an extra probe, never a missed overlap)
-    ranges = {name: rng for name, _, rng in probed}
+    t0 = _time.time()
+    repeating, overlap_pairs = _fused_probe(spark, frames, tables)
+    LAST_TIMINGS.clear()
+    LAST_TIMINGS["probe"] = round(_time.time() - t0, 3)
+    LAST_TIMINGS["merges"] = 0
+    LAST_TIMINGS["reprobes"] = 0
+    t0 = _time.time()
     candidates = [t for t in tables if not repeating[t.name]]
     merged_targets: set[str] = set()
     changed: set[str] = set()
+    shrunk: set[str] = set()
     for mc in candidates:
         if sizes[mc.name] == 0:
             continue
@@ -202,17 +291,17 @@ def run_merges(
             # table, IntroduceVirtualColumns.java:63-72).
             if not any(cs.physical for pm in other.predicates for cs in pm.columns):
                 continue
-            a, b = ranges[mc.name], ranges[other.name]
-            if (
-                a is not None
-                and b is not None
-                and a[0] is not None
-                and b[0] is not None
-                and (a[1] < b[0] or b[1] < a[0])
-            ):
-                continue  # disjoint key ranges: overlap impossible
-            if not subjects_overlap(frames[mc.name], mc, frames[other.name], other):
-                continue
+            if frozenset((mc.name, other.name)) not in overlap_pairs:
+                continue  # probed disjoint; shrinking can't create overlap
+            # the probe result is exact unless a side shrank since: then
+            # the overlapping rows may be the very ones consumed earlier
+            if other.name in shrunk or mc.name in shrunk:
+                LAST_TIMINGS["reprobes"] += 1
+                if not subjects_overlap(
+                    frames[mc.name], mc, frames[other.name], other
+                ):
+                    continue
+            LAST_TIMINGS["merges"] += 1
             new_mc, new_other = merge_pair(frames[mc.name], mc, frames[other.name], other)
             # localCheckpoint keeps the cascade's plan from growing
             # unboundedly across merges (lineage cut, still lazy enough)
@@ -221,33 +310,69 @@ def run_merges(
             sizes[other.name] = frames[other.name].count()
             changed.add(mc.name)
             changed.add(other.name)
+            shrunk.add(other.name)
         merged_targets.add(mc.name)
 
+    LAST_TIMINGS["cascade"] = round(_time.time() - t0, 3)
     dropped = []
     for t in list(catalog.tables):
         if sizes[t.name] == 0:
             catalog.tables.remove(t)
             frames.pop(t.name, None)
             dropped.append(t.name)
-    return sorted(changed), dropped
+    unique = {
+        t.name: not repeating[t.name] for t in catalog.tables
+    }
+    return sorted(changed), dropped, unique
 
 
 def verify_subject_uniqueness(
-    spark: SparkSession, catalog: Catalog, frames: dict[str, DataFrame]
+    spark: SparkSession,
+    catalog: Catalog,
+    frames: dict[str, DataFrame],
+    known: dict[str, bool] | None = None,
 ) -> dict[str, bool]:
     """IntroduceIndexes analog (step 10, IntroduceIndexes.java:22-46): the
     reference tries CREATE UNIQUE INDEX over each table's subject columns
     and records whether it succeeded. Spark has no indexes (data skipping
     comes from parquet min/max stats), but the VERIFIED-UNIQUE bit is the
     part queries care about: it licenses merge candidacy and 1:1 join
-    cardinality. Probes every table (bounded pool), records the boolean on
-    the TableSpec (serialized with the catalog), returns {name: unique}."""
-    from ..pipeline import _pooled_map
+    cardinality. ONE fused job probes every table NOT already answered by
+    ``known`` (same union shape as _fused_probe — per-table jobs would be
+    10^5 scheduler round-trips at real vocabulary scale), records the
+    boolean on the TableSpec (serialized with the catalog), returns
+    {name: unique}.
 
-    def probe(t: TableSpec):
+    ``known`` is run_merges' returned uniqueness map: the merge cascade
+    preserves every flag it probed (see run_merges), so the pipeline's
+    step-10 call resolves entirely from it — zero extra jobs."""
+    if not catalog.tables:
+        return {}
+    known = known or {}
+    todo = [t for t in catalog.tables if t.name not in known]
+    mx: dict[str, int] = {}
+    if todo:
+        pool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", "stage_m")
-        unique = not has_repeating_subjects(frames[t.name], t)
+        try:
+            rows = (
+                _tagged_subject_keys(frames, todo)
+                .groupBy("tbl", "k")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("tbl")
+                .agg(F.max("c").alias("mx"))
+                .collect()
+            )
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+        mx = {r.tbl: r.mx for r in rows}
+    out = {}
+    for t in catalog.tables:
+        unique = (
+            known[t.name]
+            if t.name in known
+            else int(mx.get(t.name, 0) or 0) <= 1
+        )
         t.subject_unique = unique
-        return t.name, unique
-
-    return dict(_pooled_map(probe, catalog.tables))
+        out[t.name] = unique
+    return out

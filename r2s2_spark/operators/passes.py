@@ -280,6 +280,7 @@ def optimize_table(
     hosts: DataFrame | None = None,
     mode: str = "full",
     cleanup: list | None = None,
+    small_dicts: frozenset = frozenset(),
 ) -> DataFrame:
     """Apply passes 2-5 to one table. Mutates ``table``'s column specs
     (virtual values, narrowed types, LCP prefixes, encodings, graph
@@ -381,23 +382,33 @@ def optimize_table(
             if not cs.physical or cs.sql_type != "string":
                 continue
             if cs.part == "scheme" and schemes is not None:
-                out = _encode(out, schemes, cs, "schemes")
+                out = _encode(out, schemes, cs, "schemes", small_dicts)
             elif cs.part == "host" and hosts is not None:
-                out = _encode(out, hosts, cs, "hosts")
+                out = _encode(out, hosts, cs, "hosts", small_dicts)
 
     # --- pass 5: set semantics + graph collapse ---------------------------
     out = _collapse(out, table, stats, n, cleanup)
     return out
 
 
-def _encode(df: DataFrame, dictionary: DataFrame, cs: ColumnSpec, dict_name: str) -> DataFrame:
+def _encode(
+    df: DataFrame,
+    dictionary: DataFrame,
+    cs: ColumnSpec,
+    dict_name: str,
+    small_dicts: frozenset = frozenset(),
+) -> DataFrame:
     dim = dictionary.select(
         F.col("iri").alias(cs.name), F.col("id").alias(f"{cs.name}\x00id")
     )
-    if dict_name not in UNBOUNDED_DICTS:
-        # vocabulary-sized dims (schemes) broadcast; unbounded domains
-        # (hosts — one per crawled site) go through a plain join and let
-        # AQE broadcast when the measured size is actually small
+    if dict_name not in UNBOUNDED_DICTS or dict_name in small_dicts:
+        # vocabulary-sized dims (schemes) always broadcast. Unbounded
+        # domains (hosts — one per crawled site) broadcast only on a
+        # MEASURED driver-side decision (stage O counts the materialized
+        # dict once and passes ``small_dicts``): a blind hint OOMs at web
+        # scale, but leaving a provably tiny dim to a per-table shuffle
+        # join was the round-3 stage-O regression (64 tables x one
+        # sort-merge shuffle each, 13.0 -> 18.3 s).
         dim = F.broadcast(dim)
     df = df.join(dim, cs.name, "left").drop(cs.name).withColumnRenamed(f"{cs.name}\x00id", cs.name)
     cs.sql_type = "bigint"

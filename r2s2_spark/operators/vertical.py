@@ -130,6 +130,12 @@ def route_statements(
     The routing table is vocabulary-sized -> broadcast join (null lang/dt
     handled with a sentinel, avoiding a null-unsafe join miss). Statements
     then shuffle once on (t, salt).
+
+    The graphs dictionary is NOT force-broadcast: the graph domain is
+    unbounded by design (per-file graphs at 10^12-file scale — the same
+    reason stage D two-level-buckets graph ids). AQE broadcasts when the
+    measured size is actually small; a forced broadcast OOMs the driver at
+    web scale. Mirrors triples_with_graph_iri / _encode / _decode_encoded.
     """
     routing_rows = []
     for t in catalog.tables:
@@ -140,7 +146,7 @@ def route_statements(
     routing = spark.createDataFrame(
         routing_rows, "p_iri string, s_kind string, o_kind string, lang_k string, dt_k string, t string"
     )
-    g_dim = F.broadcast(graphs_dict.select(F.col("iri").alias("g_iri"), F.col("id").alias("g_id")))
+    g_dim = graphs_dict.select(F.col("iri").alias("g_iri"), F.col("id").alias("g_id"))
     keyed = (
         stmts.withColumn("lang_k", F.coalesce(F.col("o_lang"), F.lit(_NULL)))
         .withColumn("dt_k", F.coalesce(F.col("o_datatype"), F.lit(_NULL)))

@@ -39,6 +39,31 @@ KNOWN_STAGES = frozenset({"E", "D", "V", "O", "M", "R", "L", "C"})
 #: (10^5 simultaneous job submissions would thrash the DAG scheduler).
 MAX_CONCURRENT_TABLE_JOBS = int(os.environ.get("R2S2_TABLE_JOB_POOL", "8"))
 
+#: measured-size ceiling for broadcasting an UNBOUNDED dictionary (hosts)
+#: into per-table encode joins. Parquet bytes on disk, so ~3-5x that in
+#: memory — 64 MiB keeps the executor-side hash relation comfortably under
+#: typical 4-8 GiB executor heaps while covering every realistic hosts
+#: dict short of a full web crawl.
+BROADCAST_DICT_MAX_BYTES = int(
+    os.environ.get("R2S2_BROADCAST_DICT_MAX_BYTES", str(64 * 1024 * 1024))
+)
+
+
+#: wall-clock seconds of the most recent stage's internal passes, keyed
+#: "<stage>.<pass>" — populated by stage_o/stage_m for the bench harness
+#: (attributing wide-catalog regressions needs per-pass numbers, not one
+#: stage total). Overwritten per stage run; diagnostic only.
+TIMINGS: dict = {}
+
+
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for base, _dirs, files in os.walk(d):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(base, fn))
+    return total
+
 
 def _pooled_map(fn, items):
     """Map ``fn`` over items on a bounded thread pool (Spark job submission
@@ -184,12 +209,17 @@ class KgPipeline:
         8-9 of Loader.STEPS, Loader.java:151-159)."""
         from .operators import passes
 
+        import time
+
         def fn(io: StageIO) -> dict:
+            t0 = time.time()
             catalog = io.read_catalog("V")
             v_data = io.path("V", "data")
             catalog, split_paths = passes.split_type_tables(
                 self.spark, catalog, v_data, io.path("O", "split")
             )
+            TIMINGS["O.split"] = round(time.time() - t0, 3)
+            t0 = time.time()
             schemes, hosts = passes.build_scheme_host_dicts(self.spark, v_data)
             schemes.coalesce(1).write.mode("overwrite").parquet(io.path("O", "schemes"))
             hosts.coalesce(1).write.mode("overwrite").parquet(io.path("O", "hosts"))
@@ -197,6 +227,19 @@ class KgPipeline:
             hosts = self.spark.read.parquet(io.path("O", "hosts"))
             catalog.dictionaries["schemes"] = "O/schemes"
             catalog.dictionaries["hosts"] = "O/hosts"
+            # hosts is unbounded by design (one per crawled site), so it
+            # never gets a blind broadcast hint — but it IS materialized
+            # right here, so the driver can decide from its MEASURED size:
+            # under the threshold it broadcasts into every per-table encode
+            # join (a per-table shuffle join of a tiny dim was the round-3
+            # stage-O regression); over it, plain join + AQE.
+            small_dicts = frozenset(
+                name
+                for name in ("hosts",)
+                if _dir_bytes(io.path("O", name)) <= BROADCAST_DICT_MAX_BYTES
+            )
+            TIMINGS["O.dicts"] = round(time.time() - t0, 3)
+            t0 = time.time()
 
             # per-table probe+rewrite jobs submitted from a bounded thread
             # pool: at real-KG vocabulary scale (10^4-10^5 predicate tables)
@@ -213,7 +256,8 @@ class KgPipeline:
                 df = vertical.rename_generic(src, t)
                 cleanup: list = []
                 out = passes.optimize_table(
-                    self.spark, df, t, schemes, hosts, cleanup=cleanup
+                    self.spark, df, t, schemes, hosts, cleanup=cleanup,
+                    small_dicts=small_dicts,
                 )
                 out.write.mode("overwrite").parquet(io.path("O", "tables", t.name))
                 for cached in cleanup:
@@ -224,6 +268,7 @@ class KgPipeline:
                 return t.name, n
 
             table_counts = dict(_pooled_map(optimize_one, catalog.tables))
+            TIMINGS["O.optimize"] = round(time.time() - t0, 3)
             catalog.tables = [t for t in catalog.tables if t.row_count]
             io.write_catalog("O", catalog)
             return {"tables": len(catalog.tables), "rows_after_collapse": sum(table_counts.values())}
@@ -233,16 +278,35 @@ class KgPipeline:
     def stage_m(self) -> None:
         """Table merging (step 4) + post-merge re-optimization (step 6) +
         final mapping emission (steps 3/5/7 collapse into one artifact)."""
+        import time
+
         from .operators import merging, passes
 
         def fn(io: StageIO) -> dict:
             catalog = io.read_catalog("O")
-            frames = {
-                t.name: self.spark.read.parquet(os.path.join(io.root, t.path))
-                for t in catalog.tables
-            }
+            # spark.read.parquet is a driver-side footer/schema read per
+            # table — serial it costs ~90ms x T (5.8 s measured at 64
+            # tables, minutes at 10^4); the bounded pool overlaps them
+            t0 = time.time()
+            frames = dict(
+                _pooled_map(
+                    lambda t: (
+                        t.name,
+                        self.spark.read.parquet(os.path.join(io.root, t.path)),
+                    ),
+                    catalog.tables,
+                )
+            )
+            TIMINGS["M.read"] = round(time.time() - t0, 3)
             sizes = {t.name: t.row_count or 0 for t in catalog.tables}
-            changed, dropped = merging.run_merges(self.spark, catalog, frames, sizes)
+            t0 = time.time()
+            changed, dropped, unique_hint = merging.run_merges(
+                self.spark, catalog, frames, sizes
+            )
+            TIMINGS["M.merge"] = round(time.time() - t0, 3)
+            for k, v in merging.LAST_TIMINGS.items():
+                TIMINGS[f"M.merge.{k}"] = v
+            t0 = time.time()
 
             def reopt_one(t):
                 self.spark.sparkContext.setLocalProperty(
@@ -256,8 +320,15 @@ class KgPipeline:
                 ).count()
 
             _pooled_map(reopt_one, [t for t in catalog.tables if t.name in changed])
-            # step 10 analog: record verified subject uniqueness per table
-            uniq = merging.verify_subject_uniqueness(self.spark, catalog, frames)
+            TIMINGS["M.reopt"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            # step 10 analog: record verified subject uniqueness per table.
+            # The merge probe's flags survive the cascade unchanged (see
+            # run_merges), so this resolves from ``known`` with zero jobs.
+            uniq = merging.verify_subject_uniqueness(
+                self.spark, catalog, frames, known=unique_hint
+            )
+            TIMINGS["M.verify"] = round(time.time() - t0, 3)
             io.write_catalog("M", catalog)
             doc = mapping_document(catalog)
             with open(io.path("M", "mapping.ttl"), "w") as f:

@@ -156,6 +156,18 @@ class _Parser:
         if val != op:
             raise SparqlSyntaxError(f"expected {op!r}, got {val!r}")
 
+    def int_modifier(self, what: str) -> int:
+        """LIMIT/OFFSET operand: must be a non-negative INTEGER token —
+        anything else (a var, a decimal, EOF) is a syntax error, keeping
+        the parser total (SparqlSyntaxError, never ValueError)."""
+        kind, val = self.next()
+        if kind != "number" or not re.fullmatch(r"[+-]?\d+", val):
+            raise SparqlSyntaxError(f"{what} expects an integer, got {val!r}")
+        n = int(val)
+        if n < 0:
+            raise SparqlSyntaxError(f"{what} expects a non-negative integer")
+        return n
+
     # -- terms ------------------------------------------------------------
     def _iri(self, raw: str) -> str:
         inner = raw[1:-1]
@@ -574,12 +586,19 @@ class _Parser:
                 elems.append(self.expression())
         self.eat_op(")")
 
+        def eq(df, e):
+            # same coercion as '=' in _cmp_expr: numeric comparison when
+            # either side is a numeric literal, lexical equality otherwise
+            if isinstance(left, _Num) or isinstance(e, _Num):
+                return _as_num(left)(df) == _as_num(e)(df)
+            return left(df) == e(df)
+
         def compiled(df):
             if not elems:
                 return F.lit(negate)  # IN () is false; NOT IN () is true
-            cond = left(df) == elems[0](df)
+            cond = eq(df, elems[0])
             for e in elems[1:]:
-                cond = cond | (left(df) == e(df))
+                cond = cond | eq(df, e)
             return ~cond if negate else cond
 
         return compiled
@@ -837,10 +856,10 @@ class _Parser:
         q["where"] = self.group()
         if self.at_word("LIMIT"):
             self.next()
-            q["limit"] = int(self.next()[1])
+            q["limit"] = self.int_modifier("LIMIT")
         if self.at_word("OFFSET"):
             self.next()
-            q["offset"] = int(self.next()[1])
+            q["offset"] = self.int_modifier("OFFSET")
         q["meta_vars"] = self.meta_vars
         return q
 
@@ -937,10 +956,10 @@ class _Parser:
                 q["order"].append((e, desc))
         if self.at_word("LIMIT"):
             self.next()
-            q["limit"] = int(self.next()[1])
+            q["limit"] = self.int_modifier("LIMIT")
         if self.at_word("OFFSET"):
             self.next()
-            q["offset"] = int(self.next()[1])
+            q["offset"] = self.int_modifier("OFFSET")
         if not embedded and self.at_word("VALUES"):
             # trailing ValuesClause (SPARQL grammar rule [28])
             self.next()
@@ -1108,7 +1127,11 @@ def _compile_select(pipe, q: dict, stage: str | None):
         # pure union group: each branch compiles to its own BGP and the
         # solutions concatenate (NULL for variables a branch leaves
         # unbound). Modifiers beyond DISTINCT would need the mixed path.
-        if q["agg"] or values or w["subselects"] or q["select_exprs"]:
+        if (
+            q["agg"] or values or w["subselects"] or q["select_exprs"]
+            or w["filters"] or w["optional"] or w["minus"] or w["binds"]
+            or w["exists"] or w["not_exists"]
+        ):
             raise SparqlUnsupported("UNION combined with other group elements")
         select = None if q["star"] else ["?" + v for v in q["select"]]
         out = bgp_union_on_pipeline(
@@ -1257,9 +1280,36 @@ def _compile_construct(pipe, q: dict, stage: str | None):
         term_meta=frozenset(q.get("meta_vars") or ()),
     )
 
+    # blank nodes in the template ([] / _:b) parse to synthetic variables
+    # that the WHERE group never binds; per SPARQL §16.2.1 each solution
+    # maps a template bnode to a FRESH bnode, so synthesize a label from
+    # the template var + a row-unique id. A genuinely unbound NON-bnode
+    # template variable stays NULL (its template rows emit no triples).
+    bound = set(sol.columns)
+    tmpl_bnodes = sorted(
+        {
+            t[1:]
+            for trip in q["template"]
+            for t in trip
+            if isinstance(t, str)
+            and t.startswith(("?__anon", "?__bn_"))
+            and t[1:] not in bound
+        }
+    )
+    if tmpl_bnodes:
+        sol = sol.withColumn(
+            "__cid", F.monotonically_increasing_id().cast("string")
+        )
+        for v in tmpl_bnodes:
+            sol = sol.withColumn(
+                v, F.concat(F.lit(f"_:{v.lstrip('_')}r"), F.col("__cid"))
+            )
+        bound = set(sol.columns)
+
     def term_col(t):
         if isinstance(t, str) and t.startswith("?"):
-            return F.col(t[1:])
+            # unbound template variable: NULL per solution, row filtered
+            return F.col(t[1:]) if t[1:] in bound else F.lit(None)
         if isinstance(t, _Lit):
             return F.lit(t.lex)
         return F.lit(t)
@@ -1315,9 +1365,12 @@ def _compile_describe(pipe, q: dict, stage: str | None):
                 for f in fs[1:]:
                     cond = cond & f(df)
                 return cond
+        # FROM <g> scopes the WHERE evaluation exactly as in SELECT/ASK/
+        # CONSTRUCT; a GRAPH clause inside the group takes precedence
         sol = bgp_on_pipeline(
             pipe, w["patterns"], stage=stage,
-            optional=w["optional"] or None, filter=filt, graph=w["graph"],
+            optional=w["optional"] or None, filter=filt,
+            graph=q["graph"] if q["graph"] is not None else w["graph"],
             minus=w["minus"] or None, exists=w["exists"] or None,
             not_exists=w["not_exists"] or None, bind=w["binds"] or None,
             values=w["values"] or None,

@@ -132,6 +132,35 @@ def test_graph_iri_join_not_forced_broadcast(loaded):
     assert not any("Broadcast" in ln for ln in g_id_joins), g_id_joins
 
 
+def test_route_graphs_join_not_forced_broadcast(loaded):
+    """Stage V's statement router encodes g_iri -> g_id through the SAME
+    unbounded graphs dictionary — the one join every triple passes through
+    on the load path. It must not carry a forced broadcast hint either
+    (round-3 leftover): with auto-broadcast off the join must plan as a
+    shuffle join, proving strategy choice is left to AQE."""
+    from r2s2_spark.operators import vertical
+
+    spark = loaded.spark
+    stmts = loaded.io.read_parquet("E")
+    catalog = loaded.catalog("V")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            vertical.route_statements(spark, stmts, catalog, loaded.graphs())
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    g_joins = [
+        ln for ln in plan.splitlines() if "Join" in ln and "g_iri" in ln
+    ]
+    assert g_joins, plan
+    assert not any("Broadcast" in ln for ln in g_joins), g_joins
+
+
 def test_dictionaries_deterministic(loaded):
     preds1 = [(r.id, r.iri) for r in loaded.predicates().orderBy("id").collect()]
     assert preds1 == [(1, RDF + "type"), (2, RDFS + "label")]

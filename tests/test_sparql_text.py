@@ -591,3 +591,115 @@ def test_multiple_from_merges_graphs(spark, tmp_path):
         f"PREFIX ex: <{EX}> SELECT ?s FROM <{EX}g/three> WHERE {{ ?s a ex:T }}",
     )
     assert {r.s for r in one.collect()} == {EX + "s3"}
+
+
+# -- round-4 ADVICE regressions --------------------------------------------
+
+
+def test_pure_union_rejects_stray_modifiers():
+    """A pure-UNION group with a FILTER/OPTIONAL/MINUS/BIND must not
+    silently drop the modifier (r3 ADVICE: the filter was parsed then
+    never applied — wrong results, not an error)."""
+    base = "SELECT ?r WHERE {{ {{ ?r <http://p> ?x }} UNION {{ ?r <http://q> ?x }} {tail} }}"
+    for tail in (
+        "FILTER(?x > 3)",
+        "OPTIONAL { ?r <http://o> ?y }",
+        "MINUS { ?r <http://m> ?x }",
+        "BIND(?x AS ?y)",
+        "FILTER EXISTS { ?r <http://e> ?x }",
+    ):
+        with pytest.raises(SparqlUnsupported, match="UNION"):
+            from r2s2_spark.plans.sparql_text import _compile_select
+
+            q = parse_sparql(base.format(tail=tail))
+            _compile_select(None, q, None)
+
+
+def test_describe_var_respects_from_graph(spark, tmp_path):
+    """DESCRIBE ?x FROM <g> must evaluate the WHERE group inside <g> only
+    (r3 ADVICE: it ignored q['graph'] and matched every graph)."""
+    nq = "\n".join(
+        [
+            f"<{EX}s1> <{RDF}type> <{EX}T> <{EX}g/one> .",
+            f'<{EX}s1> <{RDFS}label> "one" <{EX}g/one> .',
+            f"<{EX}s2> <{RDF}type> <{EX}T> <{EX}g/two> .",
+            f'<{EX}s2> <{RDFS}label> "two" <{EX}g/two> .',
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "g.nq", nq)]))
+    out = sparql_query(
+        p,
+        f"PREFIX ex: <{EX}> DESCRIBE ?s FROM <{EX}g/one> WHERE {{ ?s a ex:T }}",
+    )
+    assert {r.subject for r in out.collect()} == {EX + "s1"}
+
+
+def test_construct_blank_node_template(oddeven):
+    """CONSTRUCT { ?s <p> [] }: the template bnode maps to a FRESH bnode
+    per solution (SPARQL §16.2.1) — previously an unresolved-column crash."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        CONSTRUCT {{ ?s ex:hasThing [] }}
+        WHERE {{ ?s rdfs:label ?l FILTER (?l < 3) }}""",
+    )
+    rows = out.collect()
+    assert {r.subject for r in rows} == {EX + "i1", EX + "i2"}
+    assert all(r.predicate == EX + "hasThing" for r in rows)
+    # fresh per solution: two solutions -> two DISTINCT bnode objects
+    objs = [r.object for r in rows]
+    assert len(objs) == len(set(objs)) == 2
+    assert all(o.startswith("_:") for o in objs)
+
+
+def test_construct_unbound_plain_var_emits_nothing(oddeven):
+    # a NON-bnode template variable the WHERE never binds is unbound in
+    # every solution -> that template row emits no triples (not a crash)
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        CONSTRUCT {{ ?s ex:nope ?missing . ?s ex:yes ?l }}
+        WHERE {{ ?s rdfs:label ?l FILTER (?l < 2) }}""",
+    )
+    rows = {(r.predicate, r.object) for r in out.collect()}
+    assert rows == {(EX + "yes", "1")}
+
+
+def test_limit_offset_reject_non_integer():
+    """Parser totality: LIMIT/OFFSET with a non-integer token must raise
+    SparqlSyntaxError, never ValueError (r3 ADVICE fuzz finding)."""
+    from r2s2_spark.plans.sparql_text import SparqlSyntaxError
+
+    for q in (
+        "SELECT * { } LIMIT ?x",
+        "SELECT * WHERE { ?s ?p ?o } OFFSET bad",
+        "SELECT * WHERE { ?s ?p ?o } LIMIT 1.5",
+        "SELECT * WHERE { ?s ?p ?o } LIMIT",
+        "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o } LIMIT x",
+    ):
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(q)
+    assert parse_sparql("SELECT * WHERE { ?s ?p ?o } LIMIT 5 OFFSET 2")[
+        "limit"
+    ] == 5
+
+
+def test_in_list_numeric_coercion(oddeven):
+    """?x IN (1) must use the same numeric lifting as ?x = 1: a lexical
+    '1.0'-style value compares by VALUE when the element is numeric."""
+    eq = sparql_query(
+        oddeven,
+        f"PREFIX rdfs: <{RDFS}> SELECT ?s WHERE "
+        "{ ?s rdfs:label ?l FILTER(?l = 1) }",
+    )
+    inn = sparql_query(
+        oddeven,
+        f"PREFIX rdfs: <{RDFS}> SELECT ?s WHERE "
+        "{ ?s rdfs:label ?l FILTER(?l IN (1)) }",
+    )
+    assert {r.s for r in eq.collect()} == {r.s for r in inn.collect()} == {
+        EX + "i1"
+    }
