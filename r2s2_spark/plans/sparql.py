@@ -197,11 +197,13 @@ def _is_var(t) -> bool:
 
 def _expand_path_patterns(patterns: list[tuple]) -> list[tuple]:
     """Rewrite PathSeq predicates into chained patterns with fresh hidden
-    variables (``?__seq<n>_<i>``); normalizes ``^(p1/p2)`` first."""
+    variables (``?__seq<n>_<i>``); normalizes ``^(p1/p2)`` first. Patterns
+    may be 4-tuples ``(s, p, o, graph_scope)`` — the scope rides along to
+    every expanded link (a GRAPH block scopes the whole path)."""
     out: list[tuple] = []
     counter = [0]
 
-    def one(s, p, o):
+    def one(s, p, o, scope):
         while isinstance(p, PathInverse) and isinstance(p.path, PathSeq):
             p = PathSeq(tuple(PathInverse(q) for q in reversed(tuple(p.path.parts))))
         if isinstance(p, PathSeq):
@@ -210,12 +212,13 @@ def _expand_path_patterns(patterns: list[tuple]) -> list[tuple]:
             counter[0] += 1
             terms = [s, *mids, o]
             for i, part in enumerate(parts):
-                one(terms[i], part, terms[i + 1])
+                one(terms[i], part, terms[i + 1], scope)
         else:
-            out.append((s, p, o))
+            out.append((s, p, o, scope))
 
-    for s, p, o in patterns:
-        one(s, p, o)
+    for pat in patterns:
+        s, p, o = pat[:3]
+        one(s, p, o, pat[3] if len(pat) > 3 else None)
     return out
 
 
@@ -230,7 +233,7 @@ _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 def _pattern_frame(
     catalog, reader, dicts, pattern, idx: int, graph=None,
-    term_meta: frozenset = frozenset(),
+    term_meta: frozenset = frozenset(), named=None,
 ) -> tuple[DataFrame, dict]:
     """One triple pattern -> DataFrame with one column per variable
     (plus hidden uniqueness suffix) and constant filters applied.
@@ -258,7 +261,8 @@ def _pattern_frame(
     if isinstance(p, PathAlt):
         compiled = [
             _pattern_frame(
-                catalog, reader, dicts, (s, alt, o), idx, graph, term_meta
+                catalog, reader, dicts, (s, alt, o), idx, graph, term_meta,
+                named,
             )
             for alt in p.alts
         ]
@@ -288,7 +292,8 @@ def _pattern_frame(
             )
         ep_a, ep_b = f"?__cp{idx}a", f"?__cp{idx}b"
         inner, _ = _join_patterns(
-            catalog, reader, dicts, [(ep_a, p_match, ep_b)], graph
+            catalog, reader, dicts, [(ep_a, p_match, ep_b, graph)],
+            named=named,
         )
         df = inner.select(
             F.col(ep_a[1:]).alias("__s"), F.col(ep_b[1:]).alias("__o")
@@ -387,9 +392,16 @@ def _pattern_frame(
         # the dataset. The small dictionary side is left to AQE (no
         # forced broadcast).
         if isinstance(graph, (list, tuple, set, frozenset)):
-            cond = F.col("iri").isin(list(graph))
+            # an EMPTY merge set (FROM NAMED without FROM: the default
+            # graph is empty) matches nothing
+            cond = F.col("iri").isin(list(graph)) if graph else F.lit(False)
         else:
             cond = F.col("iri") == graph
+        if named is not None:
+            # FROM NAMED restricts which graphs a GRAPH block may touch:
+            # a constant outside the named set matches nothing (SPARQL
+            # §13.2 dataset semantics)
+            cond = cond & F.col("iri").isin(list(named))
         gd = dicts["graphs"].where(cond).select(F.col("id").alias("__gid"))
         df = df.join(gd, "__gid", "semi").drop("__gid")
 
@@ -429,10 +441,12 @@ def _pattern_frame(
     if g_is_var:
         # GRAPH ?g: decode id -> IRI (plain join — unbounded dict) and
         # bind it; rows with NULL g_id (graph-less data) drop, matching
-        # SPARQL's GRAPH matching named graphs only.
-        gd = dicts["graphs"].select(
-            F.col("id").alias("__gid"), F.col("iri").alias("__giri")
-        )
+        # SPARQL's GRAPH matching named graphs only. FROM NAMED narrows
+        # the graphs ?g may range over.
+        gd = dicts["graphs"]
+        if named is not None:
+            gd = gd.where(F.col("iri").isin(list(named)))
+        gd = gd.select(F.col("id").alias("__gid"), F.col("iri").alias("__giri"))
         df = df.join(gd, "__gid").drop("__gid")
 
     cols = {}
@@ -477,13 +491,23 @@ def _pattern_frame(
 
 def _join_patterns(
     catalog, reader, dicts, patterns, graph=None,
-    term_meta: frozenset = frozenset(),
+    term_meta: frozenset = frozenset(), named=None,
 ) -> tuple[DataFrame, set]:
+    """``patterns`` may mix 3-tuples (scoped by the group default
+    ``graph`` — FROM semantics) and 4-tuples ``(s, p, o, scope)`` from
+    GRAPH blocks, each with its own constant/variable scope. Two GRAPH
+    blocks binding the same ?g join on the bound graph IRI like any other
+    shared variable; distinct ?g/?h scopes bind independently. ``named``
+    (FROM NAMED) restricts GRAPH-block scopes only — never the default
+    graph."""
     patterns = _expand_path_patterns(patterns)
     frames = []
     for i, pat in enumerate(patterns):
+        s, p, o, scope = pat
         f, binds = _pattern_frame(
-            catalog, reader, dicts, pat, i, graph, term_meta
+            catalog, reader, dicts, (s, p, o), i,
+            scope if scope is not None else graph, term_meta,
+            named if scope is not None else None,
         )
         frames.append((f, set(binds.values())))
     out, bound = frames[0]
@@ -522,6 +546,7 @@ def bgp(
     frames: list[DataFrame] | None = None,
     having=None,
     term_meta: frozenset = frozenset(),
+    named_graphs=None,
 ) -> DataFrame:
     """Compile a BGP to a DataFrame: per-pattern predicate-pruned scans
     joined on shared variables (Catalyst reorders/broadcasts as usual).
@@ -582,7 +607,7 @@ def bgp(
     compile LANG()/DATATYPE(); the hidden columns are dropped after the
     filters run (joins still compare lexical forms — documented)."""
     out, bound = _join_patterns(
-        catalog, reader, dicts, patterns, graph, term_meta
+        catalog, reader, dicts, patterns, graph, term_meta, named_graphs
     )
     for sub in frames or []:
         sub_vars = set(sub.columns)
@@ -605,7 +630,7 @@ def bgp(
             bound |= set(names)
     for group in optional or []:
         g, g_vars = _join_patterns(
-            catalog, reader, dicts, group, graph, term_meta
+            catalog, reader, dicts, group, graph, term_meta, named_graphs
         )
         dup_meta = [
             c for c in g.columns
@@ -630,7 +655,9 @@ def bgp(
             )
         bound |= g_vars
     for group in minus or []:
-        g, g_vars = _join_patterns(catalog, reader, dicts, group, graph)
+        g, g_vars = _join_patterns(
+            catalog, reader, dicts, group, graph, named=named_graphs
+        )
         shared = sorted(bound & g_vars)
         if shared:
             out = out.join(g.select(*shared).distinct(), on=shared, how="left_anti")
@@ -638,7 +665,9 @@ def bgp(
         # a solution with no variable in common is not "compatible")
     for want, groups in ((True, exists or []), (False, not_exists or [])):
         for group in groups:
-            g, g_vars = _join_patterns(catalog, reader, dicts, group, graph)
+            g, g_vars = _join_patterns(
+                catalog, reader, dicts, group, graph, named=named_graphs
+            )
             shared = sorted(bound & g_vars)
             if shared:
                 out = out.join(
@@ -690,11 +719,15 @@ def bgp_union(
     select: list[str] | None = None,
     distinct: bool = False,
     graph=None,
+    named_graphs=None,
 ) -> DataFrame:
     """SPARQL UNION: each group compiles to its own BGP; solutions are
     concatenated with NULL for variables a branch does not bind
     (unionByName(allowMissingColumns) — exactly SPARQL's unbound)."""
-    frames = [_join_patterns(catalog, reader, dicts, g, graph)[0] for g in groups]
+    frames = [
+        _join_patterns(catalog, reader, dicts, g, graph, named=named_graphs)[0]
+        for g in groups
+    ]
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
@@ -724,10 +757,21 @@ def bgp_on_pipeline(
     frames=None,
     having=None,
     term_meta: frozenset = frozenset(),
+    named_graphs=None,
 ) -> DataFrame:
     stage = stage or pipe.last_catalog_stage()
     dicts = pipe.dicts(stage)
-    if graph is not None and "graphs" not in dicts:
+    if "graphs" not in dicts and (
+        graph is not None
+        or named_graphs is not None
+        or any(len(p) > 3 and p[3] is not None for p in patterns)
+        or any(
+            len(p) > 3 and p[3] is not None
+            for g in [*(optional or []), *(minus or []),
+                      *(exists or []), *(not_exists or [])]
+            for p in g
+        )
+    ):
         # the V-stage catalog carries the graphs dictionary; older stages
         # read it straight from stage D
         dicts = {**dicts, "graphs": pipe.graphs()}
@@ -751,15 +795,21 @@ def bgp_on_pipeline(
         frames,
         having,
         term_meta,
+        named_graphs,
     )
 
 
 def bgp_union_on_pipeline(
-    pipe, groups, select=None, distinct=False, stage=None, graph=None
+    pipe, groups, select=None, distinct=False, stage=None, graph=None,
+    named_graphs=None,
 ) -> DataFrame:
     stage = stage or pipe.last_catalog_stage()
     dicts = pipe.dicts(stage)
-    if graph is not None and "graphs" not in dicts:
+    if "graphs" not in dicts and (
+        graph is not None
+        or named_graphs is not None
+        or any(len(p) > 3 and p[3] is not None for g in groups for p in g)
+    ):
         dicts = {**dicts, "graphs": pipe.graphs()}
     return bgp_union(
         pipe.catalog(stage),
@@ -769,4 +819,5 @@ def bgp_union_on_pipeline(
         select,
         distinct,
         graph,
+        named_graphs,
     )

@@ -18,15 +18,24 @@ Supported surface (SPARQL 1.1):
 - ``SELECT [DISTINCT] ?v ... | * | (AGG(...) AS ?v)`` with COUNT / SUM /
   AVG / MIN / MAX (+ DISTINCT inside COUNT), ``GROUP BY``, ``HAVING``
   (aggregates compile to hidden agg columns)
-- ``FROM <iri>`` (named-graph restriction; repeated FROM merges the
-  graphs into the query's default graph — one isin() dataset filter;
-  ``FROM NAMED`` unsupported)
+- ``FROM <iri>`` / ``FROM NAMED <iri>`` (SPARQL §13.2 dataset clause:
+  repeated FROM merges the graphs into the query's default graph — one
+  isin() dataset filter; FROM NAMED restricts the graphs GRAPH blocks
+  may touch; with any dataset clause present the dataset is exactly what
+  is listed — FROM without FROM NAMED leaves GRAPH blocks nothing to
+  match, FROM NAMED without FROM leaves the default graph empty)
 - ``WHERE { ... }`` group: triple blocks with ``;`` / ``,`` / ``a`` /
   ``[]`` / ``_:b`` abbreviations, property paths (``^``, ``/``, ``|``,
   ``+``, ``*``, ``?`` — closures compose over compound paths like
   ``(p1/p2)+`` — ``!(p1|p2)`` negated sets, parens), OPTIONAL,
   FILTER (expression subset
-  below), FILTER [NOT] EXISTS, MINUS, BIND, GRAPH <iri>|?g { ... },
+  below), FILTER [NOT] EXISTS, MINUS, BIND, GRAPH <iri>|?g { ... }
+  (fully general scoping: multiple distinct GRAPH scopes per group,
+  GRAPH blocks mixed with default-graph patterns, cross-graph joins on
+  shared variables, OPTIONAL/MINUS/EXISTS groups carrying their own
+  GRAPH scope, GRAPH wrapping OPTIONAL/MINUS/EXISTS — each pattern
+  carries its scope as a 4-tuple, resolved per pattern by
+  ``plans/sparql._join_patterns``),
   UNION of plain groups (standalone or joined with the rest of the
   group on shared variables), ``VALUES`` inline data (no UNDEF),
   sub-``SELECT`` groups (evaluated first, joined on shared variables)
@@ -155,6 +164,31 @@ class _Parser:
         kind, val = self.next()
         if val != op:
             raise SparqlSyntaxError(f"expected {op!r}, got {val!r}")
+
+    def _dataset_clause(self, q: dict) -> None:
+        """FROM <iri> / FROM NAMED <iri> clauses -> q["graph"] (default
+        graph: one IRI, or a tuple that merges per SPARQL §13.2) and
+        q["named"] (tuple of named-graph IRIs, or None when no FROM NAMED
+        appears). When ANY dataset clause is present the dataset is
+        exactly what is listed: FROM without FROM NAMED leaves GRAPH
+        blocks an EMPTY named-graph set (q["named"] = ())."""
+        froms, named = [], []
+        saw_clause = False
+        while self.at_word("FROM"):
+            self.next()
+            saw_clause = True
+            if self.at_word("NAMED"):
+                self.next()
+                kind, val = self.next()
+                named.append(self._iri(val) if kind == "iri" else self._pname(val))
+            else:
+                kind, val = self.next()
+                froms.append(self._iri(val) if kind == "iri" else self._pname(val))
+        if froms:
+            # repeated FROM merges the graphs into the query's default
+            # graph (SPARQL §13.2) — compiles to one isin() dataset filter
+            q["graph"] = froms[0] if len(froms) == 1 else tuple(froms)
+        q["named"] = tuple(named) if saw_clause else None
 
     def int_modifier(self, what: str) -> int:
         """LIMIT/OFFSET operand: must be a non-negative INTEGER token —
@@ -408,17 +442,20 @@ class _Parser:
                 else:
                     raise SparqlSyntaxError("GRAPH needs an IRI or variable")
                 sub = self.group()
-                _require_plain(sub, "GRAPH group")
-                if g["graph"] is not None and g["graph"] != gterm:
-                    raise SparqlUnsupported("multiple distinct GRAPH scopes")
-                if g["patterns"] and g["graph"] is None:
-                    # bgp() applies the graph constraint to EVERY pattern,
-                    # so default-graph patterns can't mix with a GRAPH block
-                    raise SparqlUnsupported(
-                        "GRAPH block mixed with non-GRAPH patterns"
-                    )
-                g["graph"] = gterm
+                # the block's scope annotates each pattern as a 4-tuple
+                # (s, p, o, scope) — default-graph patterns, multiple
+                # distinct GRAPH scopes, and scoped OPTIONAL/MINUS/EXISTS
+                # groups all mix freely; per-pattern scoping is resolved
+                # by plans/sparql._join_patterns
+                _annotate_graph(sub, gterm)
                 g["patterns"].extend(sub["patterns"])
+                g["optional"].extend(sub["optional"])
+                g["minus"].extend(sub["minus"])
+                g["exists"].extend(sub["exists"])
+                g["not_exists"].extend(sub["not_exists"])
+                # group-level FILTERs inside GRAPH are conjunctive at the
+                # enclosing group, like any other filter
+                g["filters"].extend(sub["filters"])
             elif self.at_word("SERVICE"):
                 raise SparqlUnsupported("SERVICE federation")
             elif self.at_word("VALUES"):
@@ -445,10 +482,6 @@ class _Parser:
                 else:
                     g["union"] = [b["patterns"] for b in branches]
             else:
-                if g["graph"] is not None:
-                    raise SparqlUnsupported(
-                        "GRAPH block mixed with non-GRAPH patterns"
-                    )
                 self.triples_block(g["patterns"])
         return g
 
@@ -784,10 +817,7 @@ class _Parser:
     def ask_query(self) -> dict:
         self.eat_word("ASK")
         q = {"form": "ask", "graph": None}
-        if self.at_word("FROM"):
-            self.next()
-            kind, val = self.next()
-            q["graph"] = self._iri(val) if kind == "iri" else self._pname(val)
+        self._dataset_clause(q)
         if self.at_word("WHERE"):
             self.next()
         q["where"] = self.group()
@@ -819,10 +849,7 @@ class _Parser:
                 break
         if not q["resources"] and not q["vars"]:
             raise SparqlSyntaxError("DESCRIBE needs at least one resource")
-        if self.at_word("FROM"):
-            self.next()
-            kind, val = self.next()
-            q["graph"] = self._iri(val) if kind == "iri" else self._pname(val)
+        self._dataset_clause(q)
         if self.at_word("WHERE") or self.peek()[1] == "{":
             if self.at_word("WHERE"):
                 self.next()
@@ -847,10 +874,7 @@ class _Parser:
                 raise SparqlUnsupported("property path in CONSTRUCT template")
         q = {"form": "construct", "template": template, "graph": None,
              "limit": None, "offset": None}
-        if self.at_word("FROM"):
-            self.next()
-            kind, val = self.next()
-            q["graph"] = self._iri(val) if kind == "iri" else self._pname(val)
+        self._dataset_clause(q)
         if self.at_word("WHERE"):
             self.next()
         q["where"] = self.group()
@@ -910,17 +934,7 @@ class _Parser:
                     q["select"].append(v2[1:])
             else:
                 break
-        froms = []
-        while self.at_word("FROM"):
-            self.next()
-            if self.at_word("NAMED"):
-                raise SparqlUnsupported("FROM NAMED")
-            kind, val = self.next()
-            froms.append(self._iri(val) if kind == "iri" else self._pname(val))
-        if froms:
-            # repeated FROM merges the graphs into the query's default
-            # graph (SPARQL §13.2) — compiles to one isin() dataset filter
-            q["graph"] = froms[0] if len(froms) == 1 else tuple(froms)
+        self._dataset_clause(q)
         if self.at_word("WHERE"):
             self.next()
         q["where"] = self.group()
@@ -1098,6 +1112,39 @@ def _compile_function(name: str, args: list):
     raise SparqlUnsupported(f"function {name}()")
 
 
+def _annotate_graph(sub: dict, gterm) -> None:
+    """Mark every pattern of a GRAPH block's group (and of its OPTIONAL/
+    MINUS/EXISTS sub-groups) with the block's scope, producing 4-tuples
+    ``(s, p, o, scope)``. A pattern already scoped (nested GRAPH) keeps
+    the inner scope — SPARQL's innermost-GRAPH-wins. BIND/VALUES/UNION/
+    sub-SELECTs inside GRAPH stay unsupported (named narrowing)."""
+    if sub["union"] is not None or sub["binds"] or sub["values"] or sub["subselects"]:
+        raise SparqlUnsupported("BIND/VALUES/UNION/subquery inside GRAPH group")
+
+    def mark(patterns):
+        return [
+            pat if len(pat) > 3 else (*pat, gterm)
+            for pat in patterns
+        ]
+
+    sub["patterns"] = mark(sub["patterns"])
+    sub["optional"] = [mark(grp) for grp in sub["optional"]]
+    sub["minus"] = [mark(grp) for grp in sub["minus"]]
+    sub["exists"] = [mark(grp) for grp in sub["exists"]]
+    sub["not_exists"] = [mark(grp) for grp in sub["not_exists"]]
+
+
+def _dataset(q: dict):
+    """Resolve the query's dataset clause: returns (default_graph,
+    named_graphs). FROM NAMED without FROM leaves the DEFAULT graph empty
+    (SPARQL §13.2) — compiled as an empty merge set that matches nothing."""
+    named = q.get("named")
+    graph = q["graph"]
+    if graph is None and named is not None:
+        graph = ()
+    return graph, named
+
+
 def _require_plain(sub: dict, what: str) -> None:
     extras = [
         k for k in ("optional", "minus", "exists", "not_exists", "filters",
@@ -1120,7 +1167,9 @@ def _compile_select(pipe, q: dict, stage: str | None):
     from .sparql import bgp_on_pipeline, bgp_union_on_pipeline
 
     w = q["where"]
-    graph = q["graph"] if q["graph"] is not None else w["graph"]
+    graph, named = _dataset(q)
+    if graph is None:
+        graph = w["graph"]
     values = w["values"]
 
     if w["union"] is not None and not w["patterns"]:
@@ -1136,7 +1185,7 @@ def _compile_select(pipe, q: dict, stage: str | None):
         select = None if q["star"] else ["?" + v for v in q["select"]]
         out = bgp_union_on_pipeline(
             pipe, w["union"], select=select, distinct=q["distinct"],
-            stage=stage, graph=graph,
+            stage=stage, graph=graph, named_graphs=named,
         )
     else:
         filters = w["filters"]
@@ -1165,7 +1214,10 @@ def _compile_select(pipe, q: dict, stage: str | None):
             # part on shared variables (bound compatibility; a branch-
             # unbound NULL does not match, the documented narrowing)
             frames.append(
-                bgp_union_on_pipeline(pipe, w["union"], stage=stage, graph=graph)
+                bgp_union_on_pipeline(
+                    pipe, w["union"], stage=stage, graph=graph,
+                    named_graphs=named,
+                )
             )
         frames = frames or None
         out = bgp_on_pipeline(
@@ -1187,6 +1239,7 @@ def _compile_select(pipe, q: dict, stage: str | None):
             frames=frames,
             having=q["having"],
             term_meta=frozenset(q.get("meta_vars") or ()),
+            named_graphs=named,
         )
     for var_names, rows in q["values"]:
         # trailing VALUES joins the QUERY result (SPARQL rule [28] —
@@ -1226,7 +1279,9 @@ def _compile_ask(pipe, q: dict, stage: str | None):
     w = q["where"]
     if w["union"] is not None or w["subselects"]:
         raise SparqlUnsupported("UNION/subquery inside ASK")
-    graph = q["graph"] if q["graph"] is not None else w["graph"]
+    graph, named = _dataset(q)
+    if graph is None:
+        graph = w["graph"]
     filters = w["filters"]
     filt = None
     if filters:
@@ -1242,6 +1297,7 @@ def _compile_ask(pipe, q: dict, stage: str | None):
         not_exists=w["not_exists"] or None, bind=w["binds"] or None,
         values=w["values"] or None,
         term_meta=frozenset(q.get("meta_vars") or ()),
+        named_graphs=named,
     )
     marker = sol.limit(1).select(F.lit(True).alias("ask"))
     one = sol.sparkSession.range(1).select(F.lit(1).alias("__k"))
@@ -1262,7 +1318,9 @@ def _compile_construct(pipe, q: dict, stage: str | None):
     w = q["where"]
     if w["union"] is not None or w["subselects"]:
         raise SparqlUnsupported("UNION/subquery inside CONSTRUCT")
-    graph = q["graph"] if q["graph"] is not None else w["graph"]
+    graph, named = _dataset(q)
+    if graph is None:
+        graph = w["graph"]
     filters = w["filters"]
     filt = None
     if filters:
@@ -1278,6 +1336,7 @@ def _compile_construct(pipe, q: dict, stage: str | None):
         not_exists=w["not_exists"] or None, bind=w["binds"] or None,
         values=w["values"] or None,
         term_meta=frozenset(q.get("meta_vars") or ()),
+        named_graphs=named,
     )
 
     # blank nodes in the template ([] / _:b) parse to synthetic variables
@@ -1367,10 +1426,12 @@ def _compile_describe(pipe, q: dict, stage: str | None):
                 return cond
         # FROM <g> scopes the WHERE evaluation exactly as in SELECT/ASK/
         # CONSTRUCT; a GRAPH clause inside the group takes precedence
+        d_graph, d_named = _dataset(q)
         sol = bgp_on_pipeline(
             pipe, w["patterns"], stage=stage,
             optional=w["optional"] or None, filter=filt,
-            graph=q["graph"] if q["graph"] is not None else w["graph"],
+            graph=d_graph if d_graph is not None else w["graph"],
+            named_graphs=d_named,
             minus=w["minus"] or None, exists=w["exists"] or None,
             not_exists=w["not_exists"] or None, bind=w["binds"] or None,
             values=w["values"] or None,
@@ -1382,10 +1443,18 @@ def _compile_describe(pipe, q: dict, stage: str | None):
     for piece in pieces[1:]:
         subjects = subjects.unionByName(piece)
     subjects = subjects.where(F.col("s").isNotNull()).distinct()
-    if q["graph"]:
-        gd = pipe.graphs().where(F.col("iri") == q["graph"]).select(
-            F.col("id").alias("g_id")
+    graph_all, _ = _dataset(q)
+    if graph_all is not None:
+        # the description draws from the query's default graph; an empty
+        # merge set (FROM NAMED without FROM) describes nothing
+        gs = (
+            list(graph_all)
+            if isinstance(graph_all, (list, tuple, set, frozenset))
+            else [graph_all]
         )
+        gd = pipe.graphs().where(
+            F.col("iri").isin(gs) if gs else F.lit(False)
+        ).select(F.col("id").alias("g_id"))
         tr = tr.join(gd, "g_id", "semi")
     return (
         tr.join(subjects, "s", "semi")

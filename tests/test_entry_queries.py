@@ -42,13 +42,15 @@ def normalize(rows, columns):
     return sorted(out)
 
 
-@pytest.mark.parametrize("name", sorted(tq.ORACLES))
+@pytest.mark.parametrize("name", sorted(tq.ALL_ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
-    sdf = tq.QUERIES[name](spark, SF_DIR)
+    """Rehearses the FULL registry (ALL_ORACLES): the 50 driver-window
+    entries plus every composite component and scale twin."""
+    sdf = tq.ALL_QUERIES[name](spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
 
-    res = ddb.execute(tq.ORACLES[name])
+    res = ddb.execute(tq.ALL_ORACLES[name])
     orows = res.fetchall()
     ocols = [d[0] for d in res.description]
 
@@ -59,9 +61,11 @@ def test_query_matches_oracle(spark, ddb, name):
     assert ns == no, (name, mismatches)
 
 
-@pytest.mark.parametrize("name", sorted(set(tq.QUERIES) - set(tq.ORACLES)))
+@pytest.mark.parametrize(
+    "name", sorted(set(tq.ALL_QUERIES) - set(tq.ALL_ORACLES))
+)
 def test_rows_only_queries_run(spark, name):
-    sdf = tq.QUERIES[name](spark, SF_DIR)
+    sdf = tq.ALL_QUERIES[name](spark, SF_DIR)
     assert sdf.count() >= 0
     assert len(sdf.columns) > 0
 
@@ -217,14 +221,20 @@ def test_ann_index_partition_pruning(spark, tmp_path):
 
 
 def test_registry_order_complete_and_prioritized():
-    """_ORDER is the driver-facing priority: every registered query appears
-    exactly once, every query has an oracle, and the §2 single-coverage
-    gates precede the redundant twins (CORRECTNESS_r02 showed the driver
-    truncates the registry TAIL, so order is what protects coverage)."""
+    """The driver records at most 50 CORRECTNESS rows per round (the r2
+    and r3 artifacts both truncate at 50), so the driver-facing registry
+    is EXACTLY 50 entries, every one oracle-gated — no operator family
+    ever falls outside the recorded window again (round-3 regression).
+    The folded components and scale twins stay in the pytest-only
+    ALL_QUERIES superset, each with its own oracle."""
     names = list(tq.QUERIES)
     assert names == tq._ORDER
-    assert len(names) == len(set(names))
+    assert len(names) == 50 == len(set(names))
     assert set(tq.ORACLES) == set(names)
-    twins = {"minhash_lsh_pairs", "sequence_packing_global", "ann_cosine_topk"}
-    first_twin = min(names.index(n) for n in twins)
-    assert all(names.index(n) < first_twin for n in names if n not in twins)
+    # pytest-only entries: every one still oracle-gated in ALL_ORACLES
+    extra = set(tq.ALL_QUERIES) - set(tq.QUERIES)
+    assert extra <= set(tq.ALL_ORACLES)
+    # the scale twins are out of the driver window but still rehearsed
+    assert {
+        "minhash_lsh_pairs", "sequence_packing_global", "ann_cosine_topk"
+    } <= extra

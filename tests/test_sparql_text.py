@@ -54,9 +54,11 @@ def test_parse_unsupported_named_clearly():
         parse_sparql(
             "SELECT ?x WHERE { SERVICE <http://remote/sparql> { ?x <http://p> ?y } }"
         )
+    # mixed GRAPH + default-graph patterns are SUPPORTED since round 4;
+    # BIND inside a GRAPH block remains a named narrowing
     with pytest.raises(SparqlUnsupported, match="GRAPH"):
         parse_sparql(
-            "SELECT ?x WHERE { ?x <http://p> ?y . GRAPH ?g { ?x <http://q> ?z } }"
+            "SELECT ?x WHERE { GRAPH ?g { BIND(1 AS ?y) ?x <http://q> ?z } }"
         )
     with pytest.raises(SparqlUnsupported, match="aggregate"):
         parse_sparql("SELECT ?x WHERE { ?x <http://p> ?y FILTER(COUNT(?y) > 2) }")
@@ -703,3 +705,133 @@ def test_in_list_numeric_coercion(oddeven):
     assert {r.s for r in eq.collect()} == {r.s for r in inn.collect()} == {
         EX + "i1"
     }
+
+
+# -- round-4 GRAPH scoping generality --------------------------------------
+
+
+@pytest.fixture(scope="module")
+def twograph(spark, tmp_path_factory):
+    nq = "\n".join(
+        [
+            f"<{EX}s1> <{RDF}type> <{EX}T> <{EX}g/one> .",
+            f'<{EX}s1> <{RDFS}label> "one" <{EX}g/one> .',
+            f"<{EX}s2> <{RDF}type> <{EX}T> <{EX}g/two> .",
+            f'<{EX}s2> <{RDFS}label> "two" <{EX}g/two> .',
+            f'<{EX}s1> <{EX}seen> "y" .',  # default graph only
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path_factory.mktemp("tg") / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "g.nq", nq)]))
+    return p
+
+
+def test_graph_mixed_with_default_patterns(twograph):
+    out = sparql_query(
+        twograph,
+        f"PREFIX ex: <{EX}> SELECT ?s ?g WHERE "
+        "{ GRAPH ?g { ?s a ex:T } . ?s ex:seen ?v }",
+    )
+    assert [(r.s, r.g) for r in out.collect()] == [(EX + "s1", EX + "g/one")]
+
+
+def test_two_variable_graph_scopes(twograph):
+    out = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?g ?h WHERE {{
+          GRAPH ?g {{ ?s a ex:T }} . GRAPH ?h {{ ?s rdfs:label ?l }}
+        }}""",
+    )
+    rows = sorted((r.s, r.g, r.h) for r in out.collect())
+    assert rows == [
+        (EX + "s1", EX + "g/one", EX + "g/one"),
+        (EX + "s2", EX + "g/two", EX + "g/two"),
+    ]
+
+
+def test_two_constant_graph_scopes(twograph):
+    out = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?t WHERE {{
+          GRAPH <{EX}g/one> {{ ?s a ex:T }} . GRAPH <{EX}g/two> {{ ?t a ex:T }}
+        }}""",
+    )
+    assert [(r.s, r.t) for r in out.collect()] == [(EX + "s1", EX + "s2")]
+
+
+def test_from_and_from_named_combination(twograph):
+    out = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?g ?t FROM <{EX}g/one> FROM NAMED <{EX}g/two>
+        WHERE {{ ?s a ex:T . GRAPH ?g {{ ?t a ex:T }} }}""",
+    )
+    assert [(r.s, r.g, r.t) for r in out.collect()] == [
+        (EX + "s1", EX + "g/two", EX + "s2")
+    ]
+
+
+def test_from_without_named_leaves_graph_empty(twograph):
+    # FROM present, no FROM NAMED: the dataset has NO named graphs, so a
+    # GRAPH block matches nothing (SPARQL §13.2)
+    out = sparql_query(
+        twograph,
+        f"PREFIX ex: <{EX}> SELECT ?s ?g FROM <{EX}g/one> "
+        "WHERE { GRAPH ?g { ?s a ex:T } }",
+    )
+    assert out.count() == 0
+
+
+def test_from_named_only_leaves_default_empty(twograph):
+    out = sparql_query(
+        twograph,
+        f"PREFIX ex: <{EX}> SELECT ?s FROM NAMED <{EX}g/one> "
+        "WHERE { ?s a ex:T }",
+    )
+    assert out.count() == 0
+
+
+def test_from_named_restricts_graph_var(twograph):
+    out = sparql_query(
+        twograph,
+        f"PREFIX ex: <{EX}> SELECT ?s ?g FROM NAMED <{EX}g/two> "
+        "WHERE { GRAPH ?g { ?s a ex:T } }",
+    )
+    assert [(r.s, r.g) for r in out.collect()] == [(EX + "s2", EX + "g/two")]
+
+
+def test_optional_group_with_own_graph_scope(twograph):
+    out = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l WHERE {{
+          ?s ex:seen ?v OPTIONAL {{ GRAPH <{EX}g/one> {{ ?s rdfs:label ?l }} }}
+        }}""",
+    )
+    assert [(r.s, r.l) for r in out.collect()] == [(EX + "s1", "one")]
+
+
+def test_graph_wrapping_optional(twograph):
+    out = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l WHERE {{
+          GRAPH <{EX}g/two> {{ ?s a ex:T OPTIONAL {{ ?s rdfs:label ?l }} }}
+        }}""",
+    )
+    assert [(r.s, r.l) for r in out.collect()] == [(EX + "s2", "two")]
+
+
+def test_graph_scoped_minus(twograph):
+    # MINUS evaluated inside its own GRAPH scope: s1's label lives in
+    # g/one, so MINUS against g/two removes nothing for s1
+    out = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          ?s a ex:T MINUS {{ GRAPH <{EX}g/two> {{ ?s rdfs:label ?l }} }}
+        }}""",
+    )
+    assert [r.s for r in out.collect()] == [EX + "s1"]
