@@ -526,6 +526,51 @@ def _join_patterns(
     return out, bound
 
 
+def join_values(
+    out: DataFrame, names: list[str], rows: list[tuple], bound: set
+) -> tuple[DataFrame, set]:
+    """SPARQL VALUES inline-data join (§10.2) incl. UNDEF wildcards: rows
+    group by their defined-cell mask (UNDEF = None); each mask group
+    joins the solution set on its DEFINED columns only (an UNDEF cell
+    constrains nothing), and the groups' results concatenate — the
+    spec's multiset join with partially-bound rows. The literal side is
+    broadcast (inline data is always tiny). Returns (joined, bound)."""
+    spark = out.sparkSession
+    masks: dict = {}
+    for row in rows:
+        mask = tuple(i for i, v in enumerate(row) if v is not None)
+        masks.setdefault(mask, []).append(row)
+    pieces = []
+    for mask, mrows in masks.items():
+        mnames = [names[i] for i in mask]
+        if not mnames:
+            # all-UNDEF row(s): each matches every solution, unchanged
+            piece = out
+            for _ in range(len(mrows) - 1):
+                piece = piece.unionByName(out)
+            pieces.append(piece)
+            continue
+        lit_df = spark.createDataFrame(
+            [tuple(r[i] for i in mask) for r in mrows],
+            ", ".join(f"`{n}` string" for n in mnames),
+        )
+        shared = sorted(bound & set(mnames))
+        piece = (
+            out.join(F.broadcast(lit_df), on=shared, how="inner")
+            if shared
+            else out.crossJoin(F.broadcast(lit_df))
+        )
+        pieces.append(piece)
+    res = pieces[0]
+    for p in pieces[1:]:
+        res = res.unionByName(p, allowMissingColumns=True)
+    for n in names:
+        # a block variable no surviving mask defined: unbound -> NULL
+        if n not in res.columns:
+            res = res.withColumn(n, F.lit(None).cast("string"))
+    return res, bound | set(names)
+
+
 def bgp(
     catalog,
     reader,
@@ -615,19 +660,9 @@ def bgp(
         out = out.join(sub, on=shared, how="inner") if shared else out.crossJoin(sub)
         bound |= sub_vars
     if values:
-        spark = out.sparkSession
         for var_names, rows in values:
             names = [v[1:] if v.startswith("?") else v for v in var_names]
-            lit_df = spark.createDataFrame(
-                [tuple(r) for r in rows], ", ".join(f"`{n}` string" for n in names)
-            )
-            shared = sorted(bound & set(names))
-            out = (
-                out.join(F.broadcast(lit_df), on=shared, how="inner")
-                if shared
-                else out.crossJoin(F.broadcast(lit_df))
-            )
-            bound |= set(names)
+            out, bound = join_values(out, names, rows, bound)
     for group in optional or []:
         g, g_vars = _join_patterns(
             catalog, reader, dicts, group, graph, term_meta, named_graphs

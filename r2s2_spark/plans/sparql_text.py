@@ -16,8 +16,11 @@ Supported surface (SPARQL 1.1):
   and/or WHERE-bound resources)
 - prologue: ``PREFIX``, ``BASE``
 - ``SELECT [DISTINCT] ?v ... | * | (AGG(...) AS ?v)`` with COUNT / SUM /
-  AVG / MIN / MAX (+ DISTINCT inside COUNT), ``GROUP BY``, ``HAVING``
-  (aggregates compile to hidden agg columns)
+  AVG / MIN / MAX / SAMPLE / GROUP_CONCAT(?v; SEPARATOR="...")
+  (+ DISTINCT inside COUNT/GROUP_CONCAT), ``GROUP BY``, ``HAVING``
+  (aggregates compile to hidden agg columns; GROUP_CONCAT sorts its
+  operands and SAMPLE picks MIN — deterministic choices the spec leaves
+  open)
 - ``FROM <iri>`` / ``FROM NAMED <iri>`` (SPARQL §13.2 dataset clause:
   repeated FROM merges the graphs into the query's default graph — one
   isin() dataset filter; FROM NAMED restricts the graphs GRAPH blocks
@@ -37,7 +40,8 @@ Supported surface (SPARQL 1.1):
   carries its scope as a 4-tuple, resolved per pattern by
   ``plans/sparql._join_patterns``),
   UNION of plain groups (standalone or joined with the rest of the
-  group on shared variables), ``VALUES`` inline data (no UNDEF),
+  group on shared variables), ``VALUES`` inline data incl. UNDEF
+  wildcards (rows joined on their defined cells only),
   sub-``SELECT`` groups (evaluated first, joined on shared variables)
 - solution modifiers: ``ORDER BY [ASC|DESC](expr)`` (multi-key, one
   sort), ``LIMIT``, ``OFFSET``, trailing ``VALUES``
@@ -55,12 +59,18 @@ metadata, known at plan time). Joins still compare lexical forms — a
 documented narrowing; term inspection over a variable never bound in a
 pattern position yields NULL (the spec's type error).
 
+CONSTRUCT/DESCRIBE breadth: ``DESCRIBE *`` (every WHERE-bound variable),
+UNION inside ASK/CONSTRUCT/DESCRIBE WHERE groups (pure or mixed with
+required patterns), sequence paths in CONSTRUCT templates (``?s p1/p2
+?o`` chains through fresh per-solution blank nodes), blank nodes in
+CONSTRUCT templates (fresh per solution, SPARQL §16.2.1).
+
 Out of scope (raises ``SparqlUnsupported`` with the construct named):
-``DESCRIBE *``, ``VALUES``/``UNDEF`` wildcards, nested
-OPTIONAL-in-OPTIONAL groups, multiple UNION blocks in one group,
-sequence paths inside alternation, aggregates inside ORDER BY (order by
-the SELECT alias instead), federation (SERVICE). The programmatic
-``bgp()`` surface remains the escape hatch.
+nested OPTIONAL-in-OPTIONAL groups, multiple UNION blocks in one group,
+sequence paths inside alternation, non-sequence paths in CONSTRUCT
+templates, aggregates inside ORDER BY (order by the SELECT alias
+instead), federation (SERVICE). The programmatic ``bgp()`` surface
+remains the escape hatch.
 """
 
 from __future__ import annotations
@@ -85,6 +95,13 @@ from .sparql import (
     bgp,
     bgp_union,
 )
+
+
+_AGG_NAMES = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
+
+#: VALUES UNDEF wildcard marker: the row leaves the variable unbound and
+#: the inline-data join ignores it for that row (see sparql.join_values)
+UNDEF = None
 
 
 class SparqlUnsupported(Exception):
@@ -488,7 +505,7 @@ class _Parser:
     # -- VALUES inline data ------------------------------------------------
     def _values_datum(self) -> str:
         """One data term in a VALUES block -> lexical string (solution
-        frames bind lexical forms). UNDEF wildcards are unsupported."""
+        frames bind lexical forms), or ``UNDEF`` -> the UNDEF marker."""
         kind, val = self.next()
         if kind == "iri":
             return self._iri(val)
@@ -510,7 +527,7 @@ class _Parser:
                 self.next()
             return lex
         if kind == "word" and val.upper() == "UNDEF":
-            raise SparqlUnsupported("VALUES UNDEF wildcard")
+            return UNDEF  # row-level wildcard: variable unbound this row
         if kind == "word" and val.upper() in ("TRUE", "FALSE"):
             return val.lower()
         raise SparqlSyntaxError(f"bad VALUES datum {val!r}")
@@ -686,7 +703,7 @@ class _Parser:
 
     def _function_call(self):
         name = self.next()[1].upper()
-        if name in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+        if name in _AGG_NAMES:
             if self.agg_sink is None:
                 raise SparqlUnsupported(
                     f"aggregate {name}() outside SELECT/HAVING"
@@ -844,17 +861,19 @@ class _Parser:
                 self.next()
                 q["vars"].append("?" + val[1:])
             elif val == "*":
-                raise SparqlUnsupported("DESCRIBE *")
+                # DESCRIBE *: every variable the WHERE group binds
+                self.next()
+                q["star"] = True
             else:
                 break
-        if not q["resources"] and not q["vars"]:
+        if not q["resources"] and not q["vars"] and not q.get("star"):
             raise SparqlSyntaxError("DESCRIBE needs at least one resource")
         self._dataset_clause(q)
         if self.at_word("WHERE") or self.peek()[1] == "{":
             if self.at_word("WHERE"):
                 self.next()
             q["where"] = self.group()
-        if q["vars"] and q["where"] is None:
+        if (q["vars"] or q.get("star")) and q["where"] is None:
             raise SparqlSyntaxError("DESCRIBE ?var requires a WHERE group")
         q["meta_vars"] = self.meta_vars
         return q
@@ -869,9 +888,28 @@ class _Parser:
                 continue
             self.triples_block(template)
         self.next()
-        for _, p, _ in template:
-            if not isinstance(p, str):
-                raise SparqlUnsupported("property path in CONSTRUCT template")
+        # a SEQUENCE path in the template expands to chained triples
+        # through fresh per-solution blank nodes (?s p1/p2 ?o -> ?s p1
+        # _:m . _:m p2 ?o); other path forms have no finite triple
+        # rendering and stay unsupported
+        expanded: list = []
+        for s, p, o in template:
+            if isinstance(p, PathSeq) and all(
+                isinstance(part, str) for part in p.parts
+            ):
+                terms = [s]
+                for _ in range(len(p.parts) - 1):
+                    terms.append(self.fresh_var())
+                terms.append(o)
+                for i, part in enumerate(p.parts):
+                    expanded.append((terms[i], part, terms[i + 1]))
+            elif not isinstance(p, str):
+                raise SparqlUnsupported(
+                    "non-sequence property path in CONSTRUCT template"
+                )
+            else:
+                expanded.append((s, p, o))
+        template = expanded
         q = {"form": "construct", "template": template, "graph": None,
              "limit": None, "offset": None}
         self._dataset_clause(q)
@@ -912,9 +950,7 @@ class _Parser:
             elif val == "(":
                 self.next()
                 k0, v0 = self.peek()
-                if k0 == "word" and v0.upper() in (
-                    "COUNT", "SUM", "AVG", "MIN", "MAX"
-                ):
+                if k0 == "word" and v0.upper() in _AGG_NAMES:
                     agg = self._aggregate()
                     self.eat_word("AS")
                     k2, v2 = self.next()
@@ -983,13 +1019,13 @@ class _Parser:
 
     def _aggregate(self):
         name = self.next()[1].upper()
-        if name not in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+        if name not in _AGG_NAMES:
             raise SparqlUnsupported(f"aggregate {name}")
         return self._aggregate_body(name)
 
     def _aggregate_body(self, name: str):
-        """Parse '( [DISTINCT] * | ?var )' for an already-consumed
-        aggregate name and return the agg lambda."""
+        """Parse '( [DISTINCT] * | ?var [; SEPARATOR = "s"] )' for an
+        already-consumed aggregate name and return the agg lambda."""
         self.eat_op("(")
         distinct = False
         if self.at_word("DISTINCT"):
@@ -1002,7 +1038,29 @@ class _Parser:
                 raise SparqlSyntaxError(f"{name}(*)")
             return lambda df: F.count(F.lit(1))
         var = self.next()[1][1:]
+        sep = " "
+        if name == "GROUP_CONCAT" and self.peek()[1] == ";":
+            self.next()
+            k2, v2 = self.next()
+            if k2 != "word" or v2.upper() != "SEPARATOR":
+                raise SparqlSyntaxError("GROUP_CONCAT(?v; SEPARATOR=\"s\")")
+            self.eat_op("=")
+            k3, v3 = self.next()
+            if k3 != "string":
+                raise SparqlSyntaxError("SEPARATOR expects a string literal")
+            sep = _unquote(v3)
         self.eat_op(")")
+        if name == "GROUP_CONCAT":
+            # the spec leaves concatenation order undefined; sorting makes
+            # it deterministic across engines/retries (documented choice)
+            coll = F.collect_set if distinct else F.collect_list
+            return lambda df, v=var, s=sep, c=coll: F.array_join(
+                F.array_sort(c(df[v])), s
+            )
+        if name == "SAMPLE":
+            # SAMPLE may return any value of the group; MIN is a valid,
+            # DETERMINISTIC choice (stable across retries and engines)
+            return lambda df, v=var: F.min(df[v])
         if name == "COUNT":
             return (lambda df, v=var: F.countDistinct(df[v])) if distinct else (
                 lambda df, v=var: F.count(df[v])
@@ -1245,16 +1303,12 @@ def _compile_select(pipe, q: dict, stage: str | None):
         # trailing VALUES joins the QUERY result (SPARQL rule [28] —
         # after projection), so it sees the projected columns. Bound
         # compatibility only: a solution with the variable unbound (NULL
-        # from OPTIONAL) does not match — a documented narrowing.
-        names = [v for v in var_names]
-        lit_df = out.sparkSession.createDataFrame(
-            [tuple(r) for r in rows], ", ".join(f"`{n}` string" for n in names)
-        )
-        shared = sorted(set(out.columns) & set(names))
-        out = (
-            out.join(F.broadcast(lit_df), on=shared, how="inner")
-            if shared
-            else out.crossJoin(F.broadcast(lit_df))
+        # from OPTIONAL) does not match — a documented narrowing. UNDEF
+        # cells constrain nothing (see sparql.join_values).
+        from .sparql import join_values
+
+        out, _ = join_values(
+            out, list(var_names), rows, set(out.columns)
         )
     if q["order"]:
         # one orderBy with ALL keys: chaining orderBy calls would re-sort
@@ -1270,18 +1324,26 @@ def _compile_select(pipe, q: dict, stage: str | None):
     return out
 
 
-def _compile_ask(pipe, q: dict, stage: str | None):
-    """ASK -> one-row DataFrame with a boolean ``ask`` column. Stays lazy
-    and distributed: existence is a limit(1) left join against a
-    constant row, not a driver-side count."""
-    from .sparql import bgp_on_pipeline
+def _where_solutions(pipe, q: dict, stage: str | None):
+    """Compile a parsed WHERE group (ASK/CONSTRUCT/DESCRIBE — the forms
+    without projection) to its solution frame, sharing SELECT's UNION
+    handling: a pure-UNION group concatenates branch solutions; a UNION
+    mixed with required patterns joins on shared variables."""
+    from .sparql import bgp_on_pipeline, bgp_union_on_pipeline
 
     w = q["where"]
-    if w["union"] is not None or w["subselects"]:
-        raise SparqlUnsupported("UNION/subquery inside ASK")
     graph, named = _dataset(q)
     if graph is None:
         graph = w["graph"]
+    if w["union"] is not None and not w["patterns"]:
+        if (
+            w["filters"] or w["optional"] or w["minus"] or w["binds"]
+            or w["exists"] or w["not_exists"] or w["values"]
+        ):
+            raise SparqlUnsupported("UNION combined with other group elements")
+        return bgp_union_on_pipeline(
+            pipe, w["union"], stage=stage, graph=graph, named_graphs=named
+        )
     filters = w["filters"]
     filt = None
     if filters:
@@ -1290,15 +1352,32 @@ def _compile_ask(pipe, q: dict, stage: str | None):
             for f in fs[1:]:
                 cond = cond & f(df)
             return cond
-    sol = bgp_on_pipeline(
+    frames = None
+    if w["union"] is not None:
+        frames = [
+            bgp_union_on_pipeline(
+                pipe, w["union"], stage=stage, graph=graph, named_graphs=named
+            )
+        ]
+    return bgp_on_pipeline(
         pipe, w["patterns"], stage=stage,
         optional=w["optional"] or None, filter=filt, graph=graph,
         minus=w["minus"] or None, exists=w["exists"] or None,
         not_exists=w["not_exists"] or None, bind=w["binds"] or None,
-        values=w["values"] or None,
+        values=w["values"] or None, frames=frames,
         term_meta=frozenset(q.get("meta_vars") or ()),
         named_graphs=named,
     )
+
+
+def _compile_ask(pipe, q: dict, stage: str | None):
+    """ASK -> one-row DataFrame with a boolean ``ask`` column. Stays lazy
+    and distributed: existence is a limit(1) left join against a
+    constant row, not a driver-side count."""
+    w = q["where"]
+    if w["subselects"]:
+        raise SparqlUnsupported("subquery inside ASK")
+    sol = _where_solutions(pipe, q, stage)
     marker = sol.limit(1).select(F.lit(True).alias("ask"))
     one = sol.sparkSession.range(1).select(F.lit(1).alias("__k"))
     return (
@@ -1313,31 +1392,11 @@ def _compile_construct(pipe, q: dict, stage: str | None):
     with an unbound variable are skipped per SPARQL §16.2; objects bind
     lexical forms."""
     from .sparql import Literal as _Lit
-    from .sparql import bgp_on_pipeline
 
     w = q["where"]
-    if w["union"] is not None or w["subselects"]:
-        raise SparqlUnsupported("UNION/subquery inside CONSTRUCT")
-    graph, named = _dataset(q)
-    if graph is None:
-        graph = w["graph"]
-    filters = w["filters"]
-    filt = None
-    if filters:
-        def filt(df, fs=filters):  # noqa: E731
-            cond = fs[0](df)
-            for f in fs[1:]:
-                cond = cond & f(df)
-            return cond
-    sol = bgp_on_pipeline(
-        pipe, w["patterns"], stage=stage,
-        optional=w["optional"] or None, filter=filt, graph=graph,
-        minus=w["minus"] or None, exists=w["exists"] or None,
-        not_exists=w["not_exists"] or None, bind=w["binds"] or None,
-        values=w["values"] or None,
-        term_meta=frozenset(q.get("meta_vars") or ()),
-        named_graphs=named,
-    )
+    if w["subselects"]:
+        raise SparqlUnsupported("subquery inside CONSTRUCT")
+    sol = _where_solutions(pipe, q, stage)
 
     # blank nodes in the template ([] / _:b) parse to synthetic variables
     # that the WHERE group never binds; per SPARQL §16.2.1 each solution
@@ -1412,32 +1471,19 @@ def _compile_describe(pipe, q: dict, stage: str | None):
         pieces.append(
             spark.createDataFrame([(r,) for r in q["resources"]], "`s` string")
         )
-    if q["where"] is not None and q["vars"]:
+    if q["where"] is not None and (q["vars"] or q.get("star")):
         w = q["where"]
-        if w["union"] is not None or w["subselects"]:
-            raise SparqlUnsupported("UNION/subquery inside DESCRIBE")
-        filters = w["filters"]
-        filt = None
-        if filters:
-            def filt(df, fs=filters):  # noqa: E731
-                cond = fs[0](df)
-                for f in fs[1:]:
-                    cond = cond & f(df)
-                return cond
-        # FROM <g> scopes the WHERE evaluation exactly as in SELECT/ASK/
-        # CONSTRUCT; a GRAPH clause inside the group takes precedence
-        d_graph, d_named = _dataset(q)
-        sol = bgp_on_pipeline(
-            pipe, w["patterns"], stage=stage,
-            optional=w["optional"] or None, filter=filt,
-            graph=d_graph if d_graph is not None else w["graph"],
-            named_graphs=d_named,
-            minus=w["minus"] or None, exists=w["exists"] or None,
-            not_exists=w["not_exists"] or None, bind=w["binds"] or None,
-            values=w["values"] or None,
-            term_meta=frozenset(q.get("meta_vars") or ()),
-        )
-        for v in q["vars"]:
+        if w["subselects"]:
+            raise SparqlUnsupported("subquery inside DESCRIBE")
+        sol = _where_solutions(pipe, q, stage)
+        described = q["vars"]
+        if q.get("star"):
+            # DESCRIBE *: every variable the group binds (hidden columns
+            # never appear — _where_solutions drops them)
+            described = sorted(
+                {*described, *("?" + c for c in sol.columns if not c.startswith("__"))}
+            )
+        for v in described:
             pieces.append(sol.select(F.col(v[1:]).alias("s")))
     subjects = pieces[0]
     for piece in pieces[1:]:

@@ -1889,14 +1889,58 @@ def sparql_paths(spark, sf_dir):
     " UNION ALL "
     f"SELECT 'union_mixed', '{EX}nation/' || n_nationkey, '{EX}region/' || n_regionkey "
     "FROM nation JOIN region ON n_regionkey = r_regionkey "
-    "WHERE r_name IN ('AFRICA', 'ASIA')",
+    "WHERE r_name IN ('AFRICA', 'ASIA')"
+    " UNION ALL "
+    f"SELECT 'undef', '{EX}nation/' || n_nationkey, '{EX}region/' || n_regionkey "
+    "FROM nation"
+    " UNION ALL "
+    f"SELECT 'undef', '{EX}nation/' || n_nationkey, '{EX}region/' || n_regionkey "
+    "FROM nation WHERE n_regionkey = 1"
+    " UNION ALL "
+    f"SELECT 'group_concat', '{EX}region/' || n_regionkey, "
+    f"string_agg('{EX}nation/' || n_nationkey, ',' ORDER BY '{EX}nation/' || n_nationkey) "
+    "FROM nation GROUP BY n_regionkey"
+    " UNION ALL "
+    f"SELECT 'sample', '{EX}region/' || n_regionkey, MIN('{EX}nation/' || n_nationkey) "
+    "FROM nation GROUP BY n_regionkey",
 )
 def sparql_text_values_union(spark, sf_dir):
-    """Textual SPARQL VALUES inline data + UNION joined with the group,
-    tagged."""
+    """Textual SPARQL inline-data + aggregate surface, tagged: VALUES,
+    UNION joined with the group, VALUES with an UNDEF wildcard (multiset
+    semantics — the UNDEF row matches everything, duplicates kept),
+    GROUP_CONCAT (sorted, replayed by DuckDB string_agg ORDER BY), and
+    SAMPLE (deterministic MIN)."""
+    from .plans.sparql_text import sparql_query
+
+    kg = _sparql_kg(spark, sf_dir)
+    undef = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?r WHERE {{
+          ?s ex:inRegion ?r
+          VALUES (?r) {{ (<{EX}region/1>) (UNDEF) }}
+        }}""",
+    )
+    gc = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?r (GROUP_CONCAT(?s; SEPARATOR=",") AS ?c) WHERE {{
+          ?s ex:inRegion ?r
+        }} GROUP BY ?r""",
+    )
+    samp = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?r (SAMPLE(?s) AS ?m) WHERE {{
+          ?s ex:inRegion ?r
+        }} GROUP BY ?r""",
+    )
     return _union_all([
         sparql_text_values(spark, sf_dir).select(_tag("values"), "s", "r"),
         sparql_text_union_mixed(spark, sf_dir).select(_tag("union_mixed"), "s", "r"),
+        undef.select(_tag("undef"), "s", "r"),
+        gc.select(_tag("group_concat"), F.col("r").alias("s"), F.col("c").alias("r")),
+        samp.select(_tag("sample"), F.col("r").alias("s"), F.col("m").alias("r")),
     ])
 
 

@@ -44,12 +44,8 @@ def test_parse_abbreviations_and_paths():
 
 
 def test_parse_unsupported_named_clearly():
-    with pytest.raises(SparqlUnsupported, match="DESCRIBE"):
-        parse_sparql("DESCRIBE * WHERE { ?s ?p ?o }")
-    with pytest.raises(SparqlUnsupported, match="UNDEF"):
-        parse_sparql(
-            "SELECT ?x WHERE { ?x <http://p> ?y VALUES ?y { UNDEF } }"
-        )
+    with pytest.raises(SparqlUnsupported, match="path"):
+        parse_sparql("CONSTRUCT { ?s <http://p>+ ?o } WHERE { ?s ?p ?o }")
     with pytest.raises(SparqlUnsupported, match="SERVICE"):
         parse_sparql(
             "SELECT ?x WHERE { SERVICE <http://remote/sparql> { ?x <http://p> ?y } }"
@@ -835,3 +831,168 @@ def test_graph_scoped_minus(twograph):
         }}""",
     )
     assert [r.s for r in out.collect()] == [EX + "s1"]
+
+
+# -- round-4: GROUP_CONCAT / SAMPLE / VALUES UNDEF -------------------------
+
+
+def test_group_concat(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?t (GROUP_CONCAT(?l; SEPARATOR=",") AS ?ls) WHERE {{
+          ?s a ?t ; rdfs:label ?l FILTER(?l < 4)
+        }} GROUP BY ?t""",
+    )
+    rows = {(r.t, r.ls) for r in out.collect()}
+    # sorted concatenation (deterministic choice); class assignment is the
+    # fixture's inverted ternary: odd labels carry ex:even and vice versa
+    assert rows == {(EX + "even", "1,3"), (EX + "odd", "2")}
+
+
+def test_group_concat_distinct_default_separator(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        SELECT (GROUP_CONCAT(DISTINCT ?t) AS ?ts) WHERE {{ ?s a ?t }}""",
+    )
+    assert [r.ts for r in out.collect()] == [f"{EX}even {EX}odd"]
+
+
+def test_sample_aggregate(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?t (SAMPLE(?l) AS ?one) WHERE {{
+          ?s a ?t ; rdfs:label ?l
+        }} GROUP BY ?t""",
+    )
+    # SAMPLE = deterministic MIN here (documented choice); lexicographic
+    # mins of the two label sets ('1' for evens, '10' for odds)
+    assert {(r.t, r.one) for r in out.collect()} == {
+        (EX + "even", "1"), (EX + "odd", "10"),
+    }
+
+
+def test_values_undef_wildcard(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?t WHERE {{
+          ?s a ?t ; rdfs:label ?l FILTER(?l < 3)
+          VALUES (?t) {{ (ex:even) (UNDEF) }}
+        }}""",
+    )
+    rows = sorted((r.s, r.t) for r in out.collect())
+    # labels < 3: i1 (class even, inverted ternary) and i2 (class odd).
+    # The UNDEF row matches BOTH; (ex:even) matches i1 again — multiset
+    # semantics keep the duplicate
+    assert rows == [
+        (EX + "i1", EX + "even"),
+        (EX + "i1", EX + "even"),
+        (EX + "i2", EX + "odd"),
+    ]
+
+
+def test_values_undef_multi_var(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l WHERE {{
+          ?s a ?t ; rdfs:label ?l
+          VALUES (?t ?l) {{ (ex:odd UNDEF) (UNDEF "2") }}
+        }}""",
+    )
+    rows = sorted((r.s, r.l) for r in out.collect())
+    # (ex:odd UNDEF) matches every odd-classed subject (even i); i2 also
+    # matches (UNDEF "2") -> appears twice. even-classed subjects (odd i)
+    # never match.
+    assert rows.count((EX + "i2", "2")) == 2
+    assert (EX + "i4", "4") in rows
+    assert (EX + "i1", "1") not in rows and (EX + "i3", "3") not in rows
+
+
+# -- round-4: CONSTRUCT/DESCRIBE breadth -----------------------------------
+
+
+def test_ask_with_union(oddeven):
+    yes = sparql_query(
+        oddeven,
+        f"PREFIX ex: <{EX}> ASK {{ {{ ?s a ex:nosuch }} UNION {{ ?s a ex:even }} }}",
+    )
+    assert [r.ask for r in yes.collect()] == [True]
+    no = sparql_query(
+        oddeven,
+        f"PREFIX ex: <{EX}> ASK {{ {{ ?s a ex:no1 }} UNION {{ ?s a ex:no2 }} }}",
+    )
+    assert [r.ask for r in no.collect()] == [False]
+
+
+def test_construct_with_union(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        CONSTRUCT {{ ?s ex:kept ?l }} WHERE {{
+          ?s rdfs:label ?l FILTER(?l < 3)
+          {{ ?s a ex:even }} UNION {{ ?s a ex:odd }}
+        }}""",
+    )
+    rows = {(r.subject, r.object) for r in out.collect()}
+    assert rows == {(EX + "i1", "1"), (EX + "i2", "2")}
+
+
+def test_construct_sequence_path_template(oddeven):
+    """?s (p1/p2) ?o in the template chains through a FRESH per-solution
+    blank node: ?s p1 _:m . _:m p2 ?o."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        CONSTRUCT {{ ?s ex:hasEntry/ex:entryLabel ?l }}
+        WHERE {{ ?s rdfs:label ?l FILTER(?l < 3) }}""",
+    )
+    rows = [(r.subject, r.predicate, r.object) for r in out.collect()]
+    first = [r for r in rows if r[1] == EX + "hasEntry"]
+    second = [r for r in rows if r[1] == EX + "entryLabel"]
+    assert {r[0] for r in first} == {EX + "i1", EX + "i2"}
+    assert {r[2] for r in second} == {"1", "2"}
+    # the chain joins: every hasEntry object is an entryLabel subject,
+    # bnodes are distinct per solution
+    mids_a = sorted(r[2] for r in first)
+    mids_b = sorted(r[0] for r in second)
+    assert mids_a == mids_b and len(set(mids_a)) == 2
+    assert all(m.startswith("_:") for m in mids_a)
+
+
+def test_describe_star(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        DESCRIBE * WHERE {{ ?s rdfs:label ?l FILTER(?l = 1) }}""",
+    )
+    rows = {(r.subject, r.predicate, r.object) for r in out.collect()}
+    # ?s = i1 (described); ?l = plain literal "1" (no triples with a
+    # literal subject exist, so it contributes nothing)
+    assert rows == {
+        (EX + "i1", RDF + "type", EX + "even"),
+        (EX + "i1", RDFS + "label", "1"),
+    }
+
+
+def test_describe_with_union(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        PREFIX rdfs: <{RDFS}>
+        DESCRIBE ?s WHERE {{
+          ?s rdfs:label ?l FILTER(?l < 2)
+          {{ ?s a ex:even }} UNION {{ ?s a ex:odd }}
+        }}""",
+    )
+    rows = {(r.subject, r.predicate, r.object) for r in out.collect()}
+    assert rows == {
+        (EX + "i1", RDF + "type", EX + "even"),
+        (EX + "i1", RDFS + "label", "1"),
+    }
