@@ -136,7 +136,16 @@ def _transitive_plus(
 ) -> DataFrame:
     """edges(__s, __o[, group...]) -> all pairs connected by a path of
     length >= 1, closed WITHIN each group (per-graph closure when the
-    pattern is graph-constrained by a variable)."""
+    pattern is graph-constrained by a variable).
+
+    Each round costs one driver job round-trip (the ``limit(1).count()``
+    emptiness probe) — bounded by graph diameter, fine for the
+    short-diameter vocabulary graphs paths run over. If a workload ever
+    closes a long chain (diameter ~100+), the probe could return the
+    frontier SIZE instead and square the frontier (join frontier with
+    itself as well as the base) to halve the round count — doubling work
+    per round to halve the driver round-trips; not worth the extra
+    shuffle for typical KG path queries, noted for the 100x case."""
     # Each round's frontier is checkpointed eagerly (cuts lineage: the
     # per-round plan stays O(1)). Constraint propagation is switched off
     # for the loop: the closure plan unions the SAME checkpointed leaf
