@@ -54,6 +54,13 @@ def get_spark(
         # source-code text compresses ~100x: default 128MB splits starve
         # cores on file scans; statement-frame scans stay well-formed too
         .config("spark.sql.files.maxPartitionBytes", "32m")
+        # zstd parquet output: the stage-V write burst is bandwidth-bound
+        # (per-stage scaling evidence, BENCH/BASELINE.md) and statement
+        # frames are highly compressible text — pinned 8-core ABAB
+        # measured +11-18% E+D+V throughput over snappy (198.5/196.7k ->
+        # 234.0/219.3k medians), and ~2x smaller files is itself the win
+        # at 100 TB (storage + every downstream scan)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # stage O/M submit per-table jobs from a bounded thread pool. FIFO
         # still interleaves concurrent jobs whenever slots are free and
         # measures ~12% faster than FAIR on the single-job load path;
@@ -61,6 +68,11 @@ def get_spark(
         # starve the small-table jobs queued behind it
         .config("spark.ui.enabled", "false")
     )
+    # ad-hoc conf overrides for benchmarking A/Bs without code edits:
+    # SPARK_GRAFT_CONF="k=v;k2=v2" applies before extra_conf
+    for pair in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
