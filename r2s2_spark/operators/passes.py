@@ -268,6 +268,152 @@ def _table_dt_for(table: TableSpec, cs: ColumnSpec) -> str | None:
     return None
 
 
+def fused_probe_tables(
+    spark: SparkSession,
+    catalog: Catalog,
+    v_data_path: str,
+    split_paths: dict[str, str],
+) -> dict[str, dict]:
+    """Every stage-O probe for EVERY table in ONE two-level grouped job.
+
+    The per-table loop previously ran 3 driver jobs per table before the
+    write (probe agg, collapse max-graphs probe, read-back count) — at
+    10^4-10^5 predicate tables the driver round-trips dominate, exactly
+    the failure mode the stage-M fused probe fixed. All tables share the
+    generic V statement schema (GENERIC_COLUMNS), so one pre-grouping by
+    (table, non-graph columns) feeds every stat via decomposable
+    re-aggregation:
+
+      - cnt(c)       = sum over groups of group-rows where key c not null
+      - min/max/ok   = min/max over group keys (multiplicity-insensitive)
+      - __n          = sum of group row counts
+      - __groups     = count of groups = post-collapse row count
+      - __max_graphs = max over groups of countDistinct(g_id)
+
+    ``__max_graphs``/``__groups`` are valid for the POST-rewrite collapse
+    because the rewrites are injective per column (guarded lossless casts,
+    fixed-prefix strip, dictionary encode) and dropped virtual columns are
+    constant per table — neither changes group boundaries.
+
+    Returns per-table stats dicts in ``probe_table``'s key format (keyed
+    by the table's renamed column names) plus the two collapse keys.
+    Tables absent from the data (zero rows) get an all-zero dict.
+    """
+    from .vertical import GENERIC_COLUMNS
+
+    non_g = [c for c in GENERIC_COLUMNS if c != "g_id"]
+    frames = []
+    # split children live under their parent's _cls-partitioned dir; one
+    # read per parent, _cls md5 -> child table name via a literal map
+    by_parent: dict[str, dict[str, str]] = {}
+    for name, path in split_paths.items():
+        parent, _, cls = path.rpartition("/_cls=")
+        by_parent.setdefault(parent, {})[cls] = name
+    if any(t.name not in split_paths for t in catalog.tables):
+        v = spark.read.parquet(v_data_path)
+        # the V dataset's t= partitions are exactly the catalog's plain
+        # tables plus the split PARENTS (now replaced by their children) —
+        # exclude the handful of parents rather than shipping a 10^5-name
+        # isin literal
+        parents = sorted(os.path.basename(p) for p in by_parent)
+        plain_v = v.where(~F.col("t").isin(parents)) if parents else v
+        frames.append(
+            plain_v.select(F.col("t").cast("string").alias("__t"), *GENERIC_COLUMNS)
+        )
+    for parent in sorted(by_parent):
+        md5s = by_parent[parent]
+        mapping = F.create_map(
+            *[F.lit(x) for kv in sorted(md5s.items()) for x in kv]
+        )
+        frames.append(
+            spark.read.parquet(parent).select(
+                mapping[F.col("_cls").cast("string")].alias("__t"),
+                *GENERIC_COLUMNS,
+            )
+        )
+    if not frames:
+        return {}
+    u = frames[0]
+    for f_ in frames[1:]:
+        u = u.unionByName(f_)
+
+    lvl1 = u.groupBy("__t", *non_g).agg(
+        F.count(F.lit(1)).alias("__nrows"),
+        F.countDistinct("g_id").alias("__ng"),
+        F.count("g_id").alias("__gcnt"),
+        F.min("g_id").alias("__gmin"),
+        F.max("g_id").alias("__gmax"),
+    )
+
+    guard_pairs: set[tuple[str, str]] = set()
+    for t in catalog.tables:
+        for cs in t.all_column_specs():
+            if not cs.physical or cs.sql_type != "string" or not cs.source:
+                continue
+            target = _narrow_target(_table_dt_for(t, cs), cs)
+            if target:
+                guard_pairs.add((cs.source, target))
+
+    aggs = [
+        F.sum("__nrows").alias("__n"),
+        F.count(F.lit(1)).alias("__groups"),
+        F.max("__ng").alias("__max_graphs"),
+        F.sum("__gcnt").alias("g_id\x00cnt"),
+        F.min("__gmin").alias("g_id\x00min"),
+        F.max("__gmax").alias("g_id\x00max"),
+    ]
+    for c in non_g:
+        col = F.col(c)
+        aggs.append(
+            F.sum(
+                F.when(col.isNotNull(), F.col("__nrows")).otherwise(F.lit(0))
+            ).alias(f"{c}\x00cnt")
+        )
+        aggs.append(F.min(col).alias(f"{c}\x00min"))
+        aggs.append(F.max(col).alias(f"{c}\x00max"))
+    for src, target in sorted(guard_pairs):
+        col = F.col(src)
+        # same NULL semantics as probe_table: null rows sit out of the
+        # min, try_cast failures count as guard failure
+        ok = F.when(
+            col.isNotNull(),
+            F.coalesce(_guard_expr(col, target), F.lit(False)).cast("int"),
+        )
+        aggs.append(F.min(ok).alias(f"{src}\x00ok\x00{target}"))
+
+    by_t = {r["__t"]: r.asDict() for r in lvl1.groupBy("__t").agg(*aggs).collect()}
+
+    out: dict[str, dict] = {}
+    for t in catalog.tables:
+        r = by_t.get(t.name)
+        stats: dict = {}
+        if r is None:
+            stats["__n"] = 0
+            stats["__groups"] = 0
+            stats["__max_graphs"] = 0
+            for cs in t.all_column_specs():
+                if cs.physical:
+                    stats[f"{cs.name}\x00cnt"] = 0
+                    stats[f"{cs.name}\x00min"] = None
+                    stats[f"{cs.name}\x00max"] = None
+            out[t.name] = stats
+            continue
+        stats["__n"] = r["__n"]
+        stats["__groups"] = r["__groups"]
+        stats["__max_graphs"] = r["__max_graphs"]
+        for cs in t.all_column_specs():
+            if not cs.physical or not cs.source:
+                continue
+            stats[f"{cs.name}\x00cnt"] = r[f"{cs.source}\x00cnt"]
+            stats[f"{cs.name}\x00min"] = r[f"{cs.source}\x00min"]
+            stats[f"{cs.name}\x00max"] = r[f"{cs.source}\x00max"]
+            target = _narrow_target(_table_dt_for(t, cs), cs)
+            if target and cs.sql_type == "string":
+                stats[f"{cs.name}\x00ok"] = r[f"{cs.source}\x00ok\x00{target}"]
+        out[t.name] = stats
+    return out
+
+
 def _iri_group_parts(table: TableSpec, cs: ColumnSpec) -> bool:
     return cs.part in PART_KEYS
 
@@ -281,6 +427,7 @@ def optimize_table(
     mode: str = "full",
     cleanup: list | None = None,
     small_dicts: frozenset = frozenset(),
+    stats: dict | None = None,
 ) -> DataFrame:
     """Apply passes 2-5 to one table. Mutates ``table``'s column specs
     (virtual values, narrowed types, LCP prefixes, encodings, graph
@@ -295,8 +442,14 @@ def optimize_table(
     thousands of tables the collapse caches otherwise accumulate
     unboundedly across the stage-O loop). If None, nothing is persisted —
     correct but recomputes the collapse groupBy once for the probe.
+
+    ``stats``: precomputed probe results (fused_probe_tables) — when given,
+    no probe job runs at all; with the fused ``__max_graphs`` key present
+    the collapse probe is skipped too, leaving the write as this table's
+    only job.
     """
-    stats = probe_table(df, table, mode)
+    if stats is None:
+        stats = probe_table(df, table, mode)
     n = stats["__n"]
 
     specs = [cs for cs in table.all_column_specs()]
@@ -435,12 +588,17 @@ def _collapse(
         collapsed = df.groupBy(*non_graph).agg(
             F.sort_array(F.collect_set(F.col(g.name))).alias(g.name)
         )
-        if cleanup is not None:
-            # cache spans the max-graphs probe AND the caller's write; the
-            # caller unpersists after materializing
-            collapsed = collapsed.persist()
-            cleanup.append(collapsed)
-        max_graphs = collapsed.agg(F.max(F.size(F.col(g.name)))).first()[0]
+        # fused probe already measured max graphs per group (valid post-
+        # rewrite: injective rewrites keep group boundaries) -> no probe
+        # job, no cache needed
+        max_graphs = (stats or {}).get("__max_graphs")
+        if max_graphs is None:
+            if cleanup is not None:
+                # cache spans the max-graphs probe AND the caller's write;
+                # the caller unpersists after materializing
+                collapsed = collapsed.persist()
+                cleanup.append(collapsed)
+            max_graphs = collapsed.agg(F.max(F.size(F.col(g.name)))).first()[0]
         if max_graphs is not None and max_graphs > 1:
             g.part = "graph_set"
             g.sql_type = "array<bigint>"

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import vertical
@@ -240,8 +240,20 @@ class KgPipeline:
             )
             TIMINGS["O.dicts"] = round(time.time() - t0, 3)
             t0 = time.time()
+            # every table's probe (column stats, narrow guards, collapse
+            # max-graphs) in ONE two-level grouped job over the generic V
+            # schema — the per-table loop below then runs exactly one job
+            # per table (the write), with the row count taken from an
+            # Observation metric on that same write instead of a read-back
+            # count. 3 fewer driver jobs per table; at 10^4-10^5 predicate
+            # tables the driver round-trips were the bottleneck.
+            stats_all = passes.fused_probe_tables(
+                self.spark, catalog, v_data, split_paths
+            )
+            TIMINGS["O.probe"] = round(time.time() - t0, 3)
+            t0 = time.time()
 
-            # per-table probe+rewrite jobs submitted from a bounded thread
+            # per-table rewrite jobs submitted from a bounded thread
             # pool: at real-KG vocabulary scale (10^4-10^5 predicate tables)
             # a serial driver loop leaves executors idle between the many
             # small jobs; FAIR pools (session.py) keep them interleaved.
@@ -254,15 +266,14 @@ class KgPipeline:
                 else:
                     src = self.spark.read.parquet(f"{v_data}/t={t.name}")
                 df = vertical.rename_generic(src, t)
-                cleanup: list = []
                 out = passes.optimize_table(
-                    self.spark, df, t, schemes, hosts, cleanup=cleanup,
-                    small_dicts=small_dicts,
+                    self.spark, df, t, schemes, hosts,
+                    small_dicts=small_dicts, stats=stats_all[t.name],
                 )
+                obs = Observation()
+                out = out.observe(obs, F.count(F.lit(1)).alias("n"))
                 out.write.mode("overwrite").parquet(io.path("O", "tables", t.name))
-                for cached in cleanup:
-                    cached.unpersist()
-                n = self.spark.read.parquet(io.path("O", "tables", t.name)).count()
+                n = int(obs.get["n"])
                 t.row_count = n
                 t.path = f"O/tables/{t.name}"
                 return t.name, n
@@ -313,11 +324,11 @@ class KgPipeline:
                     "spark.scheduler.pool", "stage_m"
                 )
                 out = passes.optimize_table(self.spark, frames[t.name], t, mode="reopt")
+                obs = Observation()
+                out = out.observe(obs, F.count(F.lit(1)).alias("n"))
                 out.write.mode("overwrite").parquet(io.path("M", "tables", t.name))
                 t.path = f"M/tables/{t.name}"
-                t.row_count = self.spark.read.parquet(
-                    io.path("M", "tables", t.name)
-                ).count()
+                t.row_count = int(obs.get["n"])
 
             _pooled_map(reopt_one, [t for t in catalog.tables if t.name in changed])
             TIMINGS["M.reopt"] = round(time.time() - t0, 3)
