@@ -167,6 +167,17 @@ def _tagged_subject_keys(
     return parts[0]
 
 
+def _hashed_keys(tagged: DataFrame) -> DataFrame:
+    """(tbl, k) -> (tbl, k, k2) with k replaced by a 96-bit hash pair.
+    NULL keys stay NULL (they group together for the repeating probe and
+    are filtered out of the overlap probe, same as the raw-string path)."""
+    return tagged.select(
+        "tbl",
+        F.when(F.col("k").isNotNull(), F.xxhash64("k")).alias("k"),
+        F.when(F.col("k").isNotNull(), F.hash("k")).alias("k2"),
+    )
+
+
 def _fused_probe(
     spark: SparkSession,
     frames: dict[str, DataFrame],
@@ -185,6 +196,13 @@ def _fused_probe(
 
     Pair sets are DISTINCT-ed distributed-side; only the (small) distinct
     pair list is collected, never the per-key sets.
+
+    Keys travel as a 96-bit hash (xxhash64 + murmur3), not the concat
+    string — subject keys are full IRIs, so the hash shrinks the shuffle
+    ~10x. A collision can only MERGE key groups: a table may be flagged
+    repeating when it isn't (drops out of merge candidacy) or a disjoint
+    pair may probe as overlapping (merge_pair then joins on the REAL keys
+    and attaches nothing) — layout pessimization only, never a wrong row.
     """
     if not tables:
         return {}, set()
@@ -192,8 +210,8 @@ def _fused_probe(
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", "stage_m")
     try:
         per_key = (
-            _tagged_subject_keys(frames, tables)
-            .groupBy("tbl", "k")
+            _hashed_keys(_tagged_subject_keys(frames, tables))
+            .groupBy("tbl", "k", "k2")
             .agg(F.count(F.lit(1)).alias("c"))
             .persist()
         )
@@ -207,7 +225,7 @@ def _fused_probe(
         if len(cand) > 1:
             sets = (
                 per_key.where(F.col("k").isNotNull() & F.col("tbl").isin(cand))
-                .groupBy("k")
+                .groupBy("k", "k2")
                 .agg(F.collect_set("tbl").alias("ts"))
                 .where(F.size("ts") >= 2)
             )
@@ -355,9 +373,12 @@ def verify_subject_uniqueness(
         pool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", "stage_m")
         try:
+            # hashed keys like _fused_probe: a collision can only flip a
+            # table to "not verified unique" — it never licenses a false
+            # 1:1 cardinality
             rows = (
-                _tagged_subject_keys(frames, todo)
-                .groupBy("tbl", "k")
+                _hashed_keys(_tagged_subject_keys(frames, todo))
+                .groupBy("tbl", "k", "k2")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .groupBy("tbl")
                 .agg(F.max("c").alias("mx"))

@@ -274,21 +274,28 @@ def fused_probe_tables(
     v_data_path: str,
     split_paths: dict[str, str],
 ) -> dict[str, dict]:
-    """Every stage-O probe for EVERY table in ONE two-level grouped job.
+    """Every stage-O probe for EVERY table in TWO concurrent grouped jobs.
 
     The per-table loop previously ran 3 driver jobs per table before the
     write (probe agg, collapse max-graphs probe, read-back count) — at
     10^4-10^5 predicate tables the driver round-trips dominate, exactly
     the failure mode the stage-M fused probe fixed. All tables share the
-    generic V statement schema (GENERIC_COLUMNS), so one pre-grouping by
-    (table, non-graph columns) feeds every stat via decomposable
-    re-aggregation:
+    generic V statement schema (GENERIC_COLUMNS), so two passes cover
+    every table at once:
 
-      - cnt(c)       = sum over groups of group-rows where key c not null
-      - min/max/ok   = min/max over group keys (multiplicity-insensitive)
-      - __n          = sum of group row counts
-      - __groups     = count of groups = post-collapse row count
-      - __max_graphs = max over groups of countDistinct(g_id)
+    - STATS job: groupBy(table) with per-column count/min/max + narrowing
+      guards + ``__n``. Map-side partial aggregation means the shuffle
+      carries one tiny agg buffer per (task, table) — the wide string
+      columns never leave the map side.
+    - COLLAPSE job: ``__groups`` (count of distinct non-graph tuples =
+      post-collapse row count) and ``__max_graphs`` (max per-group
+      countDistinct(g_id)) via a 96-bit HASH of the non-graph tuple
+      (xxhash64 + murmur3 over null-sentineled columns), so the shuffle
+      carries (table, 2 hashes, g_id) instead of ~19 string columns. A
+      hash collision can only MERGE groups, which can only raise
+      ``__max_graphs`` and lower ``__groups`` — the failure direction is
+      a pessimized layout (array graph column kept, identity fast path
+      skipped), never a dropped graph id or a wrong dedupe.
 
     ``__max_graphs``/``__groups`` are valid for the POST-rewrite collapse
     because the rewrites are injective per column (guarded lossless casts,
@@ -337,14 +344,6 @@ def fused_probe_tables(
     for f_ in frames[1:]:
         u = u.unionByName(f_)
 
-    lvl1 = u.groupBy("__t", *non_g).agg(
-        F.count(F.lit(1)).alias("__nrows"),
-        F.countDistinct("g_id").alias("__ng"),
-        F.count("g_id").alias("__gcnt"),
-        F.min("g_id").alias("__gmin"),
-        F.max("g_id").alias("__gmax"),
-    )
-
     guard_pairs: set[tuple[str, str]] = set()
     for t in catalog.tables:
         for cs in t.all_column_specs():
@@ -354,21 +353,10 @@ def fused_probe_tables(
             if target:
                 guard_pairs.add((cs.source, target))
 
-    aggs = [
-        F.sum("__nrows").alias("__n"),
-        F.count(F.lit(1)).alias("__groups"),
-        F.max("__ng").alias("__max_graphs"),
-        F.sum("__gcnt").alias("g_id\x00cnt"),
-        F.min("__gmin").alias("g_id\x00min"),
-        F.max("__gmax").alias("g_id\x00max"),
-    ]
-    for c in non_g:
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in GENERIC_COLUMNS:
         col = F.col(c)
-        aggs.append(
-            F.sum(
-                F.when(col.isNotNull(), F.col("__nrows")).otherwise(F.lit(0))
-            ).alias(f"{c}\x00cnt")
-        )
+        aggs.append(F.count(col).alias(f"{c}\x00cnt"))
         aggs.append(F.min(col).alias(f"{c}\x00min"))
         aggs.append(F.max(col).alias(f"{c}\x00max"))
     for src, target in sorted(guard_pairs):
@@ -381,7 +369,35 @@ def fused_probe_tables(
         )
         aggs.append(F.min(ok).alias(f"{src}\x00ok\x00{target}"))
 
-    by_t = {r["__t"]: r.asDict() for r in lvl1.groupBy("__t").agg(*aggs).collect()}
+    # null sentinel per column: Spark's hash functions SKIP null inputs,
+    # so (null, "x") and ("x", null) would otherwise hash identically
+    # across positions — a systematic (not birthday-rare) collision
+    hcols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00N")) for c in non_g]
+    keyed = u.select(
+        "__t",
+        F.xxhash64(*hcols).alias("__h1"),
+        F.hash(*hcols).alias("__h2"),
+        "g_id",
+    )
+    lvl2 = (
+        keyed.groupBy("__t", "__h1", "__h2")
+        .agg(F.countDistinct("g_id").alias("__ng"))
+        .groupBy("__t")
+        .agg(
+            F.count(F.lit(1)).alias("__groups"),
+            F.max("__ng").alias("__max_graphs"),
+        )
+    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_stats = ex.submit(lambda: u.groupBy("__t").agg(*aggs).collect())
+        f_coll = ex.submit(lambda: lvl2.collect())
+        by_t = {r["__t"]: r.asDict() for r in f_stats.result()}
+        for r in f_coll.result():
+            by_t[r["__t"]]["__groups"] = r["__groups"]
+            by_t[r["__t"]]["__max_graphs"] = r["__max_graphs"]
 
     out: dict[str, dict] = {}
     for t in catalog.tables:
@@ -581,6 +597,26 @@ def _collapse(
         for cs in table.all_column_specs()
         if cs.physical and cs not in g_specs
     ]
+    # identity fast path: the fused probe proved every non-graph tuple is
+    # unique (__groups == __n) and no group spans graphs — dedupe and graph
+    # collapse are both no-ops, so skip the groupBy SHUFFLE entirely and
+    # the write becomes this table's only stage. Hash collisions in the
+    # probe can only LOWER __groups (merge groups), so equality with __n
+    # is collision-proof; at real-KG scale most predicate tables are
+    # already statement-unique and take this path. ``target_partitions``
+    # (size-derived, caller-measured) replaces the AQE coalesce the
+    # skipped shuffle would have applied — without it each table keeps
+    # one file per salted V input split and downstream stages pay the
+    # per-file open cost T*salt times.
+    if (
+        stats is not None
+        and stats.get("__groups") == n
+        and (stats.get("__max_graphs") or 0) <= 1
+    ):
+        tp = (stats or {}).get("__target_partitions")
+        if tp:
+            df = df.coalesce(int(tp))
+        return df.sortWithinPartitions(*df.columns) if df.columns else df
     if not g_phys:
         out = df.dropDuplicates()
     else:

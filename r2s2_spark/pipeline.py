@@ -122,42 +122,63 @@ class KgPipeline:
     def stage_d(self) -> None:
         def fn(io: StageIO) -> dict:
             stmts = io.read_parquet("E")
-            # ONE scan of E feeds both dictionaries: the (kind, value)
-            # explode distincts predicates and graphs together, the small
-            # distinct set persists, and each dictionary assigns ids from
-            # it (ids identical to per-column builds — same distinct
-            # sets). Two full scans of a 100 TB E become one.
+            # ONE scan of E feeds both dictionaries AND stage V's target-key
+            # discovery: the (kind, ...) explode distincts predicates,
+            # graphs, and (p, s_kind, o_kind, lang, datatype) table keys
+            # together; the small distinct set persists and each consumer
+            # selects its rows (ids identical to per-column builds — same
+            # distinct sets). Three full scans of a 100 TB E become one.
+            ns = F.lit(None).cast("string")
+
+            def kv(k, v, s_kind=ns, o_kind=ns, o_lang=ns, o_datatype=ns):
+                return F.struct(
+                    F.lit(k).alias("k"),
+                    v.alias("v"),
+                    s_kind.alias("s_kind"),
+                    o_kind.alias("o_kind"),
+                    o_lang.alias("o_lang"),
+                    o_datatype.alias("o_datatype"),
+                )
+
             pairs = (
                 stmts.select(
                     F.explode(
                         F.array(
-                            F.struct(
-                                F.lit("p").alias("k"), F.col("p_iri").alias("v")
-                            ),
-                            F.struct(
-                                F.lit("g").alias("k"), F.col("g_iri").alias("v")
+                            kv("p", F.col("p_iri")),
+                            kv("g", F.col("g_iri")),
+                            kv(
+                                "t",
+                                F.col("p_iri"),
+                                F.col("s_kind"),
+                                F.col("o_kind"),
+                                F.col("o_lang"),
+                                F.col("o_datatype"),
                             ),
                         )
                     ).alias("kv")
                 )
-                .select("kv.k", "kv.v")
-                .where(F.col("v").isNotNull())
+                .select("kv.*")
+                .where((F.col("k") == "t") | F.col("v").isNotNull())
                 .distinct()
                 .persist()
             )
             preds = build_dictionary(
-                pairs.where(F.col("k") == "p").withColumnRenamed("v", "p_iri"),
+                pairs.where(F.col("k") == "p").select(F.col("v").alias("p_iri")),
                 "p_iri",
             )
             # graph domain is unbounded at 10^12-file scale (per-file
             # graphs) -> two-level deterministic id assignment
             graphs = build_dictionary(
-                pairs.where(F.col("k") == "g").withColumnRenamed("v", "g_iri"),
+                pairs.where(F.col("k") == "g").select(F.col("v").alias("g_iri")),
                 "g_iri",
                 n_buckets=64,
             )
             preds.coalesce(1).write.mode("overwrite").parquet(io.path("D", "predicates"))
             graphs.write.mode("overwrite").parquet(io.path("D", "graphs"))
+            # vocabulary-sized; stage V collects it instead of re-scanning E
+            pairs.where(F.col("k") == "t").select(
+                F.col("v").alias("p_iri"), "s_kind", "o_kind", "o_lang", "o_datatype"
+            ).coalesce(1).write.mode("overwrite").parquet(io.path("D", "target_keys"))
             pairs.unpersist()
 
             return {
@@ -170,7 +191,21 @@ class KgPipeline:
     def stage_v(self) -> None:
         def fn(io: StageIO) -> dict:
             stmts = io.read_parquet("E")
-            keys = vertical.discover_target_keys(stmts)
+            # target keys were discovered inside stage D's single fused
+            # scan (vocabulary-sized parquet); re-deriving them here would
+            # be one more full pass over a 100 TB E
+            tk = os.path.join(io.path("D", "target_keys"))
+            if os.path.exists(tk):
+                rows = self.spark.read.parquet(tk).collect()
+                keys = sorted(
+                    [
+                        (r.p_iri, r.s_kind, r.o_kind, r.o_lang, r.o_datatype)
+                        for r in rows
+                    ],
+                    key=lambda k: tuple("" if x is None else x for x in k),
+                )
+            else:  # pre-fusion work dir resumed mid-pipeline
+                keys = vertical.discover_target_keys(stmts)
             catalog = vertical.build_catalog(keys, self.namespaces, self.default_graph)
             catalog.dictionaries = {"predicates": "D/predicates", "graphs": "D/graphs"}
             routed = vertical.route_statements(self.spark, stmts, catalog, self.graphs())
@@ -219,10 +254,42 @@ class KgPipeline:
                 self.spark, catalog, v_data, io.path("O", "split")
             )
             TIMINGS["O.split"] = round(time.time() - t0, 3)
-            t0 = time.time()
-            schemes, hosts = passes.build_scheme_host_dicts(self.spark, v_data)
-            schemes.coalesce(1).write.mode("overwrite").parquet(io.path("O", "schemes"))
-            hosts.coalesce(1).write.mode("overwrite").parquet(io.path("O", "hosts"))
+            t_prep = time.time()
+
+            def build_dicts():
+                t0 = time.time()
+                schemes, hosts = passes.build_scheme_host_dicts(self.spark, v_data)
+                schemes.coalesce(1).write.mode("overwrite").parquet(
+                    io.path("O", "schemes")
+                )
+                hosts.coalesce(1).write.mode("overwrite").parquet(io.path("O", "hosts"))
+                TIMINGS["O.dicts"] = round(time.time() - t0, 3)
+
+            def run_probe():
+                # every table's probe (column stats, narrow guards, collapse
+                # max-graphs) in ONE pair of grouped jobs over the generic V
+                # schema — the per-table loop below then runs exactly one
+                # job per table (the write), with the row count taken from
+                # an Observation metric on that same write instead of a
+                # read-back count. 3 fewer driver jobs per table; at
+                # 10^4-10^5 predicate tables the driver round-trips were
+                # the bottleneck.
+                t0 = time.time()
+                out = passes.fused_probe_tables(
+                    self.spark, catalog, v_data, split_paths
+                )
+                TIMINGS["O.probe"] = round(time.time() - t0, 3)
+                return out
+
+            # the dictionary build and the fused probe are independent
+            # scans of V — overlap them on the scheduler
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_dicts = ex.submit(build_dicts)
+                f_stats = ex.submit(run_probe)
+                f_dicts.result()
+                stats_all = f_stats.result()
             schemes = self.spark.read.parquet(io.path("O", "schemes"))
             hosts = self.spark.read.parquet(io.path("O", "hosts"))
             catalog.dictionaries["schemes"] = "O/schemes"
@@ -238,19 +305,7 @@ class KgPipeline:
                 for name in ("hosts",)
                 if _dir_bytes(io.path("O", name)) <= BROADCAST_DICT_MAX_BYTES
             )
-            TIMINGS["O.dicts"] = round(time.time() - t0, 3)
-            t0 = time.time()
-            # every table's probe (column stats, narrow guards, collapse
-            # max-graphs) in ONE two-level grouped job over the generic V
-            # schema — the per-table loop below then runs exactly one job
-            # per table (the write), with the row count taken from an
-            # Observation metric on that same write instead of a read-back
-            # count. 3 fewer driver jobs per table; at 10^4-10^5 predicate
-            # tables the driver round-trips were the bottleneck.
-            stats_all = passes.fused_probe_tables(
-                self.spark, catalog, v_data, split_paths
-            )
-            TIMINGS["O.probe"] = round(time.time() - t0, 3)
+            TIMINGS["O.prep_wall"] = round(time.time() - t_prep, 3)
             t0 = time.time()
 
             # per-table rewrite jobs submitted from a bounded thread
@@ -261,10 +316,14 @@ class KgPipeline:
                 self.spark.sparkContext.setLocalProperty(
                     "spark.scheduler.pool", "stage_o"
                 )
-                if t.name in split_paths:
-                    src = self.spark.read.parquet(split_paths[t.name])
-                else:
-                    src = self.spark.read.parquet(f"{v_data}/t={t.name}")
+                src_dir = split_paths.get(t.name, f"{v_data}/t={t.name}")
+                src = self.spark.read.parquet(src_dir)
+                # size-derived file target for the identity fast path (the
+                # collapse shuffle it skips would have AQE-coalesced) —
+                # same 128 MiB goal as vacuum's compaction
+                stats_all[t.name]["__target_partitions"] = max(
+                    1, _dir_bytes(src_dir) // (128 * 1024 * 1024) + 1
+                )
                 df = vertical.rename_generic(src, t)
                 out = passes.optimize_table(
                     self.spark, df, t, schemes, hosts,

@@ -198,3 +198,23 @@ def test_all_parse_errors_yields_empty_kg(spark, tmp_path):
     pipe.load(fx.source_files_df(spark, [fx._row("r", "bad.nt", "<x> malformed")]))
     assert pipe.triples().count() == 0
     assert pipe.io.manifest("E")["statements"] == 0
+
+
+def test_stage_d_target_keys_match_discovery(spark, tmp_path):
+    """Stage D's fused (dictionary + target-key) scan must discover exactly
+    the keys vertical.discover_target_keys derives from E, in the same
+    order — stage V's catalog (and therefore every table name) is built
+    from the D artifact."""
+    from r2s2_spark.operators.vertical import discover_target_keys
+
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    pipe.stage_e(fx.fixture_loading(spark))
+    pipe.stage_d()
+    stmts = pipe.io.read_parquet("E")
+    expected = discover_target_keys(stmts)
+    rows = spark.read.parquet(pipe.io.path("D", "target_keys")).collect()
+    got = sorted(
+        [(r.p_iri, r.s_kind, r.o_kind, r.o_lang, r.o_datatype) for r in rows],
+        key=lambda k: tuple("" if x is None else x for x in k),
+    )
+    assert got == expected
