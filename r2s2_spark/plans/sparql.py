@@ -659,11 +659,24 @@ def bgp(
     ``term_meta``: variable names (with '?') whose bindings carry hidden
     ``__lang_<v>`` / ``__dt_<v>`` columns so FILTER/BIND expressions can
     compile LANG()/DATATYPE(); the hidden columns are dropped after the
-    filters run (joins still compare lexical forms — documented)."""
-    out, bound = _join_patterns(
-        catalog, reader, dicts, patterns, graph, term_meta, named_graphs
-    )
-    for sub in frames or []:
+    filters run (joins still compare lexical forms — documented).
+
+    ``patterns`` may be EMPTY when ``frames`` is given: the first frame
+    seeds the solution set (a pure-UNION group with FILTER/OPTIONAL/
+    MINUS/BIND/aggregate modifiers compiles this way — the union frame is
+    the required part)."""
+    if patterns:
+        out, bound = _join_patterns(
+            catalog, reader, dicts, patterns, graph, term_meta, named_graphs
+        )
+        rest = frames or []
+    else:
+        if not frames:
+            raise ValueError("bgp requires patterns or frames")
+        out = frames[0]
+        bound = set(out.columns)
+        rest = frames[1:]
+    for sub in rest:
         sub_vars = set(sub.columns)
         shared = sorted(bound & sub_vars)
         out = out.join(sub, on=shared, how="inner") if shared else out.crossJoin(sub)

@@ -1230,22 +1230,30 @@ def _compile_select(pipe, q: dict, stage: str | None):
         graph = w["graph"]
     values = w["values"]
 
-    if w["union"] is not None and not w["patterns"]:
-        # pure union group: each branch compiles to its own BGP and the
-        # solutions concatenate (NULL for variables a branch leaves
-        # unbound). Modifiers beyond DISTINCT would need the mixed path.
-        if (
-            q["agg"] or values or w["subselects"] or q["select_exprs"]
-            or w["filters"] or w["optional"] or w["minus"] or w["binds"]
-            or w["exists"] or w["not_exists"]
-        ):
-            raise SparqlUnsupported("UNION combined with other group elements")
+    pure_union = w["union"] is not None and not w["patterns"]
+    if pure_union and not (
+        q["agg"] or values or w["subselects"] or q["select_exprs"]
+        or w["filters"] or w["optional"] or w["minus"] or w["binds"]
+        or w["exists"] or w["not_exists"]
+    ):
+        # pure union group, no modifiers: each branch compiles to its own
+        # BGP and the solutions concatenate (NULL for variables a branch
+        # leaves unbound)
         select = None if q["star"] else ["?" + v for v in q["select"]]
         out = bgp_union_on_pipeline(
             pipe, w["union"], select=select, distinct=q["distinct"],
             stage=stage, graph=graph, named_graphs=named,
         )
     else:
+        # a pure-UNION group WITH modifiers rides the mixed path: the
+        # union frame seeds bgp's solution set (empty pattern list) and
+        # FILTER/OPTIONAL/MINUS/BIND/aggregates apply on top. Term
+        # metadata comes from required-pattern scans, which don't exist
+        # here — LANG()/DATATYPE() over union-bound variables stays out.
+        if pure_union and q.get("meta_vars"):
+            raise SparqlUnsupported(
+                "LANG()/DATATYPE() over a pure-UNION group"
+            )
         filters = w["filters"]
         filt = None
         if filters:
@@ -1335,15 +1343,18 @@ def _where_solutions(pipe, q: dict, stage: str | None):
     graph, named = _dataset(q)
     if graph is None:
         graph = w["graph"]
-    if w["union"] is not None and not w["patterns"]:
-        if (
-            w["filters"] or w["optional"] or w["minus"] or w["binds"]
-            or w["exists"] or w["not_exists"] or w["values"]
-        ):
-            raise SparqlUnsupported("UNION combined with other group elements")
+    pure_union = w["union"] is not None and not w["patterns"]
+    if pure_union and not (
+        w["filters"] or w["optional"] or w["minus"] or w["binds"]
+        or w["exists"] or w["not_exists"] or w["values"]
+    ):
         return bgp_union_on_pipeline(
             pipe, w["union"], stage=stage, graph=graph, named_graphs=named
         )
+    if pure_union and q.get("meta_vars"):
+        # modifiers ride the mixed path (union frame seeds bgp), but term
+        # metadata only exists on required-pattern scans
+        raise SparqlUnsupported("LANG()/DATATYPE() over a pure-UNION group")
     filters = w["filters"]
     filt = None
     if filters:

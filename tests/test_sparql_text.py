@@ -594,23 +594,76 @@ def test_multiple_from_merges_graphs(spark, tmp_path):
 # -- round-4 ADVICE regressions --------------------------------------------
 
 
-def test_pure_union_rejects_stray_modifiers():
-    """A pure-UNION group with a FILTER/OPTIONAL/MINUS/BIND must not
-    silently drop the modifier (r3 ADVICE: the filter was parsed then
-    never applied — wrong results, not an error)."""
-    base = "SELECT ?r WHERE {{ {{ ?r <http://p> ?x }} UNION {{ ?r <http://q> ?x }} {tail} }}"
-    for tail in (
-        "FILTER(?x > 3)",
-        "OPTIONAL { ?r <http://o> ?y }",
-        "MINUS { ?r <http://m> ?x }",
-        "BIND(?x AS ?y)",
-        "FILTER EXISTS { ?r <http://e> ?x }",
-    ):
-        with pytest.raises(SparqlUnsupported, match="UNION"):
-            from r2s2_spark.plans.sparql_text import _compile_select
+def test_pure_union_with_filter_and_bind(oddeven):
+    """A pure-UNION group with modifiers rides the mixed path since r4
+    (the union frame seeds bgp) — the FILTER actually applies (r3 ADVICE:
+    it was parsed then silently dropped; r3's fix rejected it; r4
+    supports it)."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?l ?x WHERE {{
+          {{ ?s a ex:even ; rdfs:label ?l }}
+          UNION {{ ?s a ex:odd ; rdfs:label ?l }}
+          FILTER(?l = "7" || ?l = "8")
+          BIND(CONCAT(?l, "!") AS ?x)
+        }}""",
+    )
+    assert sorted((r.l, r.x) for r in out.collect()) == [("7", "7!"), ("8", "8!")]
 
-            q = parse_sparql(base.format(tail=tail))
-            _compile_select(None, q, None)
+
+def test_pure_union_with_minus_and_optional(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l WHERE {{
+          {{ ?s a ex:even }} UNION {{ ?s a ex:odd }}
+          MINUS {{ ?s a ex:odd }}
+          OPTIONAL {{ ?s rdfs:label ?l }}
+        }}""",
+    )
+    rows = out.collect()
+    # even-classed subjects = odd i (inverted ternary): 50 of 99, all
+    # with their label attached by the OPTIONAL
+    assert len(rows) == 50
+    assert all(r.l is not None for r in rows)
+
+
+def test_pure_union_with_aggregate_and_ask_filter(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?t (COUNT(?s) AS ?n) WHERE {{
+          {{ ?s a ?t . ?s rdfs:label "7" }}
+          UNION {{ ?s a ?t . ?s rdfs:label "8" }}
+        }} GROUP BY ?t""",
+    )
+    assert {(r.t, r.n) for r in out.collect()} == {
+        (EX + "even", 1), (EX + "odd", 1)
+    }
+    ask = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        ASK WHERE {{
+          {{ ?s a ex:even ; rdfs:label ?l }} UNION {{ ?s a ex:odd ; rdfs:label ?l }}
+          FILTER(?l = "no-such-label")
+        }}""",
+    )
+    assert ask.collect()[0].ask is False
+
+
+def test_pure_union_meta_vars_still_named_unsupported():
+    """LANG()/DATATYPE() need term-metadata columns that only required-
+    pattern scans carry — over a pure-UNION group it stays a clearly
+    named narrowing instead of an unresolved-column crash."""
+    from r2s2_spark.plans.sparql_text import _compile_select
+
+    q = parse_sparql(
+        "SELECT ?r WHERE { { ?r <http://p> ?x } UNION { ?r <http://q> ?x } "
+        'FILTER(LANG(?x) = "en") }'
+    )
+    with pytest.raises(SparqlUnsupported, match="UNION"):
+        _compile_select(None, q, None)
 
 
 def test_describe_var_respects_from_graph(spark, tmp_path):
