@@ -114,8 +114,9 @@ class PathSeq:
 class PathAlt:
     """``p1|p2|...`` — path alternation: the union of each branch's
     solutions (bag semantics, like SPARQL). Elements may be predicate
-    IRIs, inverse or closure paths — distribute sequences manually
-    (``(a|b)/c`` == ``a/c | b/c``)."""
+    IRIs, inverse, closure, or SEQUENCE paths — a sequence branch
+    compiles as a chain join on the branch's endpoints (see
+    ``_pattern_frame``)."""
 
     alts: tuple
 
@@ -125,8 +126,10 @@ class PathNeg:
     """``!(p1|...|pn)`` — negated property set (SPARQL 1.1 §9.1): matches
     any edge whose predicate is NOT in the set. Compiles like a variable
     predicate (union over all predicate maps) with the listed maps pruned
-    at PLAN time — no per-row predicate test. Forward properties only
-    (``!^p`` forms are not supported)."""
+    at PLAN time — no per-row predicate test. Holds FORWARD members only;
+    the textual parser compiles ``!(F|^I)`` to
+    ``PathAlt((PathNeg(F), PathInverse(PathNeg(I))))`` per SPARQL 1.1
+    §9.2."""
 
     predicates: tuple
 
@@ -267,6 +270,30 @@ def _pattern_frame(
         else:
             s, p, o = o, p.path, s
 
+    if isinstance(p, PathSeq):
+        # a sequence reaching the pattern compiler directly is an
+        # alternation branch or a nested path element (top-level sequences
+        # are expanded by _expand_path_patterns before this point):
+        # compile the chain on the REAL endpoints via _join_patterns and
+        # project the hidden ``__seq`` intermediates away, leaving the
+        # same schema any sibling branch produces
+        sub, _ = _join_patterns(
+            catalog, reader, dicts, [(s, p, o, graph)],
+            term_meta=term_meta, named=named,
+        )
+        mids = [c for c in sub.columns if c.startswith("__seq")]
+        df = sub.drop(*mids)
+        binds = {
+            v: v[1:]
+            for v in dict.fromkeys((s, o, graph if _is_var(graph) else None))
+            if _is_var(v)
+        }
+        if not df.columns:
+            # both endpoints constant: a match marker, like the no-vars
+            # select at the bottom of this function
+            df = sub.select(F.lit(1).alias(f"__m{idx}"))
+        return df, binds
+
     if isinstance(p, PathAlt):
         compiled = [
             _pattern_frame(
@@ -275,7 +302,10 @@ def _pattern_frame(
             )
             for alt in p.alts
         ]
-        df = reduce(DataFrame.unionByName, [f for f, _ in compiled])
+        df = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=False),
+            [f for f, _ in compiled],
+        )
         return df, compiled[0][1]
 
     g_is_var = graph is not None and _is_var(graph)
@@ -780,11 +810,29 @@ def bgp_union(
 ) -> DataFrame:
     """SPARQL UNION: each group compiles to its own BGP; solutions are
     concatenated with NULL for variables a branch does not bind
-    (unionByName(allowMissingColumns) — exactly SPARQL's unbound)."""
-    frames = [
-        _join_patterns(catalog, reader, dicts, g, graph, named=named_graphs)[0]
-        for g in groups
-    ]
+    (unionByName(allowMissingColumns) — exactly SPARQL's unbound).
+
+    A group may be a plain pattern list or a dict ``{"patterns": [...],
+    "filters": [...], "binds": [...]}`` — branch-local BIND runs first
+    (its variable is part of the branch's solutions), then the branch's
+    FILTERs (group-level within the branch, SPARQL §7)."""
+    frames = []
+    for g in groups:
+        if isinstance(g, dict):
+            pats = g["patterns"]
+            filts = g.get("filters") or []
+            binds = g.get("binds") or []
+        else:
+            pats, filts, binds = g, [], []
+        f = _join_patterns(catalog, reader, dicts, pats, graph, named=named_graphs)[0]
+        for expr, var in binds:
+            f = f.withColumn(
+                var[1:] if var.startswith("?") else var,
+                expr(f) if callable(expr) else expr,
+            )
+        for c in filts:
+            f = f.where(c(f) if callable(c) else c)
+        frames.append(f)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
@@ -865,7 +913,11 @@ def bgp_union_on_pipeline(
     if "graphs" not in dicts and (
         graph is not None
         or named_graphs is not None
-        or any(len(p) > 3 and p[3] is not None for g in groups for p in g)
+        or any(
+            len(p) > 3 and p[3] is not None
+            for g in groups
+            for p in (g["patterns"] if isinstance(g, dict) else g)
+        )
     ):
         dicts = {**dicts, "graphs": pipe.graphs()}
     return bgp_union(

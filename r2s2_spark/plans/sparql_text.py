@@ -28,21 +28,24 @@ Supported surface (SPARQL 1.1):
   is listed — FROM without FROM NAMED leaves GRAPH blocks nothing to
   match, FROM NAMED without FROM leaves the default graph empty)
 - ``WHERE { ... }`` group: triple blocks with ``;`` / ``,`` / ``a`` /
-  ``[]`` / ``_:b`` abbreviations, property paths (``^``, ``/``, ``|``,
-  ``+``, ``*``, ``?`` — closures compose over compound paths like
-  ``(p1/p2)+`` — ``!(p1|p2)`` negated sets, parens), OPTIONAL,
-  FILTER (expression subset
+  ``[]`` / ``_:b`` abbreviations, property paths (``^``, ``/``, ``|``
+  incl. sequence branches like ``(p1/p2)|p3``, ``+``, ``*``, ``?`` —
+  closures compose over compound paths like ``(p1/p2)+`` —
+  ``!(p1|^p2|...)`` negated sets incl. inverse members per §9.2,
+  parens), OPTIONAL, FILTER (expression subset
   below), FILTER [NOT] EXISTS, MINUS, BIND, GRAPH <iri>|?g { ... }
   (fully general scoping: multiple distinct GRAPH scopes per group,
   GRAPH blocks mixed with default-graph patterns, cross-graph joins on
   shared variables, OPTIONAL/MINUS/EXISTS groups carrying their own
-  GRAPH scope, GRAPH wrapping OPTIONAL/MINUS/EXISTS — each pattern
-  carries its scope as a 4-tuple, resolved per pattern by
+  GRAPH scope, GRAPH wrapping OPTIONAL/MINUS/EXISTS/BIND/VALUES/UNION —
+  each pattern carries its scope as a 4-tuple, resolved per pattern by
   ``plans/sparql._join_patterns``),
-  UNION of plain groups (standalone or joined with the rest of the
-  group on shared variables), ``VALUES`` inline data incl. UNDEF
+  UNION groups (standalone, joined with the rest of the group on shared
+  variables, or SEVERAL blocks per group joining each other; branches
+  may carry their own FILTER/BIND), ``VALUES`` inline data incl. UNDEF
   wildcards (rows joined on their defined cells only),
-  sub-``SELECT`` groups (evaluated first, joined on shared variables)
+  sub-``SELECT`` groups (evaluated first, joined on shared variables;
+  also inside ASK/CONSTRUCT/DESCRIBE WHERE groups)
 - solution modifiers: ``ORDER BY [ASC|DESC](expr)`` (multi-key, one
   sort), ``LIMIT``, ``OFFSET``, trailing ``VALUES``
 
@@ -50,7 +53,14 @@ FILTER/BIND expression subset: ``|| && !``, comparisons (numeric when one
 side is a numeric literal — lexical values try_cast to double; string
 equality otherwise), ``IN`` / ``NOT IN`` lists, arithmetic, ``BOUND
 CONTAINS STRSTARTS STRENDS STRBEFORE STRAFTER REPLACE STRLEN UCASE
-LCASE CONCAT SUBSTR REGEX COALESCE IF``, and the term-inspection family
+LCASE CONCAT SUBSTR REGEX COALESCE IF``, hashes ``MD5 SHA1 SHA256
+SHA384 SHA512``, ``ENCODE_FOR_URI``, the xsd:dateTime component
+accessors ``YEAR MONTH DAY HOURS MINUTES SECONDS TZ`` (read from the
+LEXICAL form — the literal's own timezone is never shifted), ``IRI()/
+URI()`` (RFC 3986 §5.3 merge against the prologue BASE, dot-segments
+not normalized), ``STRDT/STRLANG`` (the lexical binds; the constructed
+type/tag is not carried into term metadata — documented), ``UUID
+STRUUID RAND NOW``, and the term-inspection family
 ``LANG() DATATYPE() LANGMATCHES() isIRI() isBlank() isLiteral()
 isNumeric()`` — variables inside these make the compiler carry hidden
 per-variable term-metadata columns (``plans/sparql.py`` ``term_meta``),
@@ -66,11 +76,12 @@ required patterns), sequence paths in CONSTRUCT templates (``?s p1/p2
 CONSTRUCT templates (fresh per solution, SPARQL §16.2.1).
 
 Out of scope (raises ``SparqlUnsupported`` with the construct named):
-nested OPTIONAL-in-OPTIONAL groups, multiple UNION blocks in one group,
-sequence paths inside alternation, non-sequence paths in CONSTRUCT
-templates, aggregates inside ORDER BY (order by the SELECT alias
-instead), federation (SERVICE). The programmatic ``bgp()`` surface
-remains the escape hatch.
+nested OPTIONAL-in-OPTIONAL groups, OPTIONAL/MINUS/VALUES/sub-SELECT
+inside a UNION branch, sub-SELECT inside a GRAPH block, non-sequence
+paths in CONSTRUCT templates, aggregates inside ORDER BY (order by the
+SELECT alias instead), LANG()/DATATYPE() over a pure-UNION group,
+federation (SERVICE). The programmatic ``bgp()`` surface remains the
+escape hatch.
 """
 
 from __future__ import annotations
@@ -296,8 +307,9 @@ class _Parser:
             parts.append(self._path_seq())
         if len(parts) == 1:
             return parts[0]
-        if any(isinstance(p, PathSeq) for p in parts):
-            raise SparqlUnsupported("sequence path inside alternation")
+        # sequence branches compile via _join_patterns on the branch's
+        # real endpoints (plans/sparql._pattern_frame PathSeq case), so
+        # (a/b)|c needs no manual distribution
         return PathAlt(tuple(parts))
 
     def _path_seq(self):
@@ -324,24 +336,38 @@ class _Parser:
     def _path_primary(self):
         kind, val = self.peek()
         if val == "!":
-            # negated property set !p or !(p1|p2|...) — forward only
+            # negated property set !p, !^p or !(p1|^p2|...): per SPARQL
+            # 1.1 §9.2, !(F|^I) ≡ !(F) | ^(!(I)) — the forward members
+            # exclude forward edges, the inverse members exclude REVERSED
+            # edges, and the two components union. An empty component
+            # contributes nothing (no members in a direction = no edges
+            # matched in that direction).
             self.next()
-            preds = []
+            fwd, inv = [], []
             if self.peek()[1] == "(":
                 self.next()
                 while True:
                     if self.peek()[1] == "^":
-                        raise SparqlUnsupported("inverse member in negated property set")
-                    preds.append(self._nps_member())
+                        self.next()
+                        inv.append(self._nps_member())
+                    else:
+                        fwd.append(self._nps_member())
                     if self.peek()[1] != "|":
                         break
                     self.next()
                 self.eat_op(")")
+            elif self.peek()[1] == "^":
+                self.next()
+                inv.append(self._nps_member())
             else:
-                if self.peek()[1] == "^":
-                    raise SparqlUnsupported("inverse member in negated property set")
-                preds.append(self._nps_member())
-            return PathNeg(tuple(preds))
+                fwd.append(self._nps_member())
+            if fwd and inv:
+                return PathAlt(
+                    (PathNeg(tuple(fwd)), PathInverse(PathNeg(tuple(inv))))
+                )
+            if inv:
+                return PathInverse(PathNeg(tuple(inv)))
+            return PathNeg(tuple(fwd))
         if val == "(":
             self.next()
             inner = self.path()
@@ -399,7 +425,7 @@ class _Parser:
         g = {
             "patterns": [], "optional": [], "minus": [], "exists": [],
             "not_exists": [], "filters": [], "binds": [], "graph": None,
-            "union": None, "values": [], "subselects": [],
+            "unions": [], "values": [], "subselects": [],
         }
         while True:
             kind, val = self.peek()
@@ -471,8 +497,13 @@ class _Parser:
                 g["exists"].extend(sub["exists"])
                 g["not_exists"].extend(sub["not_exists"])
                 # group-level FILTERs inside GRAPH are conjunctive at the
-                # enclosing group, like any other filter
+                # enclosing group, like any other filter; BIND and VALUES
+                # are scope-free (expressions / inline data) and UNION
+                # blocks carry the GRAPH scope on their branch patterns
                 g["filters"].extend(sub["filters"])
+                g["binds"].extend(sub["binds"])
+                g["values"].extend(sub["values"])
+                g["unions"].extend(sub["unions"])
             elif self.at_word("SERVICE"):
                 raise SparqlUnsupported("SERVICE federation")
             elif self.at_word("VALUES"):
@@ -491,13 +522,30 @@ class _Parser:
                     self.next()
                     branches.append(self.group())
                 for b in branches:
-                    _require_plain(b, "UNION branch")
+                    _require_union_branch(b)
                 if len(branches) == 1:
+                    # a bare nested group: flatten into the enclosing
+                    # group (patterns conjoin; FILTER/BIND apply at the
+                    # enclosing group, like GRAPH-block flattening)
                     g["patterns"].extend(branches[0]["patterns"])
-                elif g["union"] is not None:
-                    raise SparqlUnsupported("multiple UNION blocks in one group")
+                    g["filters"].extend(branches[0]["filters"])
+                    g["binds"].extend(branches[0]["binds"])
                 else:
-                    g["union"] = [b["patterns"] for b in branches]
+                    # multiple UNION blocks per group are allowed: each
+                    # block compiles to its own union frame and the blocks
+                    # join on shared variables (SPARQL Join semantics).
+                    # Branches with FILTER/BIND travel as dicts (see
+                    # sparql.bgp_union); plain branches stay lists.
+                    g["unions"].append([
+                        b["patterns"]
+                        if not (b["filters"] or b["binds"])
+                        else {
+                            "patterns": b["patterns"],
+                            "filters": b["filters"],
+                            "binds": b["binds"],
+                        }
+                        for b in branches
+                    ])
             else:
                 self.triples_block(g["patterns"])
         return g
@@ -788,7 +836,7 @@ class _Parser:
                 self.next()
                 args.append(self.expression())
         self.eat_op(")")
-        return _compile_function(name, args)
+        return _compile_function(name, args, base=self.base)
 
     # -- query ------------------------------------------------------------
     def _prologue(self) -> None:
@@ -1104,7 +1152,7 @@ def _unquote(raw: str) -> str:
     )
 
 
-def _compile_function(name: str, args: list):
+def _compile_function(name: str, args: list, base: str = ""):
     fns = {
         "BOUND": lambda a: a.isNotNull(),
         "STR": lambda a: a.cast("string"),
@@ -1157,6 +1205,86 @@ def _compile_function(name: str, args: list):
                 return F.substring(args[0](df), start, ln)
             return F.substring(args[0](df), start, F.lit(2147483647))
         return substr
+    if name == "MD5":
+        return lambda df: F.md5(args[0](df))
+    if name == "SHA1":
+        return lambda df: F.sha1(args[0](df))
+    if name in ("SHA256", "SHA384", "SHA512"):
+        bits = int(name[3:])
+        return lambda df, b=bits: F.sha2(args[0](df), b)
+    if name == "ENCODE_FOR_URI":
+        # SPARQL §17.4.2.8: percent-encode everything outside RFC 3986's
+        # unreserved set. Spark's url_encode is form-encoding — fix its
+        # three deviations ('+' for space, raw '*', encoded '~'); a '%'
+        # in the input became '%25', so the '%7E' rewrite is unambiguous
+        def encode_for_uri(df):
+            e = F.url_encode(args[0](df))
+            e = F.regexp_replace(e, r"\+", "%20")
+            e = F.regexp_replace(e, r"\*", "%2A")
+            return F.regexp_replace(e, "%7E", "~")
+        return encode_for_uri
+    if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ"):
+        # xsd:dateTime/date component accessors over the LEXICAL form —
+        # no timestamp parse, so the literal's own timezone is never
+        # shifted to the session zone (SPARQL reads components as
+        # written; Spark's to_timestamp would convert Z-suffixed values)
+        pats = {
+            "YEAR": (r"^(-?\d{4,})", "int"),
+            "MONTH": (r"^-?\d{4,}-(\d{2})", "int"),
+            "DAY": (r"^-?\d{4,}-\d{2}-(\d{2})", "int"),
+            "HOURS": (r"T(\d{2})", "int"),
+            "MINUTES": (r"T\d{2}:(\d{2})", "int"),
+            "SECONDS": (r"T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)", "double"),
+            "TZ": (r"(Z|[+-]\d{2}:\d{2})$", None),
+        }
+        pat, cast = pats[name]
+
+        def component(df, pat=pat, cast=cast):
+            got = F.regexp_extract(args[0](df), pat, 1)
+            if cast is None:  # TZ: simple literal, '' when absent
+                return got
+            return F.nullif(got, F.lit("")).try_cast(cast)
+        return component
+    if name in ("IRI", "URI"):
+        # absolute IRIs pass through; with a prologue BASE, relative refs
+        # merge per RFC 3986 §5.3 (dot-segment normalization is not
+        # applied — documented narrowing)
+        def make_iri(df):
+            x = args[0](df)
+            if not base:
+                return x
+            m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*:(?://[^/?#]*)?)", base)
+            root = m.group(1) if m else base
+            rest = base[len(root):]
+            slash = rest.rfind("/")
+            dir_ = root + (rest[: slash + 1] if slash >= 0 else "/")
+            return (
+                F.when(x.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), x)
+                .when(x.startswith("/"), F.concat(F.lit(root), x))
+                .when(
+                    x.startswith("#") | x.startswith("?"),
+                    F.concat(F.lit(base), x),
+                )
+                .otherwise(F.concat(F.lit(dir_), x))
+            )
+        return make_iri
+    if name in ("STRDT", "STRLANG"):
+        # constructs a typed / language-tagged literal; solution frames
+        # bind LEXICAL forms, so the value is the lexical and the
+        # type/tag annotation is not carried into term metadata
+        # (documented narrowing — LANG()/DATATYPE() of a constructed
+        # literal yields NULL like any expression-bound variable)
+        return lambda df: args[0](df)
+    if name == "UUID":
+        return lambda df: F.concat(F.lit("urn:uuid:"), F.expr("uuid()"))
+    if name == "STRUUID":
+        return lambda df: F.expr("uuid()")
+    if name == "RAND":
+        return lambda df: F.rand()
+    if name == "NOW":
+        return lambda df: F.date_format(
+            F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+        )
     if name == "CONCAT":
         return lambda df: F.concat(*[a(df) for a in args])
     if name == "IF":
@@ -1172,12 +1300,14 @@ def _compile_function(name: str, args: list):
 
 def _annotate_graph(sub: dict, gterm) -> None:
     """Mark every pattern of a GRAPH block's group (and of its OPTIONAL/
-    MINUS/EXISTS sub-groups) with the block's scope, producing 4-tuples
-    ``(s, p, o, scope)``. A pattern already scoped (nested GRAPH) keeps
-    the inner scope — SPARQL's innermost-GRAPH-wins. BIND/VALUES/UNION/
-    sub-SELECTs inside GRAPH stay unsupported (named narrowing)."""
-    if sub["union"] is not None or sub["binds"] or sub["values"] or sub["subselects"]:
-        raise SparqlUnsupported("BIND/VALUES/UNION/subquery inside GRAPH group")
+    MINUS/EXISTS sub-groups and UNION branches) with the block's scope,
+    producing 4-tuples ``(s, p, o, scope)``. A pattern already scoped
+    (nested GRAPH) keeps the inner scope — SPARQL's innermost-GRAPH-wins.
+    BIND/VALUES inside GRAPH propagate unchanged (expressions and inline
+    data have no graph scope); sub-SELECTs inside GRAPH stay unsupported
+    (named narrowing)."""
+    if sub["subselects"]:
+        raise SparqlUnsupported("subquery inside GRAPH group")
 
     def mark(patterns):
         return [
@@ -1190,6 +1320,15 @@ def _annotate_graph(sub: dict, gterm) -> None:
     sub["minus"] = [mark(grp) for grp in sub["minus"]]
     sub["exists"] = [mark(grp) for grp in sub["exists"]]
     sub["not_exists"] = [mark(grp) for grp in sub["not_exists"]]
+    sub["unions"] = [
+        [
+            mark(branch)
+            if isinstance(branch, list)
+            else {**branch, "patterns": mark(branch["patterns"])}
+            for branch in block
+        ]
+        for block in sub["unions"]
+    ]
 
 
 def _dataset(q: dict):
@@ -1203,13 +1342,28 @@ def _dataset(q: dict):
     return graph, named
 
 
+def _require_union_branch(sub: dict) -> None:
+    """UNION branches may carry patterns, FILTERs, and BINDs (compiled
+    branch-locally by sparql.bgp_union); nested OPTIONAL/MINUS/EXISTS/
+    VALUES/sub-SELECT/UNION inside a branch stay named narrowings."""
+    extras = [
+        k for k in ("optional", "minus", "exists", "not_exists",
+                    "values", "subselects")
+        if sub[k]
+    ]
+    if extras or sub["unions"] or sub["graph"]:
+        raise SparqlUnsupported(
+            f"nested {extras or 'group'} inside UNION branch"
+        )
+
+
 def _require_plain(sub: dict, what: str) -> None:
     extras = [
         k for k in ("optional", "minus", "exists", "not_exists", "filters",
                     "binds", "values", "subselects")
         if sub[k]
     ]
-    if extras or sub["union"] or sub["graph"]:
+    if extras or sub["unions"] or sub["graph"]:
         raise SparqlUnsupported(f"nested {extras or 'group'} inside {what}")
 
 
@@ -1230,8 +1384,9 @@ def _compile_select(pipe, q: dict, stage: str | None):
         graph = w["graph"]
     values = w["values"]
 
-    pure_union = w["union"] is not None and not w["patterns"]
-    if pure_union and not (
+    unions = w["unions"]
+    pure_union = bool(unions) and not w["patterns"]
+    if pure_union and len(unions) == 1 and not (
         q["agg"] or values or w["subselects"] or q["select_exprs"]
         or w["filters"] or w["optional"] or w["minus"] or w["binds"]
         or w["exists"] or w["not_exists"]
@@ -1241,7 +1396,7 @@ def _compile_select(pipe, q: dict, stage: str | None):
         # leaves unbound)
         select = None if q["star"] else ["?" + v for v in q["select"]]
         out = bgp_union_on_pipeline(
-            pipe, w["union"], select=select, distinct=q["distinct"],
+            pipe, unions[0], select=select, distinct=q["distinct"],
             stage=stage, graph=graph, named_graphs=named,
         )
     else:
@@ -1274,14 +1429,15 @@ def _compile_select(pipe, q: dict, stage: str | None):
                 )
             binds.extend((e, "?" + v) for e, v in q["select_exprs"])
         frames = [_compile_select(pipe, sub, stage) for sub in w["subselects"]]
-        if w["union"] is not None:
-            # UNION mixed with other patterns: SPARQL Join(Union(A,B), G)
-            # — the union compiles to its own frame and joins the required
-            # part on shared variables (bound compatibility; a branch-
+        for block in unions:
+            # UNION mixed with other patterns (or several UNION blocks in
+            # one group): SPARQL Join(Union(A,B), G) — each block compiles
+            # to its own frame and joins the required part / the other
+            # blocks on shared variables (bound compatibility; a branch-
             # unbound NULL does not match, the documented narrowing)
             frames.append(
                 bgp_union_on_pipeline(
-                    pipe, w["union"], stage=stage, graph=graph,
+                    pipe, block, stage=stage, graph=graph,
                     named_graphs=named,
                 )
             )
@@ -1343,13 +1499,14 @@ def _where_solutions(pipe, q: dict, stage: str | None):
     graph, named = _dataset(q)
     if graph is None:
         graph = w["graph"]
-    pure_union = w["union"] is not None and not w["patterns"]
-    if pure_union and not (
+    unions = w["unions"]
+    pure_union = bool(unions) and not w["patterns"]
+    if pure_union and len(unions) == 1 and not (
         w["filters"] or w["optional"] or w["minus"] or w["binds"]
-        or w["exists"] or w["not_exists"] or w["values"]
+        or w["exists"] or w["not_exists"] or w["values"] or w["subselects"]
     ):
         return bgp_union_on_pipeline(
-            pipe, w["union"], stage=stage, graph=graph, named_graphs=named
+            pipe, unions[0], stage=stage, graph=graph, named_graphs=named
         )
     if pure_union and q.get("meta_vars"):
         # modifiers ride the mixed path (union frame seeds bgp), but term
@@ -1363,19 +1520,19 @@ def _where_solutions(pipe, q: dict, stage: str | None):
             for f in fs[1:]:
                 cond = cond & f(df)
             return cond
-    frames = None
-    if w["union"] is not None:
-        frames = [
-            bgp_union_on_pipeline(
-                pipe, w["union"], stage=stage, graph=graph, named_graphs=named
-            )
-        ]
+    frames = [_compile_select(pipe, sub, stage) for sub in w["subselects"]]
+    frames += [
+        bgp_union_on_pipeline(
+            pipe, block, stage=stage, graph=graph, named_graphs=named
+        )
+        for block in unions
+    ]
     return bgp_on_pipeline(
         pipe, w["patterns"], stage=stage,
         optional=w["optional"] or None, filter=filt, graph=graph,
         minus=w["minus"] or None, exists=w["exists"] or None,
         not_exists=w["not_exists"] or None, bind=w["binds"] or None,
-        values=w["values"] or None, frames=frames,
+        values=w["values"] or None, frames=frames or None,
         term_meta=frozenset(q.get("meta_vars") or ()),
         named_graphs=named,
     )
@@ -1385,9 +1542,6 @@ def _compile_ask(pipe, q: dict, stage: str | None):
     """ASK -> one-row DataFrame with a boolean ``ask`` column. Stays lazy
     and distributed: existence is a limit(1) left join against a
     constant row, not a driver-side count."""
-    w = q["where"]
-    if w["subselects"]:
-        raise SparqlUnsupported("subquery inside ASK")
     sol = _where_solutions(pipe, q, stage)
     marker = sol.limit(1).select(F.lit(True).alias("ask"))
     one = sol.sparkSession.range(1).select(F.lit(1).alias("__k"))
@@ -1404,9 +1558,6 @@ def _compile_construct(pipe, q: dict, stage: str | None):
     lexical forms."""
     from .sparql import Literal as _Lit
 
-    w = q["where"]
-    if w["subselects"]:
-        raise SparqlUnsupported("subquery inside CONSTRUCT")
     sol = _where_solutions(pipe, q, stage)
 
     # blank nodes in the template ([] / _:b) parse to synthetic variables
@@ -1483,9 +1634,6 @@ def _compile_describe(pipe, q: dict, stage: str | None):
             spark.createDataFrame([(r,) for r in q["resources"]], "`s` string")
         )
     if q["where"] is not None and (q["vars"] or q.get("star")):
-        w = q["where"]
-        if w["subselects"]:
-            raise SparqlUnsupported("subquery inside DESCRIBE")
         sol = _where_solutions(pipe, q, stage)
         described = q["vars"]
         if q.get("star"):

@@ -1902,14 +1902,34 @@ def sparql_paths(spark, sf_dir):
     "FROM nation GROUP BY n_regionkey"
     " UNION ALL "
     f"SELECT 'sample', '{EX}region/' || n_regionkey, MIN('{EX}nation/' || n_nationkey) "
-    "FROM nation GROUP BY n_regionkey",
+    "FROM nation GROUP BY n_regionkey"
+    " UNION ALL "
+    f"SELECT 'multi_union', '{EX}nation/' || n_nationkey, '{EX}region/' || n_regionkey "
+    "FROM nation WHERE n_regionkey IN (0, 2)"
+    " UNION ALL "
+    f"SELECT 'nps_inv', '{EX}region/' || n_regionkey, '{EX}nation/' || n_nationkey "
+    "FROM nation"
+    " UNION ALL "
+    f"SELECT 'seq_alt', '{EX}nation/' || n_nationkey, r_name "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey"
+    " UNION ALL "
+    f"SELECT 'seq_alt', '{EX}region/' || r_regionkey, r_name FROM region"
+    " UNION ALL "
+    f"SELECT 'funcs', '{EX}region/' || r_regionkey, "
+    "md5(r_name) || '|' || sha256(r_name) || '|' || "
+    "replace(r_name, ' ', '%20') || '|2024-9.5' FROM region"
+    " UNION ALL "
+    "SELECT 'ask_sub', 'ask', 'true'",
 )
 def sparql_text_values_union(spark, sf_dir):
-    """Textual SPARQL inline-data + aggregate surface, tagged: VALUES,
-    UNION joined with the group, VALUES with an UNDEF wildcard (multiset
-    semantics — the UNDEF row matches everything, duplicates kept),
-    GROUP_CONCAT (sorted, replayed by DuckDB string_agg ORDER BY), and
-    SAMPLE (deterministic MIN)."""
+    """Textual SPARQL inline-data + aggregate + round-4b surface, tagged:
+    VALUES, UNION joined with the group, VALUES with an UNDEF wildcard
+    (multiset semantics — the UNDEF row matches everything, duplicates
+    kept), GROUP_CONCAT (sorted, replayed by DuckDB string_agg ORDER BY),
+    SAMPLE (deterministic MIN), TWO UNION blocks in one group with
+    branch-local FILTERs, an inverse negated property set (!(^p|...)),
+    a sequence branch inside a path alternation, the hash/encode/datetime
+    builtin battery, and a sub-SELECT inside ASK."""
     from .plans.sparql_text import sparql_query
 
     kg = _sparql_kg(spark, sf_dir)
@@ -1935,12 +1955,53 @@ def sparql_text_values_union(spark, sf_dir):
           ?s ex:inRegion ?r
         }} GROUP BY ?r""",
     )
+    multi_union = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?r WHERE {{
+          {{ ?s a ex:Nation }} UNION {{ ?s a ex:NoSuchClass }}
+          {{ ?s ex:inRegion ?r FILTER(STRENDS(?r, "/0")) }}
+          UNION {{ ?s ex:inRegion ?r FILTER(STRENDS(?r, "/2")) }}
+        }}""",
+    )
+    nps_inv = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?r WHERE {{ ?s !(^a|^ex:next|^ex:name) ?r }}""",
+    )
+    seq_alt = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?v WHERE {{ ?s (ex:inRegion/ex:name)|ex:name ?v }}""",
+    )
+    funcs = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?r (CONCAT(
+            MD5(?n), "|", SHA256(?n), "|", ENCODE_FOR_URI(?n), "|",
+            STR(YEAR("2024-03-05T07:08:09+02:00")), "-",
+            STR(SECONDS("2024-03-05T07:08:09.5Z"))
+        ) AS ?v) WHERE {{ ?r ex:name ?n }}""",
+    )
+    ask_sub = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        ASK WHERE {{ {{ SELECT ?s WHERE {{ ?s a ex:Nation }} }} }}""",
+    )
     return _union_all([
         sparql_text_values(spark, sf_dir).select(_tag("values"), "s", "r"),
         sparql_text_union_mixed(spark, sf_dir).select(_tag("union_mixed"), "s", "r"),
         undef.select(_tag("undef"), "s", "r"),
         gc.select(_tag("group_concat"), F.col("r").alias("s"), F.col("c").alias("r")),
         samp.select(_tag("sample"), F.col("r").alias("s"), F.col("m").alias("r")),
+        multi_union.select(_tag("multi_union"), "s", "r"),
+        nps_inv.select(_tag("nps_inv"), "s", "r"),
+        seq_alt.select(_tag("seq_alt"), "s", F.col("v").alias("r")),
+        funcs.select(_tag("funcs"), F.col("r").alias("s"), F.col("v").alias("r")),
+        ask_sub.select(
+            _tag("ask_sub"), F.lit("ask").alias("s"),
+            F.col("ask").cast("string").alias("r"),
+        ),
     ])
 
 

@@ -50,11 +50,13 @@ def test_parse_unsupported_named_clearly():
         parse_sparql(
             "SELECT ?x WHERE { SERVICE <http://remote/sparql> { ?x <http://p> ?y } }"
         )
-    # mixed GRAPH + default-graph patterns are SUPPORTED since round 4;
-    # BIND inside a GRAPH block remains a named narrowing
+    # mixed GRAPH + default-graph patterns and BIND/VALUES/UNION inside
+    # GRAPH are SUPPORTED since round 4; a sub-SELECT inside a GRAPH
+    # block remains a named narrowing
     with pytest.raises(SparqlUnsupported, match="GRAPH"):
         parse_sparql(
-            "SELECT ?x WHERE { GRAPH ?g { BIND(1 AS ?y) ?x <http://q> ?z } }"
+            "SELECT ?x WHERE { GRAPH ?g { "
+            "{ SELECT ?x WHERE { ?x <http://q> ?z } } } }"
         )
     with pytest.raises(SparqlUnsupported, match="aggregate"):
         parse_sparql("SELECT ?x WHERE { ?x <http://p> ?y FILTER(COUNT(?y) > 2) }")
@@ -444,8 +446,32 @@ def test_negated_property_set(oddeven):
         f"PREFIX rdfs: <{RDFS}> SELECT ?s WHERE {{ ?s !(a|rdfs:label) ?o }}",
     )
     assert none.count() == 0
-    with pytest.raises(SparqlUnsupported, match="inverse member"):
-        parse_sparql("SELECT ?s WHERE { ?s !(^<http://p>) ?o }")
+
+
+def test_negated_property_set_inverse_members(oddeven):
+    """SPARQL 1.1 §9.2: !(F|^I) ≡ !(F) | ^(!(I)). A pure-inverse set
+    matches REVERSED edges whose predicate is outside the set; a mixed
+    set unions the forward and reversed components."""
+    # !(^a): reversed edges from predicates other than rdf:type — i.e.
+    # label edges reversed: ("1", ex:i1)
+    inv = sparql_query(
+        oddeven,
+        f'SELECT ?s ?o WHERE {{ ?s !(^a) ?o FILTER(?s = "1") }}',
+    )
+    assert {(r.s, r.o) for r in inv.collect()} == {("1", EX + "i1")}
+    # !(a|^rdfs:label): forward label edges UNION reversed type edges
+    mixed = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?o WHERE {{
+          ?s !(a|^rdfs:label) ?o
+          FILTER(?o = "1" || ?o = ex:i1)
+        }}""",
+    )
+    assert {(r.s, r.o) for r in mixed.collect()} == {
+        (EX + "i1", "1"),         # forward: label edge survives !a
+        (EX + "even", EX + "i1"),  # reversed: type edge survives !label
+    }
 
 
 def test_compound_path_closure(spark, tmp_path):
@@ -1049,3 +1075,203 @@ def test_describe_with_union(oddeven):
         (EX + "i1", RDF + "type", EX + "even"),
         (EX + "i1", RDFS + "label", "1"),
     }
+
+
+# -- round-4b: group generality, path completeness, builtin breadth --------
+
+
+def test_multiple_union_blocks_one_group(oddeven):
+    """Two UNION blocks in one group: each compiles to its own frame and
+    the blocks JOIN on shared variables (SPARQL Join of two Unions)."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l WHERE {{
+          {{ ?s a ex:even }} UNION {{ ?s a ex:odd }}
+          {{ ?s rdfs:label ?l FILTER(?l = 1) }} UNION {{ ?s rdfs:label ?l FILTER(?l = 2) }}
+        }}""",
+    )
+    assert {(r.s, r.l) for r in out.collect()} == {
+        (EX + "i1", "1"), (EX + "i2", "2")
+    }
+
+
+def test_union_inside_graph_block(twograph):
+    """UNION inside GRAPH: the branch patterns carry the block's scope."""
+    out = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?g WHERE {{
+          GRAPH ?g {{ {{ ?s a ex:T }} UNION {{ ?s rdfs:label "one" }} }}
+        }}""",
+    )
+    rows = {(r.s, r.g) for r in out.collect()}
+    assert rows == {
+        (EX + "s1", EX + "g/one"),
+        (EX + "s2", EX + "g/two"),
+    }
+    # constant scope: only g/one's branches contribute
+    one = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          GRAPH <{EX}g/one> {{ {{ ?s a ex:T }} UNION {{ ?s rdfs:label "two" }} }}
+        }}""",
+    )
+    assert {r.s for r in one.collect()} == {EX + "s1"}
+
+
+def test_bind_and_values_inside_graph_block(twograph):
+    out = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?tag ?l WHERE {{
+          GRAPH ?g {{
+            ?s rdfs:label ?l
+            BIND(CONCAT("in:", ?l) AS ?tag)
+            VALUES ?l {{ "one" }}
+          }}
+        }}""",
+    )
+    assert [(r.s, r.tag, r.l) for r in out.collect()] == [
+        (EX + "s1", "in:one", "one")
+    ]
+
+
+def test_subquery_inside_ask_and_construct(oddeven):
+    yes = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        ASK WHERE {{ {{ SELECT ?s WHERE {{ ?s rdfs:label "1" }} }} }}""",
+    )
+    assert yes.collect()[0].ask is True
+    no = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        ASK WHERE {{ {{ SELECT ?s WHERE {{ ?s rdfs:label "none" }} }} }}""",
+    )
+    assert no.collect()[0].ask is False
+    built = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        CONSTRUCT {{ ?s ex:tagged "yes" }} WHERE {{
+          {{ SELECT ?s WHERE {{ ?s rdfs:label ?l FILTER(?l < 2) }} }}
+        }}""",
+    )
+    assert {(r.subject, r.predicate, r.object) for r in built.collect()} == {
+        (EX + "i1", EX + "tagged", "yes")
+    }
+
+
+def test_sequence_path_inside_alternation(spark, tmp_path):
+    """(a/b)|c — a sequence branch compiles via the chain join on the
+    branch endpoints; no manual distribution needed."""
+    from r2s2_spark.pipeline import KgPipeline
+
+    nt = "\n".join(
+        [
+            f"<{EX}x> <{EX}a> <{EX}m> .",
+            f"<{EX}m> <{EX}b> <{EX}y1> .",
+            f"<{EX}x> <{EX}c> <{EX}y2> .",
+            f"<{EX}z> <{EX}a> <{EX}n> .",  # dangling a-edge: no b step
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "p.nt", nt)]))
+    out = sparql_query(
+        p, f"PREFIX ex: <{EX}> SELECT ?s ?o WHERE {{ ?s (ex:a/ex:b)|ex:c ?o }}"
+    )
+    assert {(r.s, r.o) for r in out.collect()} == {
+        (EX + "x", EX + "y1"), (EX + "x", EX + "y2")
+    }
+    # constant endpoints: both-constant branches behave as existence tests
+    got = sparql_query(
+        p,
+        f"PREFIX ex: <{EX}> SELECT ?o WHERE {{ ex:x (ex:a/ex:b)|ex:c ?o }}",
+    )
+    assert {r.o for r in got.collect()} == {EX + "y1", EX + "y2"}
+
+
+def test_hash_functions(oddeven):
+    import hashlib
+
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?l (MD5(?l) AS ?m) (SHA1(?l) AS ?s1) (SHA256(?l) AS ?s2)
+               (SHA512(?l) AS ?s5)
+        WHERE {{ ?s rdfs:label ?l FILTER(?l = 1) }}""",
+    )
+    r = out.collect()[0]
+    raw = b"1"
+    assert r.m == hashlib.md5(raw).hexdigest()
+    assert r.s1 == hashlib.sha1(raw).hexdigest()
+    assert r.s2 == hashlib.sha256(raw).hexdigest()
+    assert r.s5 == hashlib.sha512(raw).hexdigest()
+
+
+def test_encode_for_uri(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT (ENCODE_FOR_URI("Los Angeles~*100%/x_a-b.c") AS ?e)
+        WHERE {{ ?s rdfs:label "1" }}""",
+    )
+    # RFC 3986 unreserved stay raw; everything else percent-encodes
+    assert out.collect()[0].e == "Los%20Angeles~%2A100%25%2Fx_a-b.c"
+
+
+def test_datetime_accessors(spark, tmp_path):
+    from r2s2_spark.pipeline import KgPipeline
+
+    nt = (
+        f'<{EX}e> <{EX}at> "2024-03-05T07:08:09.25+02:00"'
+        f"^^<{XSD}dateTime> ."
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "d.nt", nt)]))
+    out = sparql_query(
+        p,
+        f"""PREFIX ex: <{EX}>
+        SELECT (YEAR(?t) AS ?y) (MONTH(?t) AS ?mo) (DAY(?t) AS ?d)
+               (HOURS(?t) AS ?h) (MINUTES(?t) AS ?mi) (SECONDS(?t) AS ?sec)
+               (TZ(?t) AS ?tz)
+        WHERE {{ ?s ex:at ?t }}""",
+    )
+    r = out.collect()[0]
+    # components read from the LEXICAL form — the +02:00 zone is never
+    # shifted into the session timezone
+    assert (r.y, r.mo, r.d, r.h, r.mi) == (2024, 3, 5, 7, 8)
+    assert r.sec == 9.25 and r.tz == "+02:00"
+
+
+def test_iri_function_with_base(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""BASE <http://example.org/dir/page>
+        PREFIX rdfs: <{RDFS}>
+        SELECT (IRI("child") AS ?rel) (IRI("/root") AS ?abs)
+               (IRI("#frag") AS ?frag) (IRI("http://other/x") AS ?full)
+        WHERE {{ ?s rdfs:label "1" }}""",
+    )
+    r = out.collect()[0]
+    assert r.rel == "http://example.org/dir/child"
+    assert r.abs == "http://example.org/root"
+    assert r.frag == "http://example.org/dir/page#frag"
+    assert r.full == "http://other/x"
+
+
+def test_uuid_struuid_now_shapes(oddeven):
+    import re as _re
+
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT (UUID() AS ?u) (STRUUID() AS ?su) (NOW() AS ?n)
+        WHERE {{ ?s rdfs:label "1" }}""",
+    )
+    r = out.collect()[0]
+    hex_ = r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+    assert _re.fullmatch("urn:uuid:" + hex_, r.u)
+    assert _re.fullmatch(hex_, r.su)
+    assert _re.match(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}", r.n)
