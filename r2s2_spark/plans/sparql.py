@@ -565,6 +565,68 @@ def _join_patterns(
     return out, bound
 
 
+def _group_patterns(g):
+    """Yield every triple pattern of a group — a plain pattern list or a
+    sub-group dict (patterns + nested modifier groups + union blocks) —
+    recursively. Used to detect GRAPH-scoped 4-tuples."""
+    if isinstance(g, dict):
+        yield from g.get("patterns") or []
+        for sub in (
+            *(g.get("optional") or []), *(g.get("minus") or []),
+            *(g.get("exists") or []), *(g.get("not_exists") or []),
+        ):
+            yield from _group_patterns(sub)
+        for block in g.get("unions") or []:
+            for branch in block:
+                yield from _group_patterns(branch)
+    else:
+        yield from g
+
+
+def _group_frame(
+    catalog, reader, dicts, g, graph=None,
+    term_meta: frozenset = frozenset(), named=None,
+) -> tuple[DataFrame, set]:
+    """Compile a modifier group — OPTIONAL/MINUS/EXISTS body or a UNION
+    branch — to its solution frame. A plain pattern list compiles through
+    ``_join_patterns`` (the bare-BGP fast path); a sub-group dict carries
+    its own modifiers (nested OPTIONAL/MINUS/EXISTS, FILTER, BIND,
+    VALUES, UNION blocks) and compiles through ``bgp`` RECURSIVELY —
+    SPARQL's GroupGraphPattern algebra, one frame per group."""
+    if not isinstance(g, dict):
+        return _join_patterns(catalog, reader, dicts, g, graph, term_meta, named)
+    frames = [
+        bgp_union(
+            catalog, reader, dicts, block, graph=graph, named_graphs=named
+        )
+        for block in g.get("unions") or []
+    ]
+    filters = g.get("filters") or []
+    filt = None
+    if filters:
+        def filt(df, fs=filters):  # noqa: E731
+            cond = fs[0](df)
+            for f in fs[1:]:
+                cond = cond & f(df)
+            return cond
+    df = bgp(
+        catalog, reader, dicts, g.get("patterns") or [],
+        optional=g.get("optional") or None,
+        filter=filt,
+        graph=graph,
+        minus=g.get("minus") or None,
+        exists=g.get("exists") or None,
+        not_exists=g.get("not_exists") or None,
+        bind=g.get("binds") or None,
+        values=g.get("values") or None,
+        frames=frames or None,
+        term_meta=term_meta,
+        named_graphs=named,
+        keep_meta=True,
+    )
+    return df, {c for c in df.columns if not c.startswith(META_PREFIXES)}
+
+
 def join_values(
     out: DataFrame, names: list[str], rows: list[tuple], bound: set
 ) -> tuple[DataFrame, set]:
@@ -631,15 +693,23 @@ def bgp(
     having=None,
     term_meta: frozenset = frozenset(),
     named_graphs=None,
+    keep_meta: bool = False,
 ) -> DataFrame:
     """Compile a BGP to a DataFrame: per-pattern predicate-pruned scans
     joined on shared variables (Catalyst reorders/broadcasts as usual).
 
-    ``optional``: a list of OPTIONAL pattern groups (SPARQL 1.1 §6): each
-    group compiles to its own BGP and LEFT-joins the required part on the
+    ``optional``: a list of OPTIONAL groups (SPARQL 1.1 §6): each group
+    compiles to its own BGP and LEFT-joins the required part on the
     shared variables — unmatched rows keep NULL for the group's variables.
     Groups sharing no variable left-join through a constant marker key, so
     required solutions survive even when the group matches nothing.
+    A group is a pattern list, or a sub-group dict with its own nested
+    modifiers (OPTIONAL/MINUS/EXISTS/FILTER/BIND/VALUES/UNION) compiled
+    recursively by ``_group_frame`` — same for ``minus``/``exists``/
+    ``not_exists``. A FILTER inside such a group applies to the group's
+    OWN solutions before the outer join (a documented narrowing of the
+    spec's LeftJoin-condition form for filters that reference
+    outer-group variables).
 
     ``filter``: a FILTER expression — a Column over the bound variable
     names (without '?'), or a callable(df) -> Column. Applied after the
@@ -716,7 +786,7 @@ def bgp(
             names = [v[1:] if v.startswith("?") else v for v in var_names]
             out, bound = join_values(out, names, rows, bound)
     for group in optional or []:
-        g, g_vars = _join_patterns(
+        g, g_vars = _group_frame(
             catalog, reader, dicts, group, graph, term_meta, named_graphs
         )
         dup_meta = [
@@ -742,7 +812,7 @@ def bgp(
             )
         bound |= g_vars
     for group in minus or []:
-        g, g_vars = _join_patterns(
+        g, g_vars = _group_frame(
             catalog, reader, dicts, group, graph, named=named_graphs
         )
         shared = sorted(bound & g_vars)
@@ -752,7 +822,7 @@ def bgp(
         # a solution with no variable in common is not "compatible")
     for want, groups in ((True, exists or []), (False, not_exists or [])):
         for group in groups:
-            g, g_vars = _join_patterns(
+            g, g_vars = _group_frame(
                 catalog, reader, dicts, group, graph, named=named_graphs
             )
             shared = sorted(bound & g_vars)
@@ -781,7 +851,7 @@ def bgp(
     if filter is not None:
         out = out.where(filter(out) if callable(filter) else filter)
     meta_hidden = [c for c in out.columns if c.startswith(META_PREFIXES)]
-    if meta_hidden:
+    if meta_hidden and not keep_meta:
         out = out.drop(*meta_hidden)
     if agg is not None:
         keys = [v[1:] if v.startswith("?") else v for v in (group_by or [])]
@@ -812,27 +882,13 @@ def bgp_union(
     concatenated with NULL for variables a branch does not bind
     (unionByName(allowMissingColumns) — exactly SPARQL's unbound).
 
-    A group may be a plain pattern list or a dict ``{"patterns": [...],
-    "filters": [...], "binds": [...]}`` — branch-local BIND runs first
-    (its variable is part of the branch's solutions), then the branch's
-    FILTERs (group-level within the branch, SPARQL §7)."""
-    frames = []
-    for g in groups:
-        if isinstance(g, dict):
-            pats = g["patterns"]
-            filts = g.get("filters") or []
-            binds = g.get("binds") or []
-        else:
-            pats, filts, binds = g, [], []
-        f = _join_patterns(catalog, reader, dicts, pats, graph, named=named_graphs)[0]
-        for expr, var in binds:
-            f = f.withColumn(
-                var[1:] if var.startswith("?") else var,
-                expr(f) if callable(expr) else expr,
-            )
-        for c in filts:
-            f = f.where(c(f) if callable(c) else c)
-        frames.append(f)
+    A group may be a plain pattern list or a sub-group dict (patterns +
+    its own OPTIONAL/MINUS/EXISTS/FILTER/BIND/VALUES/UNION modifiers),
+    compiled recursively by ``_group_frame``."""
+    frames = [
+        _group_frame(catalog, reader, dicts, g, graph, named=named_graphs)[0]
+        for g in groups
+    ]
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
@@ -874,7 +930,7 @@ def bgp_on_pipeline(
             len(p) > 3 and p[3] is not None
             for g in [*(optional or []), *(minus or []),
                       *(exists or []), *(not_exists or [])]
-            for p in g
+            for p in _group_patterns(g)
         )
     ):
         # the V-stage catalog carries the graphs dictionary; older stages
@@ -916,7 +972,7 @@ def bgp_union_on_pipeline(
         or any(
             len(p) > 3 and p[3] is not None
             for g in groups
-            for p in (g["patterns"] if isinstance(g, dict) else g)
+            for p in _group_patterns(g)
         )
     ):
         dicts = {**dicts, "graphs": pipe.graphs()}

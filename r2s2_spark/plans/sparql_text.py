@@ -75,13 +75,18 @@ required patterns), sequence paths in CONSTRUCT templates (``?s p1/p2
 ?o`` chains through fresh per-solution blank nodes), blank nodes in
 CONSTRUCT templates (fresh per solution, SPARQL §16.2.1).
 
+Modifier groups nest: OPTIONAL/MINUS/EXISTS bodies and UNION branches
+are full sub-groups with their own OPTIONAL/MINUS/EXISTS/FILTER/BIND/
+VALUES/UNION (compiled recursively, ``plans/sparql._group_frame``);
+a FILTER inside such a group applies to the group's own solutions
+before the outer join (a documented narrowing of the LeftJoin-condition
+form for filters referencing outer variables).
+
 Out of scope (raises ``SparqlUnsupported`` with the construct named):
-nested OPTIONAL-in-OPTIONAL groups, OPTIONAL/MINUS/VALUES/sub-SELECT
-inside a UNION branch, sub-SELECT inside a GRAPH block, non-sequence
-paths in CONSTRUCT templates, aggregates inside ORDER BY (order by the
-SELECT alias instead), LANG()/DATATYPE() over a pure-UNION group,
-federation (SERVICE). The programmatic ``bgp()`` surface remains the
-escape hatch.
+sub-SELECT inside a modifier group or GRAPH block, non-sequence paths
+in CONSTRUCT templates, aggregates inside ORDER BY (order by the SELECT
+alias instead), LANG()/DATATYPE() over a pure-UNION group, federation
+(SERVICE). The programmatic ``bgp()`` surface remains the escape hatch.
 """
 
 from __future__ import annotations
@@ -438,26 +443,22 @@ class _Parser:
             if self.at_word("OPTIONAL"):
                 self.next()
                 sub = self.group()
-                _require_plain(sub, "OPTIONAL group")
-                g["optional"].append(sub["patterns"])
+                g["optional"].append(_subgroup(sub, "OPTIONAL group"))
             elif self.at_word("MINUS"):
                 self.next()
                 sub = self.group()
-                _require_plain(sub, "MINUS group")
-                g["minus"].append(sub["patterns"])
+                g["minus"].append(_subgroup(sub, "MINUS group"))
             elif self.at_word("FILTER"):
                 self.next()
                 if self.at_word("EXISTS"):
                     self.next()
                     sub = self.group()
-                    _require_plain(sub, "EXISTS group")
-                    g["exists"].append(sub["patterns"])
+                    g["exists"].append(_subgroup(sub, "EXISTS group"))
                 elif self.at_word("NOT"):
                     self.next()
                     self.eat_word("EXISTS")
                     sub = self.group()
-                    _require_plain(sub, "NOT EXISTS group")
-                    g["not_exists"].append(sub["patterns"])
+                    g["not_exists"].append(_subgroup(sub, "NOT EXISTS group"))
                 else:
                     g["filters"].append(self.bracketed_expression())
             elif self.at_word("BIND"):
@@ -521,31 +522,25 @@ class _Parser:
                 while self.at_word("UNION"):
                     self.next()
                     branches.append(self.group())
-                for b in branches:
-                    _require_union_branch(b)
                 if len(branches) == 1:
                     # a bare nested group: flatten into the enclosing
-                    # group (patterns conjoin; FILTER/BIND apply at the
+                    # group (patterns conjoin; modifiers apply at the
                     # enclosing group, like GRAPH-block flattening)
-                    g["patterns"].extend(branches[0]["patterns"])
-                    g["filters"].extend(branches[0]["filters"])
-                    g["binds"].extend(branches[0]["binds"])
+                    b = branches[0]
+                    for k in ("patterns", "optional", "minus", "exists",
+                              "not_exists", "filters", "binds", "values",
+                              "unions", "subselects"):
+                        g[k].extend(b[k])
                 else:
                     # multiple UNION blocks per group are allowed: each
                     # block compiles to its own union frame and the blocks
                     # join on shared variables (SPARQL Join semantics).
-                    # Branches with FILTER/BIND travel as dicts (see
-                    # sparql.bgp_union); plain branches stay lists.
-                    g["unions"].append([
-                        b["patterns"]
-                        if not (b["filters"] or b["binds"])
-                        else {
-                            "patterns": b["patterns"],
-                            "filters": b["filters"],
-                            "binds": b["binds"],
-                        }
-                        for b in branches
-                    ])
+                    # Branches with their own modifiers travel as
+                    # sub-group dicts (sparql._group_frame compiles them
+                    # recursively); plain branches stay lists.
+                    g["unions"].append(
+                        [_subgroup(b, "UNION branch") for b in branches]
+                    )
             else:
                 self.triples_block(g["patterns"])
         return g
@@ -1315,18 +1310,30 @@ def _annotate_graph(sub: dict, gterm) -> None:
             for pat in patterns
         ]
 
+    def mark_group(grp):
+        # a modifier group is a plain pattern list or a sub-group dict;
+        # dicts mark recursively (nested modifier groups + union blocks)
+        if not isinstance(grp, dict):
+            return mark(grp)
+        return {
+            **grp,
+            "patterns": mark(grp["patterns"]),
+            "optional": [mark_group(x) for x in grp["optional"]],
+            "minus": [mark_group(x) for x in grp["minus"]],
+            "exists": [mark_group(x) for x in grp["exists"]],
+            "not_exists": [mark_group(x) for x in grp["not_exists"]],
+            "unions": [
+                [mark_group(b) for b in block] for block in grp["unions"]
+            ],
+        }
+
     sub["patterns"] = mark(sub["patterns"])
-    sub["optional"] = [mark(grp) for grp in sub["optional"]]
-    sub["minus"] = [mark(grp) for grp in sub["minus"]]
-    sub["exists"] = [mark(grp) for grp in sub["exists"]]
-    sub["not_exists"] = [mark(grp) for grp in sub["not_exists"]]
+    sub["optional"] = [mark_group(grp) for grp in sub["optional"]]
+    sub["minus"] = [mark_group(grp) for grp in sub["minus"]]
+    sub["exists"] = [mark_group(grp) for grp in sub["exists"]]
+    sub["not_exists"] = [mark_group(grp) for grp in sub["not_exists"]]
     sub["unions"] = [
-        [
-            mark(branch)
-            if isinstance(branch, list)
-            else {**branch, "patterns": mark(branch["patterns"])}
-            for branch in block
-        ]
+        [mark_group(branch) for branch in block]
         for block in sub["unions"]
     ]
 
@@ -1342,29 +1349,31 @@ def _dataset(q: dict):
     return graph, named
 
 
-def _require_union_branch(sub: dict) -> None:
-    """UNION branches may carry patterns, FILTERs, and BINDs (compiled
-    branch-locally by sparql.bgp_union); nested OPTIONAL/MINUS/EXISTS/
-    VALUES/sub-SELECT/UNION inside a branch stay named narrowings."""
-    extras = [
-        k for k in ("optional", "minus", "exists", "not_exists",
-                    "values", "subselects")
-        if sub[k]
-    ]
-    if extras or sub["unions"] or sub["graph"]:
+_SUBGROUP_KEYS = (
+    "patterns", "optional", "minus", "exists", "not_exists",
+    "filters", "binds", "values", "unions",
+)
+
+
+def _subgroup(sub: dict, what: str):
+    """Reduce a parsed sub-group (OPTIONAL/MINUS/EXISTS body or a UNION
+    branch) to what the engine compiles: a plain pattern list when the
+    group is bare (the common fast path), else a sub-group dict carrying
+    its own modifiers, compiled recursively by ``sparql._group_frame``
+    (nested OPTIONAL, MINUS, EXISTS, FILTER, BIND, VALUES, and UNION
+    blocks all work). A sub-SELECT inside a modifier group stays a named
+    narrowing; a group with modifiers but nothing to match them against
+    (no patterns, no unions) is rejected rather than silently empty."""
+    if sub["subselects"]:
+        raise SparqlUnsupported(f"subquery inside {what}")
+    extras = [k for k in _SUBGROUP_KEYS[1:] if sub[k]]
+    if not extras:
+        return sub["patterns"]
+    if not sub["patterns"] and not sub["unions"]:
         raise SparqlUnsupported(
-            f"nested {extras or 'group'} inside UNION branch"
+            f"{what} with only {extras} and no patterns"
         )
-
-
-def _require_plain(sub: dict, what: str) -> None:
-    extras = [
-        k for k in ("optional", "minus", "exists", "not_exists", "filters",
-                    "binds", "values", "subselects")
-        if sub[k]
-    ]
-    if extras or sub["unions"] or sub["graph"]:
-        raise SparqlUnsupported(f"nested {extras or 'group'} inside {what}")
+    return {k: sub[k] for k in _SUBGROUP_KEYS}
 
 
 def parse_sparql(text: str) -> dict:

@@ -1275,3 +1275,167 @@ def test_uuid_struuid_now_shapes(oddeven):
     assert _re.fullmatch("urn:uuid:" + hex_, r.u)
     assert _re.fullmatch(hex_, r.su)
     assert _re.match(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}", r.n)
+
+
+# -- round-4c: nested modifier groups ---------------------------------------
+# OPTIONAL/MINUS/EXISTS bodies and UNION branches are full sub-groups
+# (plans/sparql._group_frame compiles them recursively). Data reminder:
+# oddeven inverts the ternary — ODD i are ex:even, EVEN i are ex:odd.
+
+
+def test_optional_with_inner_filter(oddeven):
+    """The FILTER applies to the OPTIONAL group's OWN solutions before
+    the left join — non-matching rows keep the binding NULL, they are
+    not eliminated (that's the difference from a top-level FILTER)."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l WHERE {{
+          ?s a ex:even .
+          OPTIONAL {{ ?s rdfs:label ?l FILTER(?l = 7) }}
+        }}""",
+    )
+    rows = out.collect()
+    assert len(rows) == 50
+    labelled = [r for r in rows if r.l is not None]
+    assert [(r.s, r.l) for r in labelled] == [(EX + "i7", "7")]
+
+
+def test_nested_optional_in_optional(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l ?m WHERE {{
+          ?s a ex:even .
+          OPTIONAL {{
+            ?s rdfs:label ?l .
+            OPTIONAL {{ ?s rdfs:label ?m FILTER(?m = 7) }}
+          }}
+        }}""",
+    )
+    rows = out.collect()
+    assert len(rows) == 50 and all(r.l is not None for r in rows)
+    assert [r.s for r in rows if r.m is not None] == [EX + "i7"]
+
+
+def test_minus_with_inner_filter(oddeven):
+    """MINUS group evaluates independently (its FILTER sees only its own
+    bindings, SPARQL §8.3) then removes compatible solutions."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l WHERE {{
+          ?s a ex:even ; rdfs:label ?l
+          MINUS {{ ?s rdfs:label ?l FILTER(?l < 10) }}
+        }}""",
+    )
+    rows = out.collect()
+    # even-classed = odd i; MINUS removes those with label < 10
+    # (i1,i3,i5,i7,i9) -> 45 remain, all labels >= 10
+    assert len(rows) == 45
+    assert all(int(r.l) >= 10 for r in rows)
+
+
+def test_union_branch_with_optional(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l WHERE {{
+          {{ ?s a ex:even . OPTIONAL {{ ?s rdfs:label ?l FILTER(?l = 7) }} }}
+          UNION
+          {{ ?s a ex:odd ; rdfs:label ?l FILTER(?l = 8) }}
+        }}""",
+    )
+    rows = out.collect()
+    assert len(rows) == 51  # 50 even-classed (one labelled) + i8
+    assert sorted((r.s, r.l) for r in rows if r.l is not None) == [
+        (EX + "i7", "7"), (EX + "i8", "8")
+    ]
+
+
+def test_union_branch_with_values(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l WHERE {{
+          {{ ?s rdfs:label ?l VALUES ?l {{ "7" "8" }} }}
+          UNION
+          {{ ?s a ex:no-such-class ; rdfs:label ?l }}
+        }}""",
+    )
+    assert sorted((r.s, r.l) for r in out.collect()) == [
+        (EX + "i7", "7"), (EX + "i8", "8")
+    ]
+
+
+def test_optional_with_inner_union(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?k WHERE {{
+          ?s rdfs:label ?l FILTER(?l = 7 || ?l = 8)
+          OPTIONAL {{
+            {{ ?s a ex:even . BIND("E" AS ?k) }}
+            UNION {{ ?s a ex:odd . BIND("O" AS ?k) }}
+          }}
+        }}""",
+    )
+    assert sorted((r.s, r.k) for r in out.collect()) == [
+        (EX + "i7", "E"), (EX + "i8", "O")
+    ]
+
+
+def test_exists_with_inner_union(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          ?s a ?t
+          FILTER EXISTS {{
+            {{ ?s rdfs:label "7" }} UNION {{ ?s rdfs:label "8" }}
+          }}
+        }}""",
+    )
+    assert sorted(r.s for r in out.collect()) == [EX + "i7", EX + "i8"]
+
+
+def test_not_exists_with_inner_filter(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          ?s a ex:even
+          FILTER NOT EXISTS {{ ?s rdfs:label ?l FILTER(?l < 50) }}
+        }}""",
+    )
+    # even-classed = odd i; survivors have labels >= 50: i51..i99 odd
+    assert len(out.collect()) == 25
+
+
+def test_minus_with_inner_optional(oddeven):
+    """An OPTIONAL inside MINUS extends the group's domain but unbound
+    rows still share only ?s — compatibility is decided per solution."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          ?s rdfs:label ?l FILTER(?l <= 4)
+          MINUS {{ ?s a ex:odd OPTIONAL {{ ?s rdfs:label ?m }} }}
+        }}""",
+    )
+    # labels 1..4; ex:odd = even i -> i2, i4 removed; i1, i3 remain
+    assert sorted(r.s for r in out.collect()) == [EX + "i1", EX + "i3"]
+
+
+def test_subgroup_narrowings_named():
+    with pytest.raises(SparqlUnsupported, match="subquery"):
+        parse_sparql(
+            "SELECT ?s WHERE { ?s <http://p> ?o OPTIONAL { "
+            "{ SELECT ?s WHERE { ?s <http://q> ?z } } } }"
+        )
+    # a modifier group with modifiers but nothing to match them against
+    # is rejected rather than silently empty
+    with pytest.raises(SparqlUnsupported, match="no patterns"):
+        parse_sparql(
+            'SELECT ?s WHERE { ?s <http://p> ?o MINUS { FILTER(?o > 3) } }'
+        )
