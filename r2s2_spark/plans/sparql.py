@@ -595,7 +595,11 @@ def _group_frame(
     SPARQL's GroupGraphPattern algebra, one frame per group."""
     if not isinstance(g, dict):
         return _join_patterns(catalog, reader, dicts, g, graph, term_meta, named)
-    frames = [
+    # pre-compiled solution frames (sub-SELECTs inside the group — the
+    # textual front-end compiles them before handing the dict over) seed
+    # the join exactly like top-level sub-SELECTs seed bgp
+    frames = list(g.get("frames") or [])
+    frames += [
         bgp_union(
             catalog, reader, dicts, block, graph=graph, named_graphs=named
         )

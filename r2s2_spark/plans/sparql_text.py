@@ -77,16 +77,21 @@ CONSTRUCT templates (fresh per solution, SPARQL §16.2.1).
 
 Modifier groups nest: OPTIONAL/MINUS/EXISTS bodies and UNION branches
 are full sub-groups with their own OPTIONAL/MINUS/EXISTS/FILTER/BIND/
-VALUES/UNION (compiled recursively, ``plans/sparql._group_frame``);
-a FILTER inside such a group applies to the group's own solutions
-before the outer join (a documented narrowing of the LeftJoin-condition
-form for filters referencing outer variables).
+VALUES/UNION and sub-SELECTs (compiled recursively,
+``plans/sparql._group_frame``; sub-SELECTs pre-compile to solution
+frames, ``_resolve_subselects``); a FILTER inside such a group applies
+to the group's own solutions before the outer join (a documented
+narrowing of the LeftJoin-condition form for filters referencing outer
+variables). Sub-SELECTs also work inside GRAPH blocks with a CONSTANT
+scope (the subquery's WHERE evaluates in that graph).
 
 Out of scope (raises ``SparqlUnsupported`` with the construct named):
-sub-SELECT inside a modifier group or GRAPH block, non-sequence paths
-in CONSTRUCT templates, aggregates inside ORDER BY (order by the SELECT
-alias instead), LANG()/DATATYPE() over a pure-UNION group, federation
-(SERVICE). The programmatic ``bgp()`` surface remains the escape hatch.
+sub-SELECT inside a GRAPH ?var block (the per-solution graph binding
+would have to correlate through the subquery's projection),
+non-sequence paths in CONSTRUCT templates, aggregates inside ORDER BY
+(order by the SELECT alias instead), LANG()/DATATYPE() over a
+pure-UNION group, federation (SERVICE). The programmatic ``bgp()``
+surface remains the escape hatch.
 """
 
 from __future__ import annotations
@@ -505,6 +510,7 @@ class _Parser:
                 g["binds"].extend(sub["binds"])
                 g["values"].extend(sub["values"])
                 g["unions"].extend(sub["unions"])
+                g["subselects"].extend(sub["subselects"])
             elif self.at_word("SERVICE"):
                 raise SparqlUnsupported("SERVICE federation")
             elif self.at_word("VALUES"):
@@ -1299,10 +1305,16 @@ def _annotate_graph(sub: dict, gterm) -> None:
     producing 4-tuples ``(s, p, o, scope)``. A pattern already scoped
     (nested GRAPH) keeps the inner scope — SPARQL's innermost-GRAPH-wins.
     BIND/VALUES inside GRAPH propagate unchanged (expressions and inline
-    data have no graph scope); sub-SELECTs inside GRAPH stay unsupported
-    (named narrowing)."""
+    data have no graph scope). A sub-SELECT under a CONSTANT scope
+    annotates its own WHERE group recursively (its patterns evaluate in
+    that graph); under a VARIABLE scope it stays a named narrowing — the
+    per-solution graph binding would have to correlate through the
+    subquery's projection."""
     if sub["subselects"]:
-        raise SparqlUnsupported("subquery inside GRAPH group")
+        if isinstance(gterm, str) and gterm.startswith("?"):
+            raise SparqlUnsupported("subquery inside GRAPH ?var group")
+        for sq in sub["subselects"]:
+            _annotate_graph(sq["where"], gterm)
 
     def mark(patterns):
         return [
@@ -1312,9 +1324,14 @@ def _annotate_graph(sub: dict, gterm) -> None:
 
     def mark_group(grp):
         # a modifier group is a plain pattern list or a sub-group dict;
-        # dicts mark recursively (nested modifier groups + union blocks)
+        # dicts mark recursively (nested modifier groups + union blocks +
+        # nested sub-SELECT WHERE groups, same constant-scope rule)
         if not isinstance(grp, dict):
             return mark(grp)
+        for sq in grp.get("subselects") or []:
+            if isinstance(gterm, str) and gterm.startswith("?"):
+                raise SparqlUnsupported("subquery inside GRAPH ?var group")
+            _annotate_graph(sq["where"], gterm)
         return {
             **grp,
             "patterns": mark(grp["patterns"]),
@@ -1351,7 +1368,7 @@ def _dataset(q: dict):
 
 _SUBGROUP_KEYS = (
     "patterns", "optional", "minus", "exists", "not_exists",
-    "filters", "binds", "values", "unions",
+    "filters", "binds", "values", "unions", "subselects",
 )
 
 
@@ -1360,20 +1377,42 @@ def _subgroup(sub: dict, what: str):
     branch) to what the engine compiles: a plain pattern list when the
     group is bare (the common fast path), else a sub-group dict carrying
     its own modifiers, compiled recursively by ``sparql._group_frame``
-    (nested OPTIONAL, MINUS, EXISTS, FILTER, BIND, VALUES, and UNION
-    blocks all work). A sub-SELECT inside a modifier group stays a named
-    narrowing; a group with modifiers but nothing to match them against
-    (no patterns, no unions) is rejected rather than silently empty."""
-    if sub["subselects"]:
-        raise SparqlUnsupported(f"subquery inside {what}")
+    (nested OPTIONAL, MINUS, EXISTS, FILTER, BIND, VALUES, UNION blocks,
+    and sub-SELECTs — the latter pre-compiled to solution frames by
+    ``_resolve_subselects``). A group with modifiers but nothing to
+    match them against (no patterns, no unions, no sub-SELECTs) is
+    rejected rather than silently empty."""
     extras = [k for k in _SUBGROUP_KEYS[1:] if sub[k]]
     if not extras:
         return sub["patterns"]
-    if not sub["patterns"] and not sub["unions"]:
+    if not sub["patterns"] and not sub["unions"] and not sub["subselects"]:
         raise SparqlUnsupported(
             f"{what} with only {extras} and no patterns"
         )
     return {k: sub[k] for k in _SUBGROUP_KEYS}
+
+
+def _resolve_subselects(pipe, grp, stage):
+    """Compile every sub-SELECT nested in a modifier group to its
+    solution DataFrame (stowed under the group's ``frames`` key, which
+    ``sparql._group_frame`` seeds ``bgp`` with) — recursively, so
+    sub-SELECTs inside nested OPTIONAL/MINUS/EXISTS/UNION sub-groups
+    compile too. Plain pattern lists pass through untouched."""
+    if not isinstance(grp, dict):
+        return grp
+    out = {k: grp[k] for k in _SUBGROUP_KEYS if k in grp}
+    out["frames"] = list(grp.get("frames") or []) + [
+        _compile_select(pipe, sub, stage)
+        for sub in grp.get("subselects") or []
+    ]
+    out["subselects"] = []
+    for key in ("optional", "minus", "exists", "not_exists"):
+        out[key] = [_resolve_subselects(pipe, x, stage) for x in out.get(key, [])]
+    out["unions"] = [
+        [_resolve_subselects(pipe, b, stage) for b in block]
+        for block in out.get("unions", [])
+    ]
+    return out
 
 
 def parse_sparql(text: str) -> dict:
@@ -1405,7 +1444,9 @@ def _compile_select(pipe, q: dict, stage: str | None):
         # leaves unbound)
         select = None if q["star"] else ["?" + v for v in q["select"]]
         out = bgp_union_on_pipeline(
-            pipe, unions[0], select=select, distinct=q["distinct"],
+            pipe,
+            [_resolve_subselects(pipe, b, stage) for b in unions[0]],
+            select=select, distinct=q["distinct"],
             stage=stage, graph=graph, named_graphs=named,
         )
     else:
@@ -1438,6 +1479,10 @@ def _compile_select(pipe, q: dict, stage: str | None):
                 )
             binds.extend((e, "?" + v) for e, v in q["select_exprs"])
         frames = [_compile_select(pipe, sub, stage) for sub in w["subselects"]]
+        groups = {
+            key: [_resolve_subselects(pipe, x, stage) for x in w[key]]
+            for key in ("optional", "minus", "exists", "not_exists")
+        }
         for block in unions:
             # UNION mixed with other patterns (or several UNION blocks in
             # one group): SPARQL Join(Union(A,B), G) — each block compiles
@@ -1446,8 +1491,9 @@ def _compile_select(pipe, q: dict, stage: str | None):
             # unbound NULL does not match, the documented narrowing)
             frames.append(
                 bgp_union_on_pipeline(
-                    pipe, block, stage=stage, graph=graph,
-                    named_graphs=named,
+                    pipe,
+                    [_resolve_subselects(pipe, b, stage) for b in block],
+                    stage=stage, graph=graph, named_graphs=named,
                 )
             )
         frames = frames or None
@@ -1457,12 +1503,12 @@ def _compile_select(pipe, q: dict, stage: str | None):
             select=select,
             distinct=q["distinct"],
             stage=stage,
-            optional=w["optional"] or None,
+            optional=groups["optional"] or None,
             filter=filt,
             graph=graph,
-            minus=w["minus"] or None,
-            exists=w["exists"] or None,
-            not_exists=w["not_exists"] or None,
+            minus=groups["minus"] or None,
+            exists=groups["exists"] or None,
+            not_exists=groups["not_exists"] or None,
             bind=binds or None,
             group_by=q["group_by"] if q["agg"] else None,
             agg={k: v for k, v in q["agg"].items()} or None,
@@ -1515,7 +1561,9 @@ def _where_solutions(pipe, q: dict, stage: str | None):
         or w["exists"] or w["not_exists"] or w["values"] or w["subselects"]
     ):
         return bgp_union_on_pipeline(
-            pipe, unions[0], stage=stage, graph=graph, named_graphs=named
+            pipe,
+            [_resolve_subselects(pipe, b, stage) for b in unions[0]],
+            stage=stage, graph=graph, named_graphs=named,
         )
     if pure_union and q.get("meta_vars"):
         # modifiers ride the mixed path (union frame seeds bgp), but term
@@ -1532,15 +1580,21 @@ def _where_solutions(pipe, q: dict, stage: str | None):
     frames = [_compile_select(pipe, sub, stage) for sub in w["subselects"]]
     frames += [
         bgp_union_on_pipeline(
-            pipe, block, stage=stage, graph=graph, named_graphs=named
+            pipe,
+            [_resolve_subselects(pipe, b, stage) for b in block],
+            stage=stage, graph=graph, named_graphs=named,
         )
         for block in unions
     ]
+    groups = {
+        key: [_resolve_subselects(pipe, x, stage) for x in w[key]]
+        for key in ("optional", "minus", "exists", "not_exists")
+    }
     return bgp_on_pipeline(
         pipe, w["patterns"], stage=stage,
-        optional=w["optional"] or None, filter=filt, graph=graph,
-        minus=w["minus"] or None, exists=w["exists"] or None,
-        not_exists=w["not_exists"] or None, bind=w["binds"] or None,
+        optional=groups["optional"] or None, filter=filt, graph=graph,
+        minus=groups["minus"] or None, exists=groups["exists"] or None,
+        not_exists=groups["not_exists"] or None, bind=w["binds"] or None,
         values=w["values"] or None, frames=frames or None,
         term_meta=frozenset(q.get("meta_vars") or ()),
         named_graphs=named,

@@ -1428,14 +1428,79 @@ def test_minus_with_inner_optional(oddeven):
 
 
 def test_subgroup_narrowings_named():
-    with pytest.raises(SparqlUnsupported, match="subquery"):
-        parse_sparql(
-            "SELECT ?s WHERE { ?s <http://p> ?o OPTIONAL { "
-            "{ SELECT ?s WHERE { ?s <http://q> ?z } } } }"
-        )
     # a modifier group with modifiers but nothing to match them against
     # is rejected rather than silently empty
     with pytest.raises(SparqlUnsupported, match="no patterns"):
         parse_sparql(
             'SELECT ?s WHERE { ?s <http://p> ?o MINUS { FILTER(?o > 3) } }'
         )
+    # sub-SELECT under a VARIABLE graph scope stays a named narrowing
+    with pytest.raises(SparqlUnsupported, match="GRAPH"):
+        parse_sparql(
+            "SELECT ?s WHERE { GRAPH ?g { "
+            "{ SELECT ?s WHERE { ?s <http://q> ?z } } } }"
+        )
+
+
+# -- round-4c: sub-SELECT inside modifier groups and GRAPH blocks -----------
+
+
+def test_subselect_inside_optional(oddeven):
+    """An aggregate subquery left-joins per solution: every (s, t) row
+    gains its class's member count; OPTIONAL keeps rows the subquery
+    misses (none here)."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?t ?n WHERE {{
+          ?s a ?t .
+          OPTIONAL {{
+            {{ SELECT ?t (COUNT(?x) AS ?n) WHERE {{ ?x a ?t }} GROUP BY ?t }}
+          }}
+        }}""",
+    )
+    rows = out.collect()
+    assert len(rows) == 99
+    counts = {(r.t, r.n) for r in rows}
+    # odd i -> ex:even (50 members), even i -> ex:odd (49)
+    assert counts == {(EX + "even", 50), (EX + "odd", 49)}
+
+
+def test_subselect_inside_minus(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          ?s rdfs:label ?l FILTER(?l <= 4)
+          MINUS {{ {{ SELECT ?s WHERE {{ ?s a ex:odd }} }} }}
+        }}""",
+    )
+    # labels 1..4; ex:odd = even i -> i2, i4 removed
+    assert sorted(r.s for r in out.collect()) == [EX + "i1", EX + "i3"]
+
+
+def test_subselect_inside_union_branch(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          {{ {{ SELECT ?s WHERE {{ ?s rdfs:label "7" }} }} }}
+          UNION {{ ?s rdfs:label "8" }}
+        }}""",
+    )
+    assert sorted(r.s for r in out.collect()) == [EX + "i7", EX + "i8"]
+
+
+def test_subselect_inside_constant_graph(twograph):
+    """The subquery's WHERE evaluates inside the GRAPH block's constant
+    scope: only g/one's subject comes back."""
+    out = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          GRAPH <{EX}g/one> {{
+            {{ SELECT ?s WHERE {{ ?s a ?t }} }}
+          }}
+        }}""",
+    )
+    assert sorted(r.s for r in out.collect()) == [EX + "s1"]
