@@ -601,7 +601,8 @@ def _group_frame(
     frames = list(g.get("frames") or [])
     frames += [
         bgp_union(
-            catalog, reader, dicts, block, graph=graph, named_graphs=named
+            catalog, reader, dicts, block, graph=graph,
+            named_graphs=named, term_meta=term_meta,
         )
         for block in g.get("unions") or []
     ]
@@ -881,6 +882,7 @@ def bgp_union(
     distinct: bool = False,
     graph=None,
     named_graphs=None,
+    term_meta: frozenset = frozenset(),
 ) -> DataFrame:
     """SPARQL UNION: each group compiles to its own BGP; solutions are
     concatenated with NULL for variables a branch does not bind
@@ -888,9 +890,17 @@ def bgp_union(
 
     A group may be a plain pattern list or a sub-group dict (patterns +
     its own OPTIONAL/MINUS/EXISTS/FILTER/BIND/VALUES/UNION modifiers),
-    compiled recursively by ``_group_frame``."""
+    compiled recursively by ``_group_frame``.
+
+    ``term_meta``: variables whose hidden term-metadata columns
+    (LANG()/DATATYPE()/kind) each branch carries; a branch that does not
+    bind the variable contributes NULL metadata (the spec's type error)
+    through the same allowMissingColumns union."""
     frames = [
-        _group_frame(catalog, reader, dicts, g, graph, named=named_graphs)[0]
+        _group_frame(
+            catalog, reader, dicts, g, graph,
+            term_meta=term_meta, named=named_graphs,
+        )[0]
         for g in groups
     ]
     out = frames[0]
@@ -966,7 +976,7 @@ def bgp_on_pipeline(
 
 def bgp_union_on_pipeline(
     pipe, groups, select=None, distinct=False, stage=None, graph=None,
-    named_graphs=None,
+    named_graphs=None, term_meta: frozenset = frozenset(),
 ) -> DataFrame:
     stage = stage or pipe.last_catalog_stage()
     dicts = pipe.dicts(stage)
@@ -989,4 +999,5 @@ def bgp_union_on_pipeline(
         distinct,
         graph,
         named_graphs,
+        term_meta,
     )

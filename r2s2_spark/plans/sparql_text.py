@@ -85,13 +85,21 @@ narrowing of the LeftJoin-condition form for filters referencing outer
 variables). Sub-SELECTs also work inside GRAPH blocks with a CONSTANT
 scope (the subquery's WHERE evaluates in that graph).
 
+Aggregates work inside ORDER BY keys (``ORDER BY DESC(COUNT(?s))`` —
+hidden agg columns kept through the sort, projected after), except
+combined with DISTINCT (named narrowing: DISTINCT applies to projected
+rows before the sort).
+
 Out of scope (raises ``SparqlUnsupported`` with the construct named):
 sub-SELECT inside a GRAPH ?var block (the per-solution graph binding
 would have to correlate through the subquery's projection),
-non-sequence paths in CONSTRUCT templates, aggregates inside ORDER BY
-(order by the SELECT alias instead), LANG()/DATATYPE() over a
-pure-UNION group, federation (SERVICE). The programmatic ``bgp()``
-surface remains the escape hatch.
+non-sequence paths in CONSTRUCT templates, DISTINCT with aggregate
+ORDER BY keys, LANG()/DATATYPE() over MULTIPLE pure-UNION blocks
+(duplicate metadata columns would collide in the join — a SINGLE
+pure-UNION block works: each branch carries the term metadata,
+non-binding branches union in NULL = the spec's type error),
+federation (SERVICE). The programmatic ``bgp()`` surface remains the
+escape hatch.
 """
 
 from __future__ import annotations
@@ -1042,17 +1050,33 @@ class _Parser:
         if self.at_word("ORDER"):
             self.next()
             self.eat_word("BY")
-            while True:
-                if self.at_word("ASC", "DESC"):
-                    desc = self.next()[1].upper() == "DESC"
-                    e = self.bracketed_expression()
-                elif self.peek()[0] == "var":
-                    desc = False
-                    name = self.next()[1][1:]
-                    e = lambda df, n=name: df[n]
-                else:
-                    break
-                q["order"].append((e, desc))
+            # aggregate calls inside ORDER BY keys register hidden agg
+            # columns exactly like HAVING; the compiler keeps them through
+            # the sort and projects them away after (q["order_agg"])
+            n_agg = len(q["agg"])
+            prev_sink, self.agg_sink = self.agg_sink, q["agg"]
+            try:
+                while True:
+                    if self.at_word("ASC", "DESC"):
+                        desc = self.next()[1].upper() == "DESC"
+                        e = self.bracketed_expression()
+                    elif self.peek()[0] == "var":
+                        desc = False
+                        name = self.next()[1][1:]
+                        e = lambda df, n=name: df[n]
+                    elif (
+                        self.peek()[0] == "word"
+                        and self.peek()[1].upper() in _AGG_NAMES
+                    ):
+                        # bare aggregate order key: ORDER BY COUNT(?s)
+                        desc = False
+                        e = self._function_call()
+                    else:
+                        break
+                    q["order"].append((e, desc))
+            finally:
+                self.agg_sink = prev_sink
+            q["order_agg"] = len(q["agg"]) > n_agg
         if self.at_word("LIMIT"):
             self.next()
             q["limit"] = self.int_modifier("LIMIT")
@@ -1452,12 +1476,17 @@ def _compile_select(pipe, q: dict, stage: str | None):
     else:
         # a pure-UNION group WITH modifiers rides the mixed path: the
         # union frame seeds bgp's solution set (empty pattern list) and
-        # FILTER/OPTIONAL/MINUS/BIND/aggregates apply on top. Term
-        # metadata comes from required-pattern scans, which don't exist
-        # here — LANG()/DATATYPE() over union-bound variables stays out.
-        if pure_union and q.get("meta_vars"):
+        # FILTER/OPTIONAL/MINUS/BIND/aggregates apply on top. For a
+        # SINGLE union block the branches themselves carry the term
+        # metadata (each branch scans with term_meta; a branch not
+        # binding the variable unions in NULL metadata = the spec's type
+        # error). Several blocks would join duplicate metadata columns —
+        # that stays a named narrowing.
+        meta = frozenset(q.get("meta_vars") or ())
+        union_meta = meta if (pure_union and len(unions) == 1) else frozenset()
+        if pure_union and meta and len(unions) != 1:
             raise SparqlUnsupported(
-                "LANG()/DATATYPE() over a pure-UNION group"
+                "LANG()/DATATYPE() over multiple pure-UNION blocks"
             )
         filters = w["filters"]
         filt = None
@@ -1468,6 +1497,14 @@ def _compile_select(pipe, q: dict, stage: str | None):
                     cond = cond & f(df)
                 return cond
         select = None if q["star"] else ["?" + v for v in q["select"]]
+        if q.get("order_agg"):
+            # ORDER BY keys reference hidden agg columns (__h*): keep the
+            # full aggregation output through the sort, project after.
+            # DISTINCT would have to apply to the projected rows BEFORE
+            # the sort — not expressible this way, so it stays named.
+            if q["distinct"]:
+                raise SparqlUnsupported("DISTINCT with aggregate ORDER BY")
+            select = None
         binds = list(w["binds"])
         if q["select_exprs"]:
             # SELECT (expr AS ?v) binds per solution; with aggregates the
@@ -1494,6 +1531,7 @@ def _compile_select(pipe, q: dict, stage: str | None):
                     pipe,
                     [_resolve_subselects(pipe, b, stage) for b in block],
                     stage=stage, graph=graph, named_graphs=named,
+                    term_meta=union_meta,
                 )
             )
         frames = frames or None
@@ -1536,6 +1574,14 @@ def _compile_select(pipe, q: dict, stage: str | None):
             (e(out).desc() if desc else e(out).asc()) for e, desc in q["order"]
         ]
         out = out.orderBy(*sort_cols)
+    if q.get("order_agg"):
+        # the deferred projection (hidden __h sort keys drop here; a bare
+        # projection preserves the sort order)
+        out = (
+            out.select(*q["select"])
+            if not q["star"]
+            else out.drop(*[c for c in out.columns if c.startswith("__h")])
+        )
     if q["offset"]:
         out = out.offset(q["offset"])
     if q["limit"] is not None:
@@ -1565,10 +1611,14 @@ def _where_solutions(pipe, q: dict, stage: str | None):
             [_resolve_subselects(pipe, b, stage) for b in unions[0]],
             stage=stage, graph=graph, named_graphs=named,
         )
-    if pure_union and q.get("meta_vars"):
-        # modifiers ride the mixed path (union frame seeds bgp), but term
-        # metadata only exists on required-pattern scans
-        raise SparqlUnsupported("LANG()/DATATYPE() over a pure-UNION group")
+    meta = frozenset(q.get("meta_vars") or ())
+    union_meta = meta if (pure_union and len(unions) == 1) else frozenset()
+    if pure_union and meta and len(unions) != 1:
+        # a single union block carries term metadata per branch; several
+        # blocks would join duplicate metadata columns
+        raise SparqlUnsupported(
+            "LANG()/DATATYPE() over multiple pure-UNION blocks"
+        )
     filters = w["filters"]
     filt = None
     if filters:
@@ -1583,6 +1633,7 @@ def _where_solutions(pipe, q: dict, stage: str | None):
             pipe,
             [_resolve_subselects(pipe, b, stage) for b in block],
             stage=stage, graph=graph, named_graphs=named,
+            term_meta=union_meta,
         )
         for block in unions
     ]
@@ -1596,7 +1647,7 @@ def _where_solutions(pipe, q: dict, stage: str | None):
         minus=groups["minus"] or None, exists=groups["exists"] or None,
         not_exists=groups["not_exists"] or None, bind=w["binds"] or None,
         values=w["values"] or None, frames=frames or None,
-        term_meta=frozenset(q.get("meta_vars") or ()),
+        term_meta=meta,
         named_graphs=named,
     )
 

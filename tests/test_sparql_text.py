@@ -678,14 +678,33 @@ def test_pure_union_with_aggregate_and_ask_filter(oddeven):
     assert ask.collect()[0].ask is False
 
 
-def test_pure_union_meta_vars_still_named_unsupported():
-    """LANG()/DATATYPE() need term-metadata columns that only required-
-    pattern scans carry — over a pure-UNION group it stays a clearly
-    named narrowing instead of an unresolved-column crash."""
+def test_pure_union_lang_filter(loaded):
+    """LANG() over a single pure-UNION block: each branch scans with the
+    term metadata; the rdf:type branch binds IRIs, so LANG() is NULL
+    there (the spec's type error) and its rows filter out."""
+    out = sparql_query(
+        loaded,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?x WHERE {{
+          {{ ?s rdfs:label ?x }} UNION {{ ?s a ?x }}
+          FILTER(LANG(?x) = "cz")
+        }}""",
+    )
+    assert {(r.s, r.x) for r in out.collect()} == {
+        (RDF + "Bag", "杭州"), (RDF + "Alt", "杭州市"),
+    }
+    assert out.columns == ["s", "x"]  # hidden metadata dropped
+
+
+def test_multi_block_union_meta_still_named_unsupported():
+    """Several pure-UNION blocks would join duplicate metadata columns —
+    stays a clearly named narrowing instead of a column-collision
+    crash."""
     from r2s2_spark.plans.sparql_text import _compile_select
 
     q = parse_sparql(
         "SELECT ?r WHERE { { ?r <http://p> ?x } UNION { ?r <http://q> ?x } "
+        "{ ?r <http://p2> ?y } UNION { ?r <http://q2> ?y } "
         'FILTER(LANG(?x) = "en") }'
     )
     with pytest.raises(SparqlUnsupported, match="UNION"):
@@ -1504,3 +1523,33 @@ def test_subselect_inside_constant_graph(twograph):
         }}""",
     )
     assert sorted(r.s for r in out.collect()) == [EX + "s1"]
+
+
+# -- round-4c: aggregates inside ORDER BY -----------------------------------
+
+
+def test_order_by_aggregate(oddeven):
+    out = sparql_query(
+        oddeven,
+        """SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t }
+        GROUP BY ?t ORDER BY DESC(COUNT(?s))""",
+    )
+    assert [(r.t, r.n) for r in out.collect()] == [
+        (EX + "even", 50), (EX + "odd", 49)
+    ]
+    # bare (unbracketed) aggregate order key, ascending
+    out2 = sparql_query(
+        oddeven,
+        """SELECT ?t WHERE { ?s a ?t } GROUP BY ?t ORDER BY COUNT(?s)""",
+    )
+    assert [r.t for r in out2.collect()] == [EX + "odd", EX + "even"]
+    assert out2.columns == ["t"]  # hidden sort key projected away
+
+
+def test_order_by_aggregate_distinct_named_unsupported(oddeven):
+    with pytest.raises(SparqlUnsupported, match="DISTINCT"):
+        sparql_query(
+            oddeven,
+            """SELECT DISTINCT ?t WHERE { ?s a ?t }
+            GROUP BY ?t ORDER BY COUNT(?s)""",
+        )
