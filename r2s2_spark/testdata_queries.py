@@ -1919,7 +1919,20 @@ def sparql_paths(spark, sf_dir):
     "md5(r_name) || '|' || sha256(r_name) || '|' || "
     "replace(r_name, ' ', '%20') || '|2024-9.5' FROM region"
     " UNION ALL "
-    "SELECT 'ask_sub', 'ask', 'true'",
+    "SELECT 'ask_sub', 'ask', 'true'"
+    " UNION ALL "
+    f"SELECT 'nested_opt', '{EX}nation/' || n_nationkey, "
+    f"CASE WHEN n_regionkey = 1 THEN '{EX}region/1' END FROM nation"
+    " UNION ALL "
+    f"SELECT 'sub_opt', '{EX}nation/' || n_nationkey, "
+    "CAST(COUNT(*) OVER (PARTITION BY n_regionkey) AS VARCHAR) FROM nation"
+    " UNION ALL "
+    "SELECT 'order_agg', r, n FROM ("
+    f"SELECT '{EX}region/' || n_regionkey AS r, "
+    "CAST(COUNT(*) AS VARCHAR) AS n FROM nation "
+    "GROUP BY n_regionkey ORDER BY COUNT(*) DESC, r LIMIT 1)"
+    " UNION ALL "
+    f"SELECT 'union_kind', '{EX}region/' || r_regionkey, r_name FROM region",
 )
 def sparql_text_values_union(spark, sf_dir):
     """Textual SPARQL inline-data + aggregate + round-4b surface, tagged:
@@ -1929,7 +1942,10 @@ def sparql_text_values_union(spark, sf_dir):
     SAMPLE (deterministic MIN), TWO UNION blocks in one group with
     branch-local FILTERs, an inverse negated property set (!(^p|...)),
     a sequence branch inside a path alternation, the hash/encode/datetime
-    builtin battery, and a sub-SELECT inside ASK."""
+    builtin battery, a sub-SELECT inside ASK, and the round-4c surface:
+    FILTER nested inside OPTIONAL, a sub-SELECT inside OPTIONAL, an
+    aggregate ORDER BY key (deterministic via LIMIT + tiebreak), and
+    ISLITERAL() over a pure-UNION block."""
     from .plans.sparql_text import sparql_query
 
     kg = _sparql_kg(spark, sf_dir)
@@ -1988,6 +2004,46 @@ def sparql_text_values_union(spark, sf_dir):
         f"""PREFIX ex: <{EX}>
         ASK WHERE {{ {{ SELECT ?s WHERE {{ ?s a ex:Nation }} }} }}""",
     )
+    # round-4c surface: nested modifier groups (FILTER inside OPTIONAL,
+    # applied to the group's own solutions before the left join),
+    # sub-SELECT inside OPTIONAL (aggregate subquery left-joined per
+    # solution), aggregates inside ORDER BY (hidden sort key + LIMIT, tie
+    # broken by ?r so the winner is deterministic), and term-kind
+    # metadata over a single pure-UNION block (the a-?x branch binds
+    # IRIs, ISLITERAL drops them)
+    nested_opt = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?r WHERE {{
+          ?s a ex:Nation .
+          OPTIONAL {{ ?s ex:inRegion ?r FILTER(STRENDS(?r, "/1")) }}
+        }}""",
+    )
+    sub_opt = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?n WHERE {{
+          ?s ex:inRegion ?r .
+          OPTIONAL {{
+            {{ SELECT ?r (COUNT(?x) AS ?n) WHERE {{ ?x ex:inRegion ?r }}
+               GROUP BY ?r }}
+          }}
+        }}""",
+    )
+    order_agg = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?r (COUNT(?s) AS ?n) WHERE {{ ?s ex:inRegion ?r }}
+        GROUP BY ?r ORDER BY DESC(COUNT(?s)) ?r LIMIT 1""",
+    )
+    union_kind = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?x WHERE {{
+          {{ ?s ex:name ?x }} UNION {{ ?s a ?x }}
+          FILTER(ISLITERAL(?x))
+        }}""",
+    )
     return _union_all([
         sparql_text_values(spark, sf_dir).select(_tag("values"), "s", "r"),
         sparql_text_union_mixed(spark, sf_dir).select(_tag("union_mixed"), "s", "r"),
@@ -2002,6 +2058,13 @@ def sparql_text_values_union(spark, sf_dir):
             _tag("ask_sub"), F.lit("ask").alias("s"),
             F.col("ask").cast("string").alias("r"),
         ),
+        nested_opt.select(_tag("nested_opt"), "s", "r"),
+        sub_opt.select(_tag("sub_opt"), "s", F.col("n").cast("string").alias("r")),
+        order_agg.select(
+            _tag("order_agg"), F.col("r").alias("s"),
+            F.col("n").cast("string").alias("r"),
+        ),
+        union_kind.select(_tag("union_kind"), "s", F.col("x").alias("r")),
     ])
 
 
