@@ -88,7 +88,9 @@ scope (the subquery's WHERE evaluates in that graph).
 Aggregates work inside ORDER BY keys (``ORDER BY DESC(COUNT(?s))`` —
 hidden agg columns kept through the sort, projected after), except
 combined with DISTINCT (named narrowing: DISTINCT applies to projected
-rows before the sort).
+rows before the sort), and inside SELECT expressions
+(``SELECT (COUNT(?s)*2 AS ?d)`` — the expression runs post-grouping
+over its hidden agg columns and the group keys).
 
 Out of scope (raises ``SparqlUnsupported`` with the construct named):
 sub-SELECT inside a GRAPH ?var block (the per-solution graph binding
@@ -1007,7 +1009,14 @@ class _Parser:
             elif val == "(":
                 self.next()
                 k0, v0 = self.peek()
-                if k0 == "word" and v0.upper() in _AGG_NAMES:
+                if (
+                    k0 == "word"
+                    and v0.upper() in _AGG_NAMES
+                    and self._direct_agg_ahead()
+                ):
+                    # bare '(AGG(...) AS ?v)': the aggregate IS the
+                    # projected column — keep the user alias as the agg
+                    # column name (HAVING/ORDER BY reference it directly)
                     agg = self._aggregate()
                     self.eat_word("AS")
                     k2, v2 = self.next()
@@ -1016,14 +1025,24 @@ class _Parser:
                     q["select"].append(v2[1:])
                 else:
                     # SELECT (expr AS ?v): a per-solution projection
-                    # expression — compiles as a trailing BIND
-                    expr = self.expression()
+                    # expression — compiles as a trailing BIND, or, when
+                    # it calls aggregates (registered as hidden agg
+                    # columns through the same sink HAVING uses), as a
+                    # post-aggregation column
+                    n_agg = len(q["agg"])
+                    prev_sink, self.agg_sink = self.agg_sink, q["agg"]
+                    try:
+                        expr = self.expression()
+                    finally:
+                        self.agg_sink = prev_sink
                     self.eat_word("AS")
                     k2, v2 = self.next()
                     if k2 != "var":
                         raise SparqlSyntaxError("SELECT (expr AS ?var)")
                     self.eat_op(")")
-                    q["select_exprs"].append((expr, v2[1:]))
+                    q["select_exprs"].append(
+                        (expr, v2[1:], len(q["agg"]) > n_agg)
+                    )
                     q["select"].append(v2[1:])
             else:
                 break
@@ -1089,6 +1108,27 @@ class _Parser:
             q["values"].append(self._values_block())
         q["meta_vars"] = self.meta_vars
         return q
+
+    def _direct_agg_ahead(self) -> bool:
+        """Lookahead (no consumption): does the aggregate call starting
+        at the current token end with 'AS' — i.e. '(AGG(...) AS ?v)'
+        rather than an expression like '(AGG(...) * 2 AS ?v)'?"""
+        j = self.i + 1  # past the aggregate name
+        if j >= len(self.toks) or self.toks[j][1] != "(":
+            return False
+        depth = 0
+        while j < len(self.toks):
+            tok = self.toks[j][1]
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+                if depth == 0:
+                    j += 1
+                    break
+            j += 1
+        nk, nv = self.toks[min(j, len(self.toks) - 1)]
+        return nk == "word" and nv.upper() == "AS"
 
     def _aggregate(self):
         name = self.next()[1].upper()
@@ -1455,6 +1495,8 @@ def _compile_select(pipe, q: dict, stage: str | None):
     if graph is None:
         graph = w["graph"]
     values = w["values"]
+    post_agg_exprs: list = []
+    deferred = False
 
     unions = w["unions"]
     pure_union = bool(unions) and not w["patterns"]
@@ -1497,24 +1539,38 @@ def _compile_select(pipe, q: dict, stage: str | None):
                     cond = cond & f(df)
                 return cond
         select = None if q["star"] else ["?" + v for v in q["select"]]
-        if q.get("order_agg"):
-            # ORDER BY keys reference hidden agg columns (__h*): keep the
-            # full aggregation output through the sort, project after.
-            # DISTINCT would have to apply to the projected rows BEFORE
-            # the sort — not expressible this way, so it stays named.
-            if q["distinct"]:
-                raise SparqlUnsupported("DISTINCT with aggregate ORDER BY")
-            select = None
         binds = list(w["binds"])
         if q["select_exprs"]:
-            # SELECT (expr AS ?v) binds per solution; with aggregates the
-            # expression would have to run post-grouping, which the BIND
-            # slot cannot express
             if q["agg"]:
-                raise SparqlUnsupported(
-                    "SELECT expression combined with aggregates"
-                )
-            binds.extend((e, "?" + v) for e, v in q["select_exprs"])
+                # SELECT expressions over aggregate results run
+                # post-grouping: their aggregate calls registered hidden
+                # agg columns at parse time, the expression itself
+                # becomes a plain column over the aggregation output
+                # (group keys are plain columns there). A NON-aggregate
+                # expression in an implicit-group query has no columns
+                # to read — spec-invalid, named here.
+                if q["group_by"] is None and any(
+                    not has_agg for _, _, has_agg in q["select_exprs"]
+                ):
+                    raise SparqlUnsupported(
+                        "non-aggregate SELECT expression combined with "
+                        "aggregates and no GROUP BY"
+                    )
+                post_agg_exprs = [(e, v) for e, v, _ in q["select_exprs"]]
+            else:
+                # no aggregation: a per-solution projection expression
+                # compiles as a trailing BIND
+                binds.extend((e, "?" + v) for e, v, _ in q["select_exprs"])
+        deferred = bool(q.get("order_agg") or post_agg_exprs)
+        if deferred:
+            # keep the full aggregation output (hidden __h columns, group
+            # keys) through the post-agg expressions and the sort; the
+            # projection runs after. DISTINCT would have to apply to the
+            # projected rows BEFORE an agg-keyed sort — that combination
+            # stays named.
+            if q["distinct"] and q.get("order_agg"):
+                raise SparqlUnsupported("DISTINCT with aggregate ORDER BY")
+            select = None
         frames = [_compile_select(pipe, sub, stage) for sub in w["subselects"]]
         groups = {
             key: [_resolve_subselects(pipe, x, stage) for x in w[key]]
@@ -1539,7 +1595,7 @@ def _compile_select(pipe, q: dict, stage: str | None):
             pipe,
             w["patterns"],
             select=select,
-            distinct=q["distinct"],
+            distinct=q["distinct"] and not deferred,
             stage=stage,
             optional=groups["optional"] or None,
             filter=filt,
@@ -1556,6 +1612,10 @@ def _compile_select(pipe, q: dict, stage: str | None):
             term_meta=frozenset(q.get("meta_vars") or ()),
             named_graphs=named,
         )
+    for e, v in post_agg_exprs:
+        # post-aggregation SELECT expressions (aggregate calls read
+        # their hidden __h columns; group keys are plain columns)
+        out = out.withColumn(v, e(out) if callable(e) else e)
     for var_names, rows in q["values"]:
         # trailing VALUES joins the QUERY result (SPARQL rule [28] —
         # after projection), so it sees the projected columns. Bound
@@ -1567,14 +1627,17 @@ def _compile_select(pipe, q: dict, stage: str | None):
         out, _ = join_values(
             out, list(var_names), rows, set(out.columns)
         )
-    if q["order"]:
+
+    def _sort(df):
         # one orderBy with ALL keys: chaining orderBy calls would re-sort
         # from scratch each time, dropping every earlier (secondary) key
-        sort_cols = [
-            (e(out).desc() if desc else e(out).asc()) for e, desc in q["order"]
-        ]
-        out = out.orderBy(*sort_cols)
-    if q.get("order_agg"):
+        return df.orderBy(*[
+            (e(df).desc() if desc else e(df).asc()) for e, desc in q["order"]
+        ])
+
+    if q["order"] and not (deferred and q["distinct"]):
+        out = _sort(out)
+    if deferred:
         # the deferred projection (hidden __h sort keys drop here; a bare
         # projection preserves the sort order)
         out = (
@@ -1582,6 +1645,13 @@ def _compile_select(pipe, q: dict, stage: str | None):
             if not q["star"]
             else out.drop(*[c for c in out.columns if c.startswith("__h")])
         )
+        if q["distinct"]:
+            # DISTINCT applies to the projected rows; an ORDER BY (plain
+            # alias keys only — agg keys were rejected above) re-sorts
+            # the distinct output
+            out = out.distinct()
+            if q["order"]:
+                out = _sort(out)
     if q["offset"]:
         out = out.offset(q["offset"])
     if q["limit"] is not None:

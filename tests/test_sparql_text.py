@@ -1553,3 +1553,37 @@ def test_order_by_aggregate_distinct_named_unsupported(oddeven):
             """SELECT DISTINCT ?t WHERE { ?s a ?t }
             GROUP BY ?t ORDER BY COUNT(?s)""",
         )
+
+
+# -- round-4c: SELECT expressions over aggregates ---------------------------
+
+
+def test_select_expression_over_aggregate(oddeven):
+    out = sparql_query(
+        oddeven,
+        """SELECT ?t (COUNT(?s) * 2 AS ?d) WHERE { ?s a ?t } GROUP BY ?t""",
+    )
+    assert {(r.t, r.d) for r in out.collect()} == {
+        (EX + "even", 100), (EX + "odd", 98)
+    }
+    assert out.columns == ["t", "d"]
+
+
+def test_select_expression_implicit_group(oddeven):
+    """An aggregate SELECT expression without GROUP BY aggregates the
+    whole solution set (SPARQL's implicit single group)."""
+    out = sparql_query(
+        oddeven, """SELECT (COUNT(?s) + 1 AS ?c) WHERE { ?s a ?t }"""
+    )
+    assert [r.c for r in out.collect()] == [100]
+
+
+def test_select_expression_over_group_key_and_agg(oddeven):
+    out = sparql_query(
+        oddeven,
+        """SELECT (CONCAT(?t, "!") AS ?x) (COUNT(?s) AS ?n)
+        WHERE { ?s a ?t } GROUP BY ?t ORDER BY DESC(?n)""",
+    )
+    assert [(r.x, r.n) for r in out.collect()] == [
+        (EX + "even!", 50), (EX + "odd!", 49)
+    ]
