@@ -73,7 +73,10 @@ CONSTRUCT/DESCRIBE breadth: ``DESCRIBE *`` (every WHERE-bound variable),
 UNION inside ASK/CONSTRUCT/DESCRIBE WHERE groups (pure or mixed with
 required patterns), sequence paths in CONSTRUCT templates (``?s p1/p2
 ?o`` chains through fresh per-solution blank nodes), blank nodes in
-CONSTRUCT templates (fresh per solution, SPARQL §16.2.1).
+CONSTRUCT templates (fresh per solution, SPARQL §16.2.1), and the
+``CONSTRUCT WHERE { ... }`` shorthand (§16.2.4 — the plain-BGP WHERE
+group doubles as the template; modifiers/GRAPH/paths rejected by name
+per the grammar).
 
 Modifier groups nest: OPTIONAL/MINUS/EXISTS bodies and UNION branches
 are full sub-groups with their own OPTIONAL/MINUS/EXISTS/FILTER/BIND/
@@ -939,6 +942,40 @@ class _Parser:
 
     def construct_query(self) -> dict:
         self.eat_word("CONSTRUCT")
+        if self.peek()[1] != "{":
+            # CONSTRUCT WHERE { ... } shorthand (SPARQL §16.2.4): the
+            # WHERE group doubles as the template. The group must be a
+            # plain BGP (triples only — the grammar forbids FILTER/
+            # OPTIONAL/GRAPH/paths there); path patterns are rejected by
+            # the same template expansion below.
+            q = {"form": "construct", "template": None, "graph": None,
+                 "limit": None, "offset": None}
+            self._dataset_clause(q)
+            self.eat_word("WHERE")
+            q["where"] = self.group()
+            w = q["where"]
+            extras = [k for k in _SUBGROUP_KEYS[1:] if w[k]]
+            if extras:
+                raise SparqlUnsupported(
+                    f"CONSTRUCT WHERE shorthand with {extras}"
+                )
+            for pat in w["patterns"]:
+                if len(pat) > 3 and pat[3] is not None:
+                    raise SparqlUnsupported(
+                        "GRAPH inside CONSTRUCT WHERE shorthand"
+                    )
+                if not isinstance(pat[1], str):
+                    raise SparqlUnsupported(
+                        "property path in CONSTRUCT WHERE shorthand"
+                    )
+            q["template"] = [tuple(pat[:3]) for pat in w["patterns"]]
+            if self.at_word("LIMIT"):
+                self.next()
+                q["limit"] = self.int_modifier("LIMIT")
+            if self.at_word("OFFSET"):
+                self.next()
+                q["offset"] = self.int_modifier("OFFSET")
+            return q
         template: list = []
         self.eat_op("{")
         while self.peek()[1] != "}":

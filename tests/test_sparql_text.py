@@ -1587,3 +1587,33 @@ def test_select_expression_over_group_key_and_agg(oddeven):
     assert [(r.x, r.n) for r in out.collect()] == [
         (EX + "even!", 50), (EX + "odd!", 49)
     ]
+
+
+# -- round-4c: CONSTRUCT WHERE shorthand ------------------------------------
+
+
+def test_construct_where_shorthand(oddeven):
+    out = sparql_query(
+        oddeven, f"PREFIX rdfs: <{RDFS}> CONSTRUCT WHERE {{ ?s rdfs:label ?l }}"
+    )
+    rows = out.collect()
+    assert len(rows) == 99
+    assert all(r.predicate == RDFS + "label" for r in rows)
+    one = [r for r in rows if r.subject == EX + "i7"]
+    assert [(r.subject, r.object) for r in one] == [(EX + "i7", "7")]
+
+
+def test_construct_where_shorthand_limit(oddeven):
+    out = sparql_query(
+        oddeven, "CONSTRUCT WHERE { ?s ?p ?o } LIMIT 5"
+    )
+    assert len(out.collect()) == 5
+
+
+def test_construct_where_shorthand_narrowings():
+    with pytest.raises(SparqlUnsupported, match="shorthand"):
+        parse_sparql(
+            "CONSTRUCT WHERE { ?s <http://p> ?o FILTER(?o > 3) }"
+        )
+    with pytest.raises(SparqlUnsupported, match="shorthand"):
+        parse_sparql("CONSTRUCT WHERE { ?s <http://p>+ ?o }")
