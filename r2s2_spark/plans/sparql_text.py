@@ -17,7 +17,9 @@ Supported surface (SPARQL 1.1):
 - prologue: ``PREFIX``, ``BASE``
 - ``SELECT [DISTINCT] ?v ... | * | (AGG(...) AS ?v)`` with COUNT / SUM /
   AVG / MIN / MAX / SAMPLE / GROUP_CONCAT(?v; SEPARATOR="...")
-  (+ DISTINCT inside COUNT/GROUP_CONCAT), ``GROUP BY``, ``HAVING``
+  (+ DISTINCT inside COUNT/GROUP_CONCAT), ``GROUP BY`` (vars and
+  ``(expr [AS ?v])`` conditions — the expression binds per solution
+  before grouping), ``HAVING``
   (aggregates compile to hidden agg columns; GROUP_CONCAT sorts its
   operands and SAMPLE picks MIN — deterministic choices the spec leaves
   open)
@@ -1091,8 +1093,29 @@ class _Parser:
             self.next()
             self.eat_word("BY")
             q["group_by"] = []
-            while self.peek()[0] == "var":
-                q["group_by"].append("?" + self.next()[1][1:])
+            while True:
+                if self.peek()[0] == "var":
+                    q["group_by"].append("?" + self.next()[1][1:])
+                elif self.peek()[1] == "(":
+                    # GROUP BY (expr [AS ?v]): the group expression
+                    # evaluates per solution — exactly a BIND before the
+                    # aggregation (hidden __g var when no alias given)
+                    self.next()
+                    expr = self.expression()
+                    if self.at_word("AS"):
+                        self.next()
+                        k2, v2 = self.next()
+                        if k2 != "var":
+                            raise SparqlSyntaxError("GROUP BY (expr AS ?var)")
+                        var = v2[1:]
+                    else:
+                        self.hidden += 1
+                        var = f"__g{self.hidden}"
+                    self.eat_op(")")
+                    q["where"]["binds"].append((expr, "?" + var))
+                    q["group_by"].append("?" + var)
+                else:
+                    break
         if self.at_word("HAVING"):
             self.next()
             # aggregate calls inside the HAVING expression register hidden

@@ -1617,3 +1617,43 @@ def test_construct_where_shorthand_narrowings():
         )
     with pytest.raises(SparqlUnsupported, match="shorthand"):
         parse_sparql("CONSTRUCT WHERE { ?s <http://p>+ ?o }")
+
+
+# -- round-4c: GROUP BY expressions -----------------------------------------
+
+
+def test_group_by_expression_with_alias(oddeven):
+    """Group by a computed key: label length (1 digit vs 2 digits)."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?w (COUNT(?s) AS ?n) WHERE {{ ?s rdfs:label ?l }}
+        GROUP BY (STRLEN(?l) AS ?w) ORDER BY ?w""",
+    )
+    assert [(r.w, r.n) for r in out.collect()] == [(1, 9), (2, 90)]
+
+
+def test_group_by_expression_hidden(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT (COUNT(?s) AS ?n) WHERE {{ ?s rdfs:label ?l }}
+        GROUP BY (STRLEN(?l)) ORDER BY ?n""",
+    )
+    assert [r.n for r in out.collect()] == [9, 90]
+    assert out.columns == ["n"]
+
+
+def test_group_by_expression_mixed_with_var(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?t ?w (COUNT(?s) AS ?n) WHERE {{
+          ?s a ?t ; rdfs:label ?l
+        }} GROUP BY ?t (STRLEN(?l) AS ?w) ORDER BY ?t ?w""",
+    )
+    # odd i are ex:even: 1-digit odds 1,3,5,7,9 -> 5; even class 2-digit 45
+    assert [(r.t, r.w, r.n) for r in out.collect()] == [
+        (EX + "even", 1, 5), (EX + "even", 2, 45),
+        (EX + "odd", 1, 4), (EX + "odd", 2, 45),
+    ]
