@@ -49,8 +49,14 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from .r2rml import _decode_encoded, _merged_presence_filter, _term_exprs
+
+
+class SparqlCompileError(Exception):
+    """A group compiled to a plan the engine cannot express — named, so
+    callers can distinguish it from engine bugs."""
 
 
 @dataclass(frozen=True)
@@ -583,16 +589,44 @@ def _group_patterns(g):
         yield from g
 
 
+class _JoinScope:
+    """Duck-typed frame facade for compiling a FILTER as a JOIN
+    CONDITION over the two sides of an OPTIONAL/EXISTS join (SPARQL's
+    LeftJoin(Ω1, Ω2, expr) form): variable names bound by the GROUP side
+    resolve to its (renamed) columns, everything else to the outer side.
+    Filter lambdas only ever use ``df[name]`` and ``df.columns`` — both
+    provided here."""
+
+    def __init__(self, outer_cols: list, rename: dict):
+        self._outer = list(outer_cols)
+        self._ren = dict(rename)
+
+    @property
+    def columns(self):
+        seen = dict.fromkeys([*self._ren, *self._outer])
+        return list(seen)
+
+    def __getitem__(self, name):
+        return F.col(self._ren.get(name, name))
+
+
 def _group_frame(
     catalog, reader, dicts, g, graph=None,
-    term_meta: frozenset = frozenset(), named=None,
+    term_meta: frozenset = frozenset(), named=None, deferred=None,
 ) -> tuple[DataFrame, set]:
     """Compile a modifier group — OPTIONAL/MINUS/EXISTS body or a UNION
     branch — to its solution frame. A plain pattern list compiles through
     ``_join_patterns`` (the bare-BGP fast path); a sub-group dict carries
     its own modifiers (nested OPTIONAL/MINUS/EXISTS, FILTER, BIND,
     VALUES, UNION blocks) and compiles through ``bgp`` RECURSIVELY —
-    SPARQL's GroupGraphPattern algebra, one frame per group."""
+    SPARQL's GroupGraphPattern algebra, one frame per group.
+
+    ``deferred``: a list, or None. Group FILTERs normally apply to the
+    group's OWN solutions; one that references variables bound only
+    OUTSIDE the group cannot (unresolved column). With ``deferred`` a
+    list, such filters are appended to it for the caller to compile into
+    the join condition (the spec's LeftJoin/EXISTS correlation); with
+    None they raise a named ``SparqlUnsupported``."""
     if not isinstance(g, dict):
         return _join_patterns(catalog, reader, dicts, g, graph, term_meta, named)
     # pre-compiled solution frames (sub-SELECTs inside the group — the
@@ -606,18 +640,9 @@ def _group_frame(
         )
         for block in g.get("unions") or []
     ]
-    filters = g.get("filters") or []
-    filt = None
-    if filters:
-        def filt(df, fs=filters):  # noqa: E731
-            cond = fs[0](df)
-            for f in fs[1:]:
-                cond = cond & f(df)
-            return cond
     df = bgp(
         catalog, reader, dicts, g.get("patterns") or [],
         optional=g.get("optional") or None,
-        filter=filt,
         graph=graph,
         minus=g.get("minus") or None,
         exists=g.get("exists") or None,
@@ -629,6 +654,16 @@ def _group_frame(
         named_graphs=named,
         keep_meta=True,
     )
+    for f in g.get("filters") or []:
+        try:
+            df = df.where(f(df) if callable(f) else f)
+        except AnalysisException:
+            if deferred is None:
+                raise SparqlCompileError(
+                    "FILTER references variables bound outside its group "
+                    "(supported for OPTIONAL and EXISTS groups only)"
+                ) from None
+            deferred.append(f)
     return df, {c for c in df.columns if not c.startswith(META_PREFIXES)}
 
 
@@ -791,8 +826,10 @@ def bgp(
             names = [v[1:] if v.startswith("?") else v for v in var_names]
             out, bound = join_values(out, names, rows, bound)
     for group in optional or []:
+        defr: list = []
         g, g_vars = _group_frame(
-            catalog, reader, dicts, group, graph, term_meta, named_graphs
+            catalog, reader, dicts, group, graph, term_meta, named_graphs,
+            deferred=defr,
         )
         dup_meta = [
             c for c in g.columns
@@ -801,7 +838,30 @@ def bgp(
         if dup_meta:
             g = g.drop(*dup_meta)
         shared = sorted(bound & g_vars)
-        if shared:
+        if defr:
+            # LeftJoin(Ω1, Ω2, expr) — the group FILTER references outer
+            # variables, so it becomes part of the JOIN CONDITION: rows
+            # failing it keep the required solution with the group's
+            # variables unbound (NOT eliminated, unlike a post-join
+            # FILTER). Group columns are renamed unique so the condition
+            # can reference both sides by plain name.
+            ren = {c: f"__opt_{c}" for c in g.columns}
+            right = g.select([F.col(c).alias(ren[c]) for c in g.columns])
+            scope = _JoinScope(out.columns, ren)
+            cond = F.lit(True)
+            for c in shared:
+                cond = cond & (F.col(c) == F.col(ren[c]))
+            for f in defr:
+                cond = cond & (f(scope) if callable(f) else f)
+            out = out.join(right, cond, "left").select(
+                *out.columns,
+                *[
+                    F.col(ren[c]).alias(c)
+                    for c in g.columns
+                    if c not in out.columns
+                ],
+            )
+        elif shared:
             # SPARQL OPTIONAL multiplies matching solutions, so the plain
             # left join (no dedupe of the optional side) IS the semantics
             out = out.join(g, on=shared, how="left")
@@ -827,11 +887,29 @@ def bgp(
         # a solution with no variable in common is not "compatible")
     for want, groups in ((True, exists or []), (False, not_exists or [])):
         for group in groups:
+            defr = []
             g, g_vars = _group_frame(
-                catalog, reader, dicts, group, graph, named=named_graphs
+                catalog, reader, dicts, group, graph, named=named_graphs,
+                deferred=defr,
             )
             shared = sorted(bound & g_vars)
-            if shared:
+            if defr:
+                # correlated [NOT] EXISTS (SPARQL §8.1.2: the group
+                # evaluates under the outer solution's bindings): the
+                # outer-referencing FILTER joins as the semi/anti
+                # condition alongside the shared-variable equalities
+                ren = {c: f"__ex_{c}" for c in g.columns}
+                right = g.select([F.col(c).alias(ren[c]) for c in g.columns])
+                scope = _JoinScope(out.columns, ren)
+                cond = F.lit(True)
+                for c in shared:
+                    cond = cond & (F.col(c) == F.col(ren[c]))
+                for f in defr:
+                    cond = cond & (f(scope) if callable(f) else f)
+                out = out.join(
+                    right, cond, "left_semi" if want else "left_anti"
+                )
+            elif shared:
                 out = out.join(
                     g.select(*shared).distinct(),
                     on=shared,

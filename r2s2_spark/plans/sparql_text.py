@@ -84,11 +84,14 @@ Modifier groups nest: OPTIONAL/MINUS/EXISTS bodies and UNION branches
 are full sub-groups with their own OPTIONAL/MINUS/EXISTS/FILTER/BIND/
 VALUES/UNION and sub-SELECTs (compiled recursively,
 ``plans/sparql._group_frame``; sub-SELECTs pre-compile to solution
-frames, ``_resolve_subselects``); a FILTER inside such a group applies
-to the group's own solutions before the outer join (a documented
-narrowing of the LeftJoin-condition form for filters referencing outer
-variables). Sub-SELECTs also work inside GRAPH blocks with a CONSTANT
-scope (the subquery's WHERE evaluates in that graph).
+frames, ``_resolve_subselects``). A FILTER inside such a group applies
+to the group's own solutions; one that references variables bound only
+OUTSIDE the group compiles as the JOIN CONDITION for OPTIONAL (the
+spec's LeftJoin(Ω1, Ω2, expr) — failing rows keep the required solution
+with the group unbound) and for (NOT) EXISTS (§8.1.2 correlation); in
+MINUS or a UNION branch it stays a named error (§8.3: MINUS evaluates
+independently). Sub-SELECTs also work inside GRAPH blocks with a
+CONSTANT scope (the subquery's WHERE evaluates in that graph).
 
 Aggregates work inside ORDER BY keys (``ORDER BY DESC(COUNT(?s))`` —
 hidden agg columns kept through the sort, projected after), except
@@ -128,6 +131,7 @@ from .sparql import (
     PathPlus,
     PathSeq,
     PathStar,
+    SparqlCompileError,
     bgp,
     bgp_union,
 )
@@ -140,8 +144,13 @@ _AGG_NAMES = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
 UNDEF = None
 
 
-class SparqlUnsupported(Exception):
-    """Query uses a construct outside the supported subset."""
+class SparqlUnsupported(SparqlCompileError):
+    """Query uses a construct outside the supported subset.
+
+    Subclasses ``sparql.SparqlCompileError`` so compile-time narrowings
+    raised below the parser (e.g. a MINUS-group FILTER referencing outer
+    variables) are caught by the same ``except SparqlUnsupported``-style
+    handlers users already write against ``SparqlCompileError``."""
 
 
 class SparqlSyntaxError(Exception):

@@ -1657,3 +1657,65 @@ def test_group_by_expression_mixed_with_var(oddeven):
         (EX + "even", 1, 5), (EX + "even", 2, 45),
         (EX + "odd", 1, 4), (EX + "odd", 2, 45),
     ]
+
+
+# -- round-4c: outer-variable FILTERs (LeftJoin condition / correlated EXISTS)
+
+
+def test_optional_filter_referencing_outer_var(oddeven):
+    """SPARQL's LeftJoin(P1, P2, expr): the FILTER inside OPTIONAL reads
+    ?l bound OUTSIDE the group, so it joins as the LEFT JOIN CONDITION —
+    failing rows keep the required solution with ?t unbound (NOT
+    eliminated)."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l ?t WHERE {{
+          ?s rdfs:label ?l .
+          OPTIONAL {{ ?s a ?t FILTER(?l <= 3) }}
+        }}""",
+    )
+    rows = out.collect()
+    assert len(rows) == 99
+    bound = sorted(r.s for r in rows if r.t is not None)
+    assert bound == [EX + "i1", EX + "i2", EX + "i3"]
+
+
+def test_exists_filter_referencing_outer_var(oddeven):
+    """Correlated EXISTS (SPARQL §8.1.2): the group evaluates under the
+    outer solution's bindings."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          ?s rdfs:label ?l
+          FILTER EXISTS {{ ?s a ?t FILTER(?l = 7) }}
+        }}""",
+    )
+    assert [r.s for r in out.collect()] == [EX + "i7"]
+    neg = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          ?s rdfs:label ?l
+          FILTER NOT EXISTS {{ ?s a ?t FILTER(?l = 7) }}
+        }}""",
+    )
+    assert len(neg.collect()) == 98
+
+
+def test_minus_outer_filter_named_error(oddeven):
+    """MINUS evaluates independently (§8.3) — an outer-variable FILTER
+    inside it is a clearly named error, not an unresolved-column
+    crash."""
+    from r2s2_spark.plans.sparql import SparqlCompileError
+
+    with pytest.raises(SparqlCompileError, match="outside its group"):
+        sparql_query(
+            oddeven,
+            f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+            SELECT ?s WHERE {{
+              ?s rdfs:label ?l
+              MINUS {{ ?s a ?t FILTER(?l = 7) }}
+            }}""",
+        ).collect()
