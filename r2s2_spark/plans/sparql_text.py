@@ -55,8 +55,8 @@ FILTER/BIND expression subset: ``|| && !``, comparisons (numeric when one
 side is a numeric literal — lexical values try_cast to double; string
 equality otherwise), ``IN`` / ``NOT IN`` lists, arithmetic, ``BOUND
 CONTAINS STRSTARTS STRENDS STRBEFORE STRAFTER REPLACE STRLEN UCASE
-LCASE CONCAT SUBSTR REGEX COALESCE IF``, hashes ``MD5 SHA1 SHA256
-SHA384 SHA512``, ``ENCODE_FOR_URI``, the xsd:dateTime component
+LCASE CONCAT SUBSTR REGEX COALESCE IF SAMETERM``, hashes ``MD5 SHA1
+SHA256 SHA384 SHA512``, ``ENCODE_FOR_URI``, the xsd:dateTime component
 accessors ``YEAR MONTH DAY HOURS MINUTES SECONDS TZ`` (read from the
 LEXICAL form — the literal's own timezone is never shifted), ``IRI()/
 URI()`` (RFC 3986 §5.3 merge against the prologue BASE, dot-segments
@@ -1302,6 +1302,12 @@ def _compile_function(name: str, args: list, base: str = ""):
         "ROUND": F.round,
         "COALESCE": F.coalesce,
         "IF": F.when,  # handled below
+        # term identity on stored lexical forms: NO numeric lifting (the
+        # difference from '=' — sameTerm("1", "1.0") is false while
+        # FILTER(?x = 1) lifts); term kind/lang/datatype distinctions
+        # beyond the lexical form follow the engine's documented
+        # lexical-join narrowing
+        "SAMETERM": lambda a, b: a == b,
     }
     if name == "STRBEFORE":
         def strbefore(df):

@@ -1719,3 +1719,12 @@ def test_minus_outer_filter_named_error(oddeven):
               MINUS {{ ?s a ?t FILTER(?l = 7) }}
             }}""",
         ).collect()
+
+
+def test_sameterm(oddeven):
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{ ?s rdfs:label ?l FILTER(SAMETERM(?l, "7")) }}""",
+    )
+    assert [r.s for r in out.collect()] == [EX + "i7"]
