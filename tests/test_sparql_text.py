@@ -1728,3 +1728,23 @@ def test_sameterm(oddeven):
         SELECT ?s WHERE {{ ?s rdfs:label ?l FILTER(SAMETERM(?l, "7")) }}""",
     )
     assert [r.s for r in out.collect()] == [EX + "i7"]
+
+
+def test_optional_outer_filter_plan_uses_equi_join(oddeven):
+    """The LeftJoin-condition form must keep the shared variable as the
+    HASH JOIN KEY with the outer-var filter as a residual condition — a
+    BroadcastNestedLoopJoin here would be quadratic at KG scale."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l ?t WHERE {{
+          ?s rdfs:label ?l .
+          OPTIONAL {{ ?s a ?t FILTER(?l <= 3) }}
+        }}""",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        kind in plan
+        for kind in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
