@@ -1,21 +1,31 @@
 """Similarity search (ANN) over an embedding column.
 
-Two strategies (SURVEY.md §2 extension):
+Three strategies (SURVEY.md §2 extension):
 - brute-force cosine top-k: the correctness baseline. A broadcast of the
   query vector + one projection + one top-k — no shuffle except the final
   k-row ordering.
-- hyperplane-bucket (IVF/LSH-style) top-k: the scale path. Candidates are
+- hyperplane-bucket (LSH) top-k: data-independent cells. Candidates are
   restricted to the query's random-hyperplane sign bucket (2^n_bits
   balanced cells; Rademacher projections mix all dimensions), optionally
   widened to flip-1-bit neighbor buckets (multi-probe); recall < 1 by
   construction, latency O(n_probes * n / 2^bits).
+- IVF (inverted file) top-k: DATA-DEPENDENT cells from a deterministic
+  k-means coarse quantizer (seeded driver-side Lloyd iterations over a
+  bounded sample — the full-data pass is only the one-projection
+  assignment). Queries rank centroids by similarity and probe the top
+  ``n_probes`` cells. IVF cells follow the data distribution, so recall
+  at equal probe budget beats data-independent hashing on clustered
+  embeddings — the standard trade (FAISS IVF-Flat; training cost +
+  centroid shipping vs. hash-only).
 
-At 100 TB the bucket column is a partition key: bucket pruning turns a
+At 100 TB the cell/bucket column is a partition key: pruning turns a
 full scan into a handful of partitions. Ties are broken on (rounded
 similarity desc, id asc) so results are deterministic across engines.
 """
 
 from __future__ import annotations
+
+import json
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -151,6 +161,176 @@ def cosine_topk_bucketed(
             & (F.col(id_col) != query_id)
         )
         .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# --- IVF: deterministic k-means coarse quantizer ---------------------------
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer for IVF. Training runs DRIVER-SIDE
+    over a BOUNDED sample (``sample`` rows — the ``takeOrdered`` by
+    xxhash64(id) is a deterministic pseudo-random sample costing one
+    scan + a top-k, no shuffle of the data itself); a FIXED number of
+    Lloyd iterations from deterministic seeds (the ``n_cells`` lowest-
+    hash sample rows) makes the centroids reproducible across runs and
+    engines — no convergence-dependent nondeterminism. Centroids are
+    L2-normalized so cosine ranking reduces to a dot product.
+
+    Empty cells re-seed to the sample vector FARTHEST from its assigned
+    centroid (deterministic, classic k-means++-style repair)."""
+    import numpy as np
+
+    rows = (
+        emb.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+        .withColumn("sh", F.xxhash64(F.col("sid").cast("string")))
+        .orderBy("sh", "sid")
+        .limit(sample)
+        .collect()
+    )
+    if len(rows) < n_cells:
+        raise ValueError(
+            f"IVF needs >= n_cells sample vectors ({len(rows)} < {n_cells})"
+        )
+    X = np.array([[float(x) for x in r.sv] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_cells].copy()
+    for _ in range(iters):
+        sims = X @ C.T                     # (n, k) cosine on normalized
+        assign = np.argmax(sims, axis=1)   # first max wins: deterministic
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+            else:
+                worst = int(np.argmin(np.max(sims, axis=1)))
+                C[j] = X[worst]
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return [[float(x) for x in c] for c in C]
+
+
+def _cell_expr(centroids: list[list[float]], vec_col: str):
+    """argmax-similarity cell id as ONE Catalyst expression: an array of
+    dot products + array_position of the max (first max wins — the same
+    tie rule as the numpy argmax in training). Cosine == dot because the
+    centroids are normalized and cosine_similarity normalizes the row
+    side. Plan size is O(n_cells * dim) literals — fine to a few hundred
+    cells; past that, assign through an Arrow matmul
+    (functions/hashing.py embedding fast-path pattern) instead."""
+    dots = F.array(*[
+        hashing.cosine_similarity(
+            F.col(vec_col), F.array(*[F.lit(x) for x in c])
+        )
+        for c in centroids
+    ])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def _rank_cells(centroids: list[list[float]], query_vec: list[float]) -> list[int]:
+    """Cell ids by centroid similarity to the query, best first
+    (driver-side — n_cells values, ties by cell id)."""
+    import numpy as np
+
+    q = np.array(query_vec, dtype=np.float64)
+    q /= max(float(np.linalg.norm(q)), 1e-12)
+    sims = np.array(centroids, dtype=np.float64) @ q
+    return [int(i) for i in np.lexsort((np.arange(len(sims)), -sims))]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probes: int = 2,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k without a materialized index: assign-on-the-fly (one
+    projection), probe the ``n_probes`` cells whose centroids are most
+    similar to the query, brute-force within. ``n_probes == n_cells``
+    probes everything — EXACT top-k (the driver-gated configuration; the
+    partial-probe recall trade is pytest-golden)."""
+    if centroids is None:
+        centroids = kmeans_centroids(
+            emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        )
+    q = _query_vec(emb, query_id, id_col, vec_col)
+    probes = _rank_cells(centroids, q)[:n_probes]
+    q_lit = F.array(*[F.lit(x) for x in q])
+    sim = F.round(hashing.cosine_similarity(F.col(vec_col), q_lit), 4)
+    return (
+        emb.where(F.col(id_col) != query_id)
+        .where(_cell_expr(centroids, vec_col).isin(probes))
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the IVF cell as a PARTITION KEY (same layout contract
+    as :func:`build_ann_index`): partitionBy(cell) parquet + the trained
+    centroids as JSON beside it (vocabulary-sized — n_cells * dim
+    floats), so queries rank cells without retraining. Returns the
+    centroids."""
+    centroids = kmeans_centroids(
+        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    (
+        emb.withColumn("cell", _cell_expr(centroids, vec_col))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(json.dumps(centroids),)], "centroids string"
+    ).coalesce(1).write.mode("overwrite").json(path + "_centroids")
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id=None,
+) -> DataFrame:
+    """Top-k over a :func:`build_ivf_index` dataset: the probed cells are
+    a partition-column predicate — Spark lists and reads ONLY those cell
+    directories (PartitionFilters, plan-asserted in tests)."""
+    centroids = json.loads(
+        spark.read.json(path + "_centroids").first().centroids
+    )
+    probes = _rank_cells(centroids, query_vec)[:n_probes]
+    q_lit = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(hashing.cosine_similarity(F.col(vec_col), q_lit), 4)
+    df = spark.read.parquet(path).where(F.col("cell").isin(probes))
+    if exclude_id is not None:
+        df = df.where(F.col(id_col) != exclude_id)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )

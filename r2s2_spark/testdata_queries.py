@@ -886,6 +886,27 @@ def ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+@q(
+    "ivf_cosine_topk",
+    f"""
+    SELECT vec_id, ROUND({_COS}, 4) AS cosine
+    FROM embeddings WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def ivf_cosine_topk(spark, sf_dir):
+    """IVF (k-means coarse quantizer) ANN, gated END-TO-END in its exact
+    configuration: n_probes == n_cells probes every cell, so the full
+    machinery (deterministic seeded training, argmax cell assignment,
+    centroid ranking, within-cell top-k) must reproduce brute force
+    bit-for-bit — the SQL oracle. The partial-probe recall trade and the
+    partition-pruned index layout are pytest-golden
+    (tests/test_entry_queries.py ivf section)."""
+    return similarity.ivf_topk(
+        t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_cells=8, n_probes=8
+    )
+
+
 # the synthetic embeddings are 64-dim at every SF (TESTDATA.md)
 _EMB_DIM = 64
 _ANN_PLANES = hashing.rademacher_planes(8, _EMB_DIM, band=0)
