@@ -140,6 +140,7 @@ HEADLINE_QUERIES = [
     "embedding_near_duplicates",
     "ann_cosine_topk",
     "ann_cosine_topk_bucketed",
+    "ivf_cosine_topk",
     "text_stats",
 ]
 
@@ -179,15 +180,26 @@ def run_many_tables_layout(spark) -> dict:
         pipe.stage_e(src)
         pipe.stage_d()
         pipe.stage_v()
+        # Spark job COUNT per stage (AppStatusStore delta): the round-5
+        # write fusion makes this sub-linear in table count — the r4
+        # design ran ~2 jobs per table (footer inference + write) on top
+        # of the fixed jobs, i.e. >= 128 extra at 64 tables
+        store = spark.sparkContext._jsc.sc().statusStore()
+        j0 = store.jobsList(None).size()
         t0 = time.time()
         pipe.stage_o()
         t_o = time.time() - t0
+        jobs_o = store.jobsList(None).size() - j0
+        j0 = store.jobsList(None).size()
         t0 = time.time()
         pipe.stage_m()
         t_m = time.time() - t0
+        jobs_m = store.jobsList(None).size() - j0
         return {
             "stage_o_64tables_sec": round(t_o, 3),
             "stage_m_64tables_sec": round(t_m, 3),
+            "stage_o_64tables_jobs": jobs_o,
+            "stage_m_64tables_jobs": jobs_m,
             # per-pass attribution (pipeline.TIMINGS): which pass moved
             # when a stage total drifts between rounds
             "stage_passes_64tables_sec": {
@@ -196,6 +208,48 @@ def run_many_tables_layout(spark) -> dict:
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def run_dedup_scale_twin(spark, sf_dir: str) -> dict:
+    """VERDICT r4 #7: the end-to-end dedup composite at ~sf1 (no sf1
+    parquet exists, so sf1 is SYNTHESIZED as 10 deterministic copies of
+    the sf0.1 documents with distinct ids — exact duplicates, the
+    worst-case cluster shape: every LSH bucket is 10x wider and the caps
+    genuinely bite). Reports wall time plus candidate-pair / duplicate
+    counts so a quadratic corner would be self-evident."""
+    from pyspark.sql import functions as F
+
+    from r2s2_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"), "text"
+        )
+        for i in range(10)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big = big.persist()
+    n_docs = big.count()
+    t0 = time.time()
+    sigs = dedup.minhash_signatures(big, k=4)
+    n_pairs = dedup.lsh_candidate_pairs(
+        sigs, k=4, rows_per_band=2, max_bucket=50
+    ).count()
+    clusters = dedup.duplicate_clusters(big, log_truncation=False)
+    n_dups = clusters.where(F.col("doc_id") != F.col("keep_id")).count()
+    dt = time.time() - t0
+    big.unpersist()
+    return {
+        "dedup_clusters_sf1_sec": round(dt, 3),
+        "dedup_clusters_sf1_docs": n_docs,
+        "dedup_clusters_sf1_pairs": n_pairs,
+        "dedup_clusters_sf1_dup_docs": n_dups,
+    }
 
 
 def bench_once(cpus: str, sf_dir: str, stages: str = "full") -> dict:
@@ -207,10 +261,57 @@ def bench_once(cpus: str, sf_dir: str, stages: str = "full") -> dict:
         kg = run_kg_load(spark, sf, stages)
         syn = run_syntax_throughput(spark, sf)
         wide = run_many_tables_layout(spark)
+        twin = run_dedup_scale_twin(spark, sf_dir)
         qs = run_queries(spark, sf_dir)
-        return {"sf": sf, **kg, **syn, **wide, "queries": qs}
+        return {"sf": sf, **kg, **syn, **wide, **twin, "queries": qs}
     finally:
         spark.stop()
+
+
+def _delta_vs_prev(out: dict) -> dict:
+    """Stage-attribution delta vs the PREVIOUS round's committed
+    BENCH_r{N}.json (VERDICT r4 #2: the committed artifact moved opposite
+    to the code once; a self-contained delta makes a host-phase drift
+    attributable in-artifact). Percent change per headline phase — a
+    uniform drift across phases is the host, a single phase moving is
+    the code."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prevs = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not prevs:
+        return {}
+    try:
+        with open(prevs[-1]) as f:
+            prev = json.load(f).get("parsed") or {}
+    except Exception:
+        return {}
+
+    def pct(new, old):
+        return round(100.0 * (new - old) / old, 1) if old else None
+
+    delta = {"prev_round": os.path.basename(prevs[-1])}
+    for key in (
+        "value", "kg_edv_sec", "kg_total_min", "kg_triples_per_sec",
+        "stage_o_64tables_sec", "stage_m_64tables_sec",
+        "parse_ntriples_stmts_per_sec",
+    ):
+        if key in out and key in prev:
+            delta[key + "_pct"] = pct(out[key], prev[key])
+    prev_passes = prev.get("stage_passes_64tables_sec") or {}
+    new_passes = out.get("stage_passes_64tables_sec") or {}
+    delta["stage_passes_pct"] = {
+        k: pct(new_passes[k], prev_passes[k])
+        for k in sorted(set(new_passes) & set(prev_passes))
+        if isinstance(prev_passes[k], (int, float))
+        and isinstance(new_passes[k], (int, float))
+        and not k.endswith(("merges", "reprobes"))
+    }
+    return delta
 
 
 # 20k files x 500 stmts = 10M triples: big enough that the ~8s fixed
@@ -328,6 +429,11 @@ def main() -> None:
         "kg_triples": r["kg_triples"],
         "kg_edv_sec": r["kg_edv_sec"],
         "kg_triples_per_sec": r["kg_triples_per_sec"],
+        # within-session best-of-N alongside the median (VERDICT r4 #2):
+        # the min is the stall-free capability of the CODE; a median far
+        # above its own min is a host artifact, not a regression
+        "kg_total_min": round(min(r["kg_total_runs"]), 3),
+        "kg_edv_min": r["kg_edv_min_sec"],
         "kg_edv_runs": r["kg_edv_runs"],
         "kg_total_runs": r["kg_total_runs"],
         "parse_ntriples_stmts_per_sec": r["parse_ntriples_stmts_per_sec"],
@@ -336,11 +442,18 @@ def main() -> None:
         "parse_turtle_vs_nt_ratio": r["parse_turtle_vs_nt_ratio"],
         "stage_o_64tables_sec": r["stage_o_64tables_sec"],
         "stage_m_64tables_sec": r["stage_m_64tables_sec"],
+        "stage_o_64tables_jobs": r["stage_o_64tables_jobs"],
+        "stage_m_64tables_jobs": r["stage_m_64tables_jobs"],
         "stage_passes_64tables_sec": r["stage_passes_64tables_sec"],
+        "dedup_clusters_sf1_sec": r["dedup_clusters_sf1_sec"],
+        "dedup_clusters_sf1_docs": r["dedup_clusters_sf1_docs"],
+        "dedup_clusters_sf1_pairs": r["dedup_clusters_sf1_pairs"],
+        "dedup_clusters_sf1_dup_docs": r["dedup_clusters_sf1_dup_docs"],
         "query_rows": {
             k[: -len("_rows")]: v for k, v in r["queries"].items() if k.endswith("_rows")
         },
     }
+    out["delta_vs_prev"] = _delta_vs_prev(out)
     print(json.dumps(out))
 
 

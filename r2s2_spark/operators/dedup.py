@@ -245,16 +245,35 @@ def duplicate_clusters(
     max_bucket: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    log_truncation: bool = True,
 ) -> DataFrame:
     """End-to-end corpus dedup map (doc_id, keep_id): MinHash-LSH blocked
     candidates -> exact token-Jaccard >= threshold edges -> connected
     components -> every document mapped to its cluster minimum (non-dups
     map to themselves). THE training-data dedup composite: downstream
     keeps ``WHERE doc_id = keep_id``. Every stage is the blocked/bounded
-    form (capped buckets, id-only joins, O(log n) CC rounds)."""
+    form (capped buckets, id-only joins, O(log n) CC rounds).
+
+    ``log_truncation``: when the bucket cap bites, emit one WARNING with
+    the measured recall loss (lsh_truncation_stats — no silent caps).
+    Costs one extra aggregation over the bands; pass False to skip."""
     from .components import connected_components
 
     sigs = minhash_signatures(docs, k=k, id_col=id_col, text_col=text_col)
+    if log_truncation:
+        ts = lsh_truncation_stats(
+            sigs, k=k, rows_per_band=rows_per_band,
+            id_col=id_col, max_bucket=max_bucket,
+        ).collect()[0]
+        if ts.n_buckets_truncated:
+            import logging
+
+            logging.getLogger("r2s2_spark.dedup").warning(
+                "LSH bucket cap (max_bucket=%d) truncated %d bucket(s), "
+                "dropping %d member row(s) — candidate recall is below "
+                "1.0; raise max_bucket or pre-filter boilerplate",
+                max_bucket, ts.n_buckets_truncated, ts.n_members_dropped,
+            )
     pairs = lsh_candidate_pairs(
         sigs, k=k, rows_per_band=rows_per_band, id_col=id_col, max_bucket=max_bucket
     )

@@ -202,18 +202,35 @@ def kmeans_centroids(
             f"IVF needs >= n_cells sample vectors ({len(rows)} < {n_cells})"
         )
     X = np.array([[float(x) for x in r.sv] for r in rows], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return _lloyd(X, n_cells, iters)
+
+
+def _lloyd(X, n_cells: int, iters: int) -> list[list[float]]:
+    """Fixed-iteration Lloyd over a normalized sample matrix (numpy-only,
+    driver-side). Separated from the Spark sampling so the empty-cell
+    repair rule is directly unit-testable."""
+    import numpy as np
+
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = X[:n_cells].copy()
     for _ in range(iters):
         sims = X @ C.T                     # (n, k) cosine on normalized
         assign = np.argmax(sims, axis=1)   # first max wins: deterministic
+        # empty-cell repair points: worst-fit sample rows, FARTHEST from
+        # their assigned centroid first, each used at most once per
+        # iteration — two empty cells in the same iteration reseed to
+        # DISTINCT vectors (same-point reseeds would stay duplicate
+        # centroids forever under first-max-wins assignment, silently
+        # shrinking the effective cell count)
+        repair_order = np.argsort(np.max(sims, axis=1), kind="stable")
+        repair_at = 0
         for j in range(n_cells):
             members = X[assign == j]
             if len(members):
                 C[j] = members.mean(axis=0)
             else:
-                worst = int(np.argmin(np.max(sims, axis=1)))
-                C[j] = X[worst]
+                C[j] = X[int(repair_order[repair_at])]
+                repair_at += 1
         C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     return [[float(x) for x in c] for c in C]
 

@@ -48,6 +48,20 @@ BROADCAST_DICT_MAX_BYTES = int(
     os.environ.get("R2S2_BROADCAST_DICT_MAX_BYTES", str(64 * 1024 * 1024))
 )
 
+#: stage O/M write fusion: tables at or below this row count are written
+#: in shared generic-schema partitionBy("t") batches instead of one Spark
+#: job each. At a real-KG vocabulary (10^4-10^5 predicate tables, one per
+#: predicate/kind/lang/datatype) the long tail is tiny tables whose
+#: per-table job submission latency — not their data — dominates the
+#: stage; batching makes driver job count sub-linear in table count.
+SMALL_TABLE_MAX_ROWS = int(
+    os.environ.get("R2S2_SMALL_TABLE_MAX_ROWS", "1000000")
+)
+#: bounds on one batch job, so a single batch never degenerates into a
+#: monster union plan (analyzer cost) or an oversized shuffle
+BATCH_MAX_TABLES = 1024
+BATCH_MAX_ROWS = 16_000_000
+
 
 #: wall-clock seconds of the most recent stage's internal passes, keyed
 #: "<stage>.<pass>" — populated by stage_o/stage_m for the bench harness
@@ -79,6 +93,92 @@ def _pooled_map(fn, items):
         max_workers=min(MAX_CONCURRENT_TABLE_JOBS, len(items))
     ) as ex:
         return list(ex.map(fn, items))
+
+
+def _write_batched(
+    spark: SparkSession,
+    pairs: list[tuple[TableSpec, DataFrame]],
+    abs_dir: str,
+    rel_dir: str,
+    pool: str | None = None,
+) -> dict[str, int]:
+    """Write many SMALL tables in a handful of Spark jobs instead of one
+    per table: tables are grouped by physical schema SHAPE (positional
+    Spark types), renamed to generic c0..cN columns, balanced-tree
+    unioned, and written as ONE partitionBy("t") job per group chunk —
+    so stage O/M driver job count is sub-linear in table count (the last
+    linear-in-vocabulary driver cost at 10^4-10^5 predicate tables).
+
+    Each member TableSpec gets ``path = {rel_dir}/{gid}/t={name}`` and
+    ``storage_columns`` = its real column names in storage order
+    (vertical.read_stored renames back on read). The repartition("t")
+    co-locates each table in one task, and the post-shuffle
+    sortWithinPartitions keeps the O1 clustering-sort contract the
+    per-branch sorts lose in the shuffle. Returns {name: row_count}
+    (missing = zero rows; an empty table writes no partition dir)."""
+    groups: dict[tuple, list] = {}
+    for t, out in pairs:
+        key = tuple(f.dataType.simpleString() for f in out.schema.fields)
+        groups.setdefault(key, []).append((t, out))
+    jobs: list[tuple[int, list]] = []
+    gid = 0
+    for key in sorted(groups, key=str):
+        chunk: list = []
+        chunk_rows = 0
+        for t, out in groups[key]:
+            chunk.append((t, out))
+            chunk_rows += t.row_count or 0
+            if len(chunk) >= BATCH_MAX_TABLES or chunk_rows >= BATCH_MAX_ROWS:
+                jobs.append((gid, chunk))
+                gid += 1
+                chunk, chunk_rows = [], 0
+        if chunk:
+            jobs.append((gid, chunk))
+            gid += 1
+
+    def write_one(job: tuple[int, list]) -> dict[str, int]:
+        g, chunk = job
+        if pool:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+        parts = []
+        for t, out in chunk:
+            names = list(out.columns)
+            t.storage_columns = names
+            t.path = f"{rel_dir}/{g}/t={t.name}"
+            parts.append(
+                out.select(
+                    F.lit(t.name).alias("t"),
+                    *[F.col(c).alias(f"c{i}") for i, c in enumerate(names)],
+                )
+            )
+        # balanced-tree union (left-deep chains are O(T^2) analyzer work)
+        while len(parts) > 1:
+            parts = [
+                parts[i].union(parts[i + 1]) if i + 1 < len(parts) else parts[i]
+                for i in range(0, len(parts), 2)
+            ]
+        u = parts[0]
+        data_cols = [c for c in u.columns if c != "t"]
+        dest = os.path.join(abs_dir, str(g))
+        (
+            u.repartition("t")
+            .sortWithinPartitions("t", *data_cols)
+            .write.mode("overwrite")
+            .partitionBy("t")
+            .parquet(dest)
+        )
+        return {
+            r["t"]: int(r["n"])
+            for r in spark.read.parquet(dest)
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    counts: dict[str, int] = {}
+    for got in _pooled_map(write_one, jobs):
+        counts.update(got)
+    return counts
 
 
 class KgPipeline:
@@ -308,16 +408,25 @@ class KgPipeline:
             TIMINGS["O.prep_wall"] = round(time.time() - t_prep, 3)
             t0 = time.time()
 
-            # per-table rewrite jobs submitted from a bounded thread
-            # pool: at real-KG vocabulary scale (10^4-10^5 predicate tables)
-            # a serial driver loop leaves executors idle between the many
-            # small jobs; FAIR pools (session.py) keep them interleaved.
-            def optimize_one(t):
-                self.spark.sparkContext.setLocalProperty(
-                    "spark.scheduler.pool", "stage_o"
-                )
+            # the rewrite plan for each table (pure driver-side analysis:
+            # the fused probe already supplied every stat). Source reads
+            # share ONE inferred schema per parent layout — an unadorned
+            # spark.read.parquet submits a 1-task footer-inference job,
+            # which a per-table loop turns into a job per table.
+            schema_cache: dict = {}
+
+            def read_src(src_dir):
+                parent = os.path.dirname(src_dir)
+                sch = schema_cache.get(parent)
+                if sch is None:
+                    src = self.spark.read.parquet(src_dir)
+                    schema_cache[parent] = src.schema
+                    return src
+                return self.spark.read.schema(sch).parquet(src_dir)
+
+            def optimize_frame(t):
                 src_dir = split_paths.get(t.name, f"{v_data}/t={t.name}")
-                src = self.spark.read.parquet(src_dir)
+                src = read_src(src_dir)
                 # size-derived file target for the identity fast path (the
                 # collapse shuffle it skips would have AQE-coalesced) —
                 # same 128 MiB goal as vacuum's compaction
@@ -325,19 +434,53 @@ class KgPipeline:
                     1, _dir_bytes(src_dir) // (128 * 1024 * 1024) + 1
                 )
                 df = vertical.rename_generic(src, t)
-                out = passes.optimize_table(
+                return passes.optimize_table(
                     self.spark, df, t, schemes, hosts,
                     small_dicts=small_dicts, stats=stats_all[t.name],
                 )
+
+            # big tables keep one dedicated write job each (their data, not
+            # job latency, is the cost); the small-table long tail — at a
+            # real KG vocabulary, almost all of the 10^4-10^5 tables —
+            # fuses into a handful of batched partitionBy("t") writes, so
+            # stage job count is sub-linear in table count. Pool threads
+            # keep the scheduler fed for the big writes (FAIR, session.py).
+            big = [
+                t for t in catalog.tables
+                if (t.row_count or 0) > SMALL_TABLE_MAX_ROWS
+            ]
+            small = [
+                t for t in catalog.tables
+                if (t.row_count or 0) <= SMALL_TABLE_MAX_ROWS
+            ]
+
+            def write_big(t):
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", "stage_o"
+                )
+                out = optimize_frame(t)
                 obs = Observation()
                 out = out.observe(obs, F.count(F.lit(1)).alias("n"))
                 out.write.mode("overwrite").parquet(io.path("O", "tables", t.name))
-                n = int(obs.get["n"])
-                t.row_count = n
                 t.path = f"O/tables/{t.name}"
-                return t.name, n
+                t.storage_columns = None
+                return t.name, int(obs.get["n"])
 
-            table_counts = dict(_pooled_map(optimize_one, catalog.tables))
+            # small frames build FIRST (serial driver-side analysis) so the
+            # schema cache is warm before the pooled big writes race on it
+            small_pairs = [(t, optimize_frame(t)) for t in small]
+            table_counts = dict(_pooled_map(write_big, big))
+            table_counts.update(
+                _write_batched(
+                    self.spark,
+                    small_pairs,
+                    io.path("O", "batch"),
+                    "O/batch",
+                    pool="stage_o",
+                )
+            )
+            for t in catalog.tables:
+                t.row_count = table_counts.get(t.name, 0)
             TIMINGS["O.optimize"] = round(time.time() - t0, 3)
             catalog.tables = [t for t in catalog.tables if t.row_count]
             io.write_catalog("O", catalog)
@@ -358,14 +501,8 @@ class KgPipeline:
             # table — serial it costs ~90ms x T (5.8 s measured at 64
             # tables, minutes at 10^4); the bounded pool overlaps them
             t0 = time.time()
-            frames = dict(
-                _pooled_map(
-                    lambda t: (
-                        t.name,
-                        self.spark.read.parquet(os.path.join(io.root, t.path)),
-                    ),
-                    catalog.tables,
-                )
+            frames = vertical.read_stored_frames(
+                self.spark, io.root, catalog.tables, pooled_map=_pooled_map
             )
             TIMINGS["M.read"] = round(time.time() - t0, 3)
             sizes = {t.name: t.row_count or 0 for t in catalog.tables}
@@ -378,6 +515,16 @@ class KgPipeline:
                 TIMINGS[f"M.merge.{k}"] = v
             t0 = time.time()
 
+            # changed tables re-optimize + rewrite — big ones as dedicated
+            # jobs, the small long tail batched (same fusion as stage O)
+            to_write = [t for t in catalog.tables if t.name in changed]
+            big = [
+                t for t in to_write if (t.row_count or 0) > SMALL_TABLE_MAX_ROWS
+            ]
+            small = [
+                t for t in to_write if (t.row_count or 0) <= SMALL_TABLE_MAX_ROWS
+            ]
+
             def reopt_one(t):
                 self.spark.sparkContext.setLocalProperty(
                     "spark.scheduler.pool", "stage_m"
@@ -387,9 +534,34 @@ class KgPipeline:
                 out = out.observe(obs, F.count(F.lit(1)).alias("n"))
                 out.write.mode("overwrite").parquet(io.path("M", "tables", t.name))
                 t.path = f"M/tables/{t.name}"
+                t.storage_columns = None
                 t.row_count = int(obs.get["n"])
 
-            _pooled_map(reopt_one, [t for t in catalog.tables if t.name in changed])
+            _pooled_map(reopt_one, big)
+
+            # small tables: reopt probes run pooled (one agg job each —
+            # unavoidable until a fused reopt probe exists, but they're
+            # tiny), then ALL writes fuse into batched jobs
+            def reopt_frame(t):
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", "stage_m"
+                )
+                return (
+                    t,
+                    passes.optimize_table(
+                        self.spark, frames[t.name], t, mode="reopt"
+                    ),
+                )
+
+            m_counts = _write_batched(
+                self.spark,
+                _pooled_map(reopt_frame, small),
+                io.path("M", "batch"),
+                "M/batch",
+                pool="stage_m",
+            )
+            for t in small:
+                t.row_count = m_counts.get(t.name, 0)
             TIMINGS["M.reopt"] = round(time.time() - t0, 3)
             t0 = time.time()
             # step 10 analog: record verified subject uniqueness per table.
@@ -542,6 +714,19 @@ class KgPipeline:
                     if f"O/tables/{name}" not in live:
                         sh.rmtree(os.path.join(o_tables, name))
                         stats["superseded_removed"] += 1
+            o_batch = self.io.path("O", "batch")
+            if os.path.isdir(o_batch):
+                for g in os.listdir(o_batch):
+                    gdir = os.path.join(o_batch, g)
+                    if not os.path.isdir(gdir):
+                        continue
+                    for sub in os.listdir(gdir):
+                        if (
+                            sub.startswith("t=")
+                            and f"O/batch/{g}/{sub}" not in live
+                        ):
+                            sh.rmtree(os.path.join(gdir, sub))
+                            stats["superseded_removed"] += 1
             split = self.io.path("O", "split")
             if os.path.exists(split):
                 sh.rmtree(split)
@@ -593,8 +778,12 @@ class KgPipeline:
         else:
 
             def read(t: TableSpec) -> DataFrame:
-                rel = t.path or f"{stage}/tables/{t.name}"
-                return self.spark.read.parquet(os.path.join(self.io.root, rel))
+                if t.path is None:
+                    return self.spark.read.parquet(
+                        os.path.join(self.io.root, f"{stage}/tables/{t.name}")
+                    )
+                # renames batched generic c0..cN storage back to real names
+                return vertical.read_stored(self.spark, self.io.root, t)
 
         return read
 

@@ -78,6 +78,12 @@ class TableSpec:
     #: columns and records success/failure, IntroduceIndexes.java:22-46).
     #: None = not probed; True/False = subject key unique / repeating.
     subject_unique: bool | None = None
+    #: set when the table's parquet files live inside a BATCHED
+    #: generic-schema write (stage O/M small-table fusion): the files
+    #: store positional names c0..cN and this list holds the REAL column
+    #: names in storage position order, so readers rename c{i} ->
+    #: storage_columns[i]. None = files carry the real names directly.
+    storage_columns: list[str] | None = None
 
     def physical_columns(self) -> list[str]:
         out = [c.name for c in self.subject_columns if c.physical]
@@ -142,6 +148,7 @@ class Catalog:
                 row_count=t.get("row_count"),
                 path=t.get("path"),
                 subject_unique=t.get("subject_unique"),
+                storage_columns=t.get("storage_columns"),
             )
             for t in d["tables"]
         ]

@@ -89,6 +89,10 @@ def catalog_to_turtle(catalog: Catalog) -> str:
             t_pairs.append(("path", _lit(t.path)))
         if t.subject_unique is not None:
             t_pairs.append(("subjectUnique", _lit(t.subject_unique)))
+        if t.storage_columns is not None:
+            # real column names in storage position order (c0..cN),
+            # \x00-joined like the namespace/dictionary pairs
+            t_pairs.append(("storageColumns", _lit("\x00".join(t.storage_columns))))
         for i, c in enumerate(t.subject_columns):
             cid = f"{_C}{t.name}:s{i}"
             t_pairs.append(("subjectColumn", f"<{cid}>"))
@@ -188,6 +192,11 @@ def catalog_from_turtle(text: str) -> Catalog:
                 row_count=get(t_iri, "rowCount"),
                 path=get(t_iri, "path"),
                 subject_unique=get(t_iri, "subjectUnique"),
+                storage_columns=(
+                    get(t_iri, "storageColumns").split("\x00")
+                    if get(t_iri, "storageColumns") is not None
+                    else None
+                ),
             )
         )
 

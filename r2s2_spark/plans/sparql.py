@@ -595,10 +595,14 @@ class _JoinScope:
     LeftJoin(Ω1, Ω2, expr) form): variable names bound by the GROUP side
     resolve to its (renamed) columns, everything else to the outer side.
     Filter lambdas only ever use ``df[name]`` and ``df.columns`` — both
-    provided here."""
+    provided here. A name bound on NEITHER side (a variable bound
+    nowhere in the query) resolves to NULL: the SPARQL type error, which
+    a join condition treats as effectively-false (§17.2), instead of an
+    unresolved-column AnalysisException."""
 
     def __init__(self, outer_cols: list, rename: dict):
         self._outer = list(outer_cols)
+        self._outer_set = set(outer_cols)
         self._ren = dict(rename)
 
     @property
@@ -607,7 +611,36 @@ class _JoinScope:
         return list(seen)
 
     def __getitem__(self, name):
-        return F.col(self._ren.get(name, name))
+        if name in self._ren:
+            return F.col(self._ren[name])
+        if name not in self._outer_set:
+            return F.lit(None).cast("string")
+        return F.col(name)
+
+
+class _RecordingScope:
+    """Probe facade for STRUCTURAL correlation detection. Filter lambdas
+    compiled by the textual front-end only ever touch ``df[name]`` and
+    ``df.columns``; evaluating one against this scope records every name
+    resolved through ``__getitem__`` that is not one of the group's own
+    columns — the outer-referencing (correlated) variables — without any
+    Spark analysis, so AnalysisException stays reserved for genuine
+    errors and the mechanism keeps working under lazy analysis (Spark
+    Connect), where ``df.where()`` would never raise eagerly."""
+
+    def __init__(self, own_cols: list):
+        self._own = set(own_cols)
+        self._cols = list(own_cols)
+        self.foreign: set = set()
+
+    @property
+    def columns(self):
+        return list(self._cols)
+
+    def __getitem__(self, name):
+        if name not in self._own:
+            self.foreign.add(name)
+        return F.col(name)
 
 
 def _group_frame(
@@ -655,15 +688,42 @@ def _group_frame(
         keep_meta=True,
     )
     for f in g.get("filters") or []:
-        try:
-            df = df.where(f(df) if callable(f) else f)
-        except AnalysisException:
-            if deferred is None:
-                raise SparqlCompileError(
-                    "FILTER references variables bound outside its group "
-                    "(supported for OPTIONAL and EXISTS groups only)"
-                ) from None
-            deferred.append(f)
+        if callable(f):
+            # structural correlation test: evaluate the lambda against a
+            # recording scope and see whether it reads any name the group
+            # itself does not bind. Genuine analysis errors are NOT
+            # caught here — applying the filter below surfaces them.
+            probe = _RecordingScope(df.columns)
+            try:
+                f(probe)
+                correlated = bool(probe.foreign)
+            except Exception:
+                # the lambda did something beyond the df[name]/df.columns
+                # contract — treat as uncorrelated and apply directly
+                correlated = False
+            if correlated:
+                if deferred is None:
+                    raise SparqlCompileError(
+                        "FILTER references variables bound outside its "
+                        "group (supported for OPTIONAL and EXISTS groups "
+                        "only)"
+                    )
+                deferred.append(f)
+                continue
+            df = df.where(f(df))
+        else:
+            # programmatic raw-Column filter: no structure to inspect —
+            # the legacy eager-analysis probe is the only signal left
+            try:
+                df = df.where(f)
+            except AnalysisException:
+                if deferred is None:
+                    raise SparqlCompileError(
+                        "FILTER references variables bound outside its "
+                        "group (supported for OPTIONAL and EXISTS groups "
+                        "only)"
+                    ) from None
+                deferred.append(f)
     return df, {c for c in df.columns if not c.startswith(META_PREFIXES)}
 
 

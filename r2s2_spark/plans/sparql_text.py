@@ -851,6 +851,40 @@ class _Parser:
                 )
 
             return langmatches
+        if (
+            name == "SAMETERM"
+            and self.peek()[1] == "("
+            and self.peek(1)[0] == "var"
+            and self.peek(2)[1] == ","
+            and self.peek(3)[0] == "var"
+            and self.peek(4)[1] == ")"
+        ):
+            # sameTerm(?a, ?b) over two VARIABLES compiles to lexical
+            # equality AND null-safe equality of the hidden term-metadata
+            # columns (__kind/__lang/__dt) — an IRI and a plain literal
+            # sharing a lexical form, or literals differing only in
+            # language tag / datatype, compare DIFFERENT. A metadata
+            # dimension tracked on only one side falls back to lexical
+            # for that dimension (subject-position variables carry no
+            # metadata columns). Non-variable operands use the generic
+            # lexical-equality path below.
+            self.next()                 # (
+            va = self.next()[1][1:]
+            self.next()                 # ,
+            vb = self.next()[1][1:]
+            self.next()                 # )
+            self.meta_vars.add("?" + va)
+            self.meta_vars.add("?" + vb)
+
+            def sameterm_vars(df, a=va, b=vb):
+                cond = df[a] == df[b]
+                for pre in (META_KIND, META_LANG, META_DT):
+                    ca, cb = pre + a, pre + b
+                    if ca in df.columns and cb in df.columns:
+                        cond = cond & df[ca].eqNullSafe(df[cb])
+                return cond
+
+            return sameterm_vars
         if name in ("TRUE", "FALSE"):
             return lambda df, b=(name == "TRUE"): F.lit(b)
         self.eat_op("(")
@@ -980,12 +1014,7 @@ class _Parser:
                         "property path in CONSTRUCT WHERE shorthand"
                     )
             q["template"] = [tuple(pat[:3]) for pat in w["patterns"]]
-            if self.at_word("LIMIT"):
-                self.next()
-                q["limit"] = self.int_modifier("LIMIT")
-            if self.at_word("OFFSET"):
-                self.next()
-                q["offset"] = self.int_modifier("OFFSET")
+            self._construct_modifiers(q)
             return q
         template: list = []
         self.eat_op("{")
@@ -1023,14 +1052,41 @@ class _Parser:
         if self.at_word("WHERE"):
             self.next()
         q["where"] = self.group()
-        if self.at_word("LIMIT"):
-            self.next()
-            q["limit"] = self.int_modifier("LIMIT")
-        if self.at_word("OFFSET"):
-            self.next()
-            q["offset"] = self.int_modifier("OFFSET")
+        self._construct_modifiers(q)
         q["meta_vars"] = self.meta_vars
         return q
+
+    def _construct_modifiers(self, q: dict) -> None:
+        """Solution modifiers on CONSTRUCT (§16.2 over §15): ORDER BY
+        with plain-variable or ASC/DESC(expr) keys — aggregates have no
+        grouping to read and stay rejected by the agg_sink=None guard in
+        ``_function_call`` — then LIMIT/OFFSET in either order. With
+        ORDER BY present the slice applies to the ORDERED SOLUTION
+        SEQUENCE before template instantiation (the spec's reading — the
+        only one where ORDER BY is observable at all); without it, to
+        the constructed triple set."""
+        q["order"] = []
+        if self.at_word("ORDER"):
+            self.next()
+            self.eat_word("BY")
+            while True:
+                if self.at_word("ASC", "DESC"):
+                    desc = self.next()[1].upper() == "DESC"
+                    e = self.bracketed_expression()
+                elif self.peek()[0] == "var":
+                    desc = False
+                    name = self.next()[1][1:]
+                    e = lambda df, n=name: df[n]  # noqa: E731
+                else:
+                    break
+                q["order"].append((e, desc))
+            if not q["order"]:
+                raise SparqlSyntaxError("ORDER BY needs at least one key")
+        while self.at_word("LIMIT", "OFFSET"):
+            word = self.next()[1].upper()
+            q["limit" if word == "LIMIT" else "offset"] = (
+                self.int_modifier(word)
+            )
 
     def select_query(self, embedded: bool = False) -> dict:
         self.eat_word("SELECT")
@@ -1578,7 +1634,7 @@ def _compile_select(pipe, q: dict, stage: str | None):
     if pure_union and len(unions) == 1 and not (
         q["agg"] or values or w["subselects"] or q["select_exprs"]
         or w["filters"] or w["optional"] or w["minus"] or w["binds"]
-        or w["exists"] or w["not_exists"]
+        or w["exists"] or w["not_exists"] or q["group_by"] is not None
     ):
         # pure union group, no modifiers: each branch compiles to its own
         # BGP and the solutions concatenate (NULL for variables a branch
@@ -1636,6 +1692,25 @@ def _compile_select(pipe, q: dict, stage: str | None):
                 # no aggregation: a per-solution projection expression
                 # compiles as a trailing BIND
                 binds.extend((e, "?" + v) for e, v, _ in q["select_exprs"])
+        keyonly_group = q["group_by"] is not None and not q["agg"]
+        group_keys: list = []
+        if keyonly_group:
+            # GROUP BY without any aggregate (§11): solutions group by
+            # the keys and each group yields exactly one row of its key
+            # values — implemented as select(keys).distinct() over ALL
+            # keys (hidden __g expression keys included), projected to
+            # the SELECT subset after. Only group keys are projectable;
+            # SELECT * over a grouped query is spec-invalid.
+            if q["star"]:
+                raise SparqlUnsupported("SELECT * with GROUP BY")
+            group_keys = [v[1:] for v in q["group_by"]]
+            bad = [v for v in q["select"] if v not in group_keys]
+            if bad:
+                raise SparqlUnsupported(
+                    "SELECT of non-group-key variable(s) "
+                    f"{bad} with GROUP BY and no aggregate"
+                )
+            select = ["?" + k for k in group_keys]
         deferred = bool(q.get("order_agg") or post_agg_exprs)
         if deferred:
             # keep the full aggregation output (hidden __h columns, group
@@ -1670,7 +1745,7 @@ def _compile_select(pipe, q: dict, stage: str | None):
             pipe,
             w["patterns"],
             select=select,
-            distinct=q["distinct"] and not deferred,
+            distinct=(q["distinct"] and not deferred) or keyonly_group,
             stage=stage,
             optional=groups["optional"] or None,
             filter=filt,
@@ -1687,6 +1762,20 @@ def _compile_select(pipe, q: dict, stage: str | None):
             term_meta=frozenset(q.get("meta_vars") or ()),
             named_graphs=named,
         )
+        if keyonly_group:
+            # HAVING over a no-aggregate grouping filters the grouped
+            # rows (bgp applies having only on its aggregate path)
+            h = q["having"]
+            if h is not None:
+                out = out.where(h(out) if callable(h) else h)
+            if list(q["select"]) != group_keys:
+                # project to the SELECT subset, dropping hidden __g
+                # expression keys; the projection can duplicate rows
+                # (several groups sharing the selected key values) —
+                # that IS the grouped multiset unless DISTINCT re-dedupes
+                out = out.select(*q["select"])
+                if q["distinct"]:
+                    out = out.distinct()
     for e, v in post_agg_exprs:
         # post-aggregation SELECT expressions (aggregate calls read
         # their hidden __h columns; group keys are plain columns)
@@ -1718,7 +1807,9 @@ def _compile_select(pipe, q: dict, stage: str | None):
         out = (
             out.select(*q["select"])
             if not q["star"]
-            else out.drop(*[c for c in out.columns if c.startswith("__h")])
+            else out.drop(
+                *[c for c in out.columns if c.startswith(("__h", "__g"))]
+            )
         )
         if q["distinct"]:
             # DISTINCT applies to the projected rows; an ORDER BY (plain
@@ -1819,6 +1910,23 @@ def _compile_construct(pipe, q: dict, stage: str | None):
 
     sol = _where_solutions(pipe, q, stage)
 
+    sliced = False
+    if q.get("order"):
+        # ORDER BY on CONSTRUCT: the solution sequence orders, the slice
+        # applies to IT (before template instantiation) — a top-k of
+        # solutions, each contributing all its template triples. Without
+        # ORDER BY, which solutions a LIMIT keeps is unspecified and the
+        # slice stays on the constructed triple set below.
+        sol = sol.orderBy(*[
+            (e(sol).desc() if desc else e(sol).asc())
+            for e, desc in q["order"]
+        ])
+        if q["offset"]:
+            sol = sol.offset(q["offset"])
+        if q["limit"] is not None:
+            sol = sol.limit(q["limit"])
+        sliced = True
+
     # blank nodes in the template ([] / _:b) parse to synthetic variables
     # that the WHERE group never binds; per SPARQL §16.2.1 each solution
     # maps a template bnode to a FRESH bnode, so synthesize a label from
@@ -1869,10 +1977,11 @@ def _compile_construct(pipe, q: dict, stage: str | None):
     for piece in pieces[1:]:
         out = out.unionByName(piece)
     out = out.distinct()
-    if q["offset"]:
-        out = out.offset(q["offset"])
-    if q["limit"] is not None:
-        out = out.limit(q["limit"])
+    if not sliced:
+        if q["offset"]:
+            out = out.offset(q["offset"])
+        if q["limit"] is not None:
+            out = out.limit(q["limit"])
     return out
 
 

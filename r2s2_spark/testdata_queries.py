@@ -735,20 +735,79 @@ def minhash_lsh_pairs(spark, sf_dir):
                ROW_NUMBER() OVER (PARTITION BY band_no, band ORDER BY doc_id) AS rn
         FROM bands
       ) WHERE rn <= 50
+    ), widths AS (
+      SELECT band_no, band, COUNT(*) AS width FROM bands GROUP BY band_no, band
     )
-    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    SELECT 'pair' AS probe, a.doc_id AS a, b.doc_id AS b
     FROM capped a JOIN capped b
       ON a.band_no = b.band_no AND a.band = b.band AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'trunc_cap' || cap,
+           CAST(COALESCE(SUM(CASE WHEN width > cap THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN width > cap THEN width - cap ELSE 0 END), 0) AS BIGINT)
+    FROM widths, (SELECT 10 AS cap UNION ALL SELECT 50 AS cap) caps
+    GROUP BY cap
     """,
 )
 def minhash_lsh_pairs_capped(spark, sf_dir):
     """The PRODUCTION skew path: buckets capped at 50 members (boilerplate
     buckets otherwise explode quadratically). The cap is deterministic
-    (row_number by id) so the DuckDB oracle reproduces it exactly; pair it
-    with dedup.lsh_truncation_stats to quantify the dropped recall."""
+    (row_number by id) so the DuckDB oracle reproduces it exactly — AND
+    the no-silent-caps contract rides in the same driver row: two tagged
+    ``trunc_cap{N}`` rows carry lsh_truncation_stats (buckets truncated,
+    member rows dropped) at caps 10 and 50, hash-compared against the
+    oracle's width histogram over the same bands CTE."""
     d = t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(d, k=4)
-    return dedup.lsh_candidate_pairs(sigs, k=4, rows_per_band=2, max_bucket=50)
+    pairs = dedup.lsh_candidate_pairs(sigs, k=4, rows_per_band=2, max_bucket=50)
+    parts = [
+        pairs.select(
+            _tag("pair"), F.col("a_id").alias("a"), F.col("b_id").alias("b")
+        )
+    ]
+    for cap in (10, 50):
+        st = dedup.lsh_truncation_stats(sigs, k=4, rows_per_band=2, max_bucket=cap)
+        parts.append(
+            st.select(
+                _tag(f"trunc_cap{cap}"),
+                F.col("n_buckets_truncated").cast("bigint").alias("a"),
+                F.col("n_members_dropped").cast("bigint").alias("b"),
+            )
+        )
+    return _union_all(parts)
+
+
+@q(
+    "lsh_truncation_stats",
+    _BANDS_CTE
+    + """
+    , widths AS (
+      SELECT band_no, band, COUNT(*) AS width FROM bands GROUP BY band_no, band
+    )
+    SELECT CAST(cap AS INTEGER) AS cap,
+           CAST(COALESCE(SUM(CASE WHEN width > cap THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_buckets_truncated,
+           CAST(COALESCE(SUM(CASE WHEN width > cap THEN width - cap ELSE 0 END), 0) AS BIGINT) AS n_members_dropped
+    FROM widths, (SELECT 10 AS cap UNION ALL SELECT 50 AS cap) caps
+    GROUP BY cap
+    """,
+)
+def lsh_truncation_stats_q(spark, sf_dir):
+    """Standalone truncation-stats twin (superset rehearsal; the driver
+    window carries the same values inside minhash_lsh_pairs_capped)."""
+    d = t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, k=4)
+    parts = []
+    for cap in (10, 50):
+        st = dedup.lsh_truncation_stats(sigs, k=4, rows_per_band=2, max_bucket=cap)
+        parts.append(
+            st.select(
+                F.lit(cap).alias("cap"),
+                F.col("n_buckets_truncated").cast("bigint"),
+                F.col("n_members_dropped").cast("bigint"),
+            )
+        )
+    return _union_all(parts)
 
 
 @q(
@@ -930,6 +989,41 @@ def ann_cosine_topk_bucketed(spark, sf_dir):
     )
 
 
+@q(
+    "ann_topk_methods",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT 'bucketed' AS method, vec_id, cosine FROM (
+      SELECT vec_id, ROUND(CAST(list_cosine_similarity(embedding, (SELECT qv FROM q)) AS DOUBLE), 4) AS cosine
+      FROM embeddings
+      WHERE vec_id <> 0
+        AND {hashing.hyperplane_bucket_sql(_ANN_PLANES, "embedding")}
+          = (SELECT {hashing.hyperplane_bucket_sql(_ANN_PLANES, "qv")} FROM q)
+      ORDER BY cosine DESC, vec_id LIMIT 10
+    ) lsh_side
+    UNION ALL
+    SELECT 'ivf', vec_id, cosine FROM (
+      SELECT vec_id, ROUND({_COS}, 4) AS cosine
+      FROM embeddings WHERE vec_id <> 0
+      ORDER BY cosine DESC, vec_id LIMIT 10
+    ) ivf_side
+    """,
+)
+def ann_topk_methods(spark, sf_dir):
+    """BOTH index forms in one tagged driver row: the hyperplane-LSH
+    bucketed top-k, and IVF end-to-end in its exact configuration
+    (n_probes == n_cells probes every cell, so seeded k-means training +
+    argmax cell assignment + centroid ranking + within-cell top-k must
+    reproduce brute force bit-for-bit — the oracle's second branch).
+    Partial-probe recall trades for both forms are pytest-golden."""
+    lsh = ann_cosine_topk_bucketed(spark, sf_dir)
+    ivf = ivf_cosine_topk(spark, sf_dir)
+    return _union_all([
+        lsh.select(F.lit("bucketed").alias("method"), "vec_id", "cosine"),
+        ivf.select(F.lit("ivf").alias("method"), "vec_id", "cosine"),
+    ])
+
+
 def _emb_bands_sql(n_bits: int = 8, n_bands: int = 4) -> str:
     """(vec_id, band_no, bkt) rows — DuckDB twin of
     dedup.embedding_candidate_pairs' banded hyperplane buckets."""
@@ -970,11 +1064,14 @@ def embedding_near_duplicates_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (decode kernels are documented deterministic STUBS
-# derived from sha256(content) — which is exactly what makes them
-# oracle-checkable: DuckDB's sha256() hashes the same UTF-8 bytes, so the
-# full Arrow plumbing (schemas, batch shapes, 1->N fan-out) is verified
-# end-to-end even though no real decoder runs in this sandbox)
+# multimodal plumbing. These oracle entries PIN decoder="stub" (the
+# deterministic sha256 kernels) so the comparison is environment-
+# independent — which is exactly what makes them oracle-checkable:
+# DuckDB's sha256() hashes the same UTF-8 bytes, so the full Arrow
+# plumbing (schemas, batch shapes, 1->N fan-out) is verified end-to-end.
+# Production calls default to decoder="auto": real PIL/soundfile kernels
+# when those libraries are installed (import-gated; gated goldens in
+# tests/test_entry_queries.py run them when present).
 # ---------------------------------------------------------------------------
 
 #: hex pair at 1-based position p of a sha256 hex string -> byte value
@@ -1004,7 +1101,7 @@ def multimodal_image_features(spark, sf_dir):
     from .operators import multimodal
 
     media = multimodal.make_media_table(t(spark, sf_dir, "documents"))
-    return multimodal.extract_image_features(media)
+    return multimodal.extract_image_features(media, decoder="stub")
 
 
 @q(
@@ -1023,7 +1120,7 @@ def multimodal_audio_features(spark, sf_dir):
     from .operators import multimodal
 
     media = multimodal.make_media_table(t(spark, sf_dir, "documents"))
-    return multimodal.extract_audio_features(media)
+    return multimodal.extract_audio_features(media, decoder="stub")
 
 
 @q(
@@ -2151,7 +2248,7 @@ _ORDER = [
     "text_stats", "text_doc_normalize", "corpus_lang_split",
     "quality_scores", "dedup_exact_groups", "sequence_packing",
     "minhash_signatures", "minhash_lsh_pairs_capped",
-    "simhash_fingerprints", "ann_cosine_topk_bucketed",
+    "simhash_fingerprints", "ann_topk_methods",
     "multimodal_media_features", "multimodal_frame_sample",
     "events_hourly_window",
     # expensive multi-second gates

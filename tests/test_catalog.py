@@ -39,6 +39,7 @@ def make_catalog():
         ],
         row_count=42,
         path="O/tables/x_pred_0_iri_literal",
+        storage_columns=["subject_x_fragment", "object_x_litvalue", "object_x_graph"],
     )
     return Catalog(
         tables=[t],

@@ -336,3 +336,21 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
         ).collect()
     ]
     assert indexed == unindexed and len(indexed) > 0
+
+
+def test_lloyd_empty_cell_repair_distinct():
+    """Two cells going empty in the SAME Lloyd iteration must reseed to
+    DISTINCT sample vectors. Seeds here are [e0, e0, e1, e1] (duplicate
+    pairs), so first-max-wins assignment leaves cells 1 and 3 empty in
+    iteration 1; same-point reseeding would keep two duplicate centroids
+    forever, silently halving the effective cell count."""
+    import numpy as np
+
+    from r2s2_spark.operators.similarity import _lloyd
+
+    e = np.eye(4)
+    X = np.array([e[0], e[0], e[1], e[1], e[2], e[3]])
+    C = np.array(_lloyd(X, n_cells=4, iters=3))
+    # all four centroids distinct, and together they cover all four axes
+    assert len({tuple(np.round(c, 6)) for c in C}) == 4
+    assert sorted(int(np.argmax(c)) for c in C) == [0, 1, 2, 3]

@@ -218,3 +218,45 @@ def test_stage_d_target_keys_match_discovery(spark, tmp_path):
         key=lambda k: tuple("" if x is None else x for x in k),
     )
     assert got == expected
+
+
+def test_stage_o_batched_writes_sublinear_jobs(spark, tmp_path):
+    """Round-5 write fusion: small tables land in shared generic-schema
+    partitionBy('t') batches (path under O/batch, storage_columns set),
+    and stage O's Spark job count stays SUB-LINEAR in table count — the
+    last linear-in-vocabulary driver cost. 16 predicates here: the old
+    one-write-job-per-table design needed >= 16 jobs after the probe;
+    batching needs a handful (probe pair + dict builds + batch write +
+    batch count)."""
+    from r2s2_spark.naming import EX
+    from r2s2_spark.operators import vertical
+
+    n_preds = 32
+    nt = "\n".join(
+        f'<{EX}s{i}> <{EX}p{p}> "v{i}" .'
+        for p in range(n_preds)
+        for i in range(5)
+    )
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    src = fx.source_files_df(spark, [fx._row("r", "many_preds.nt", nt)])
+    store = spark.sparkContext._jsc.sc().statusStore()
+    pipe.stage_e(src)
+    pipe.stage_d()
+    pipe.stage_v()
+    jobs_before = store.jobsList(None).size()
+    pipe.stage_o()
+    jobs_o = store.jobsList(None).size() - jobs_before
+    assert jobs_o < n_preds, f"stage O ran {jobs_o} jobs for {n_preds} tables"
+
+    cat = pipe.catalog("O")
+    assert len(cat.tables) == n_preds
+    batched = [t for t in cat.tables if t.storage_columns]
+    assert len(batched) == n_preds  # all tiny -> all fused
+    for t in batched:
+        assert t.path.startswith("O/batch/") and t.row_count == 5
+        df = vertical.read_stored(spark, pipe.io.root, t)
+        assert df.columns == t.physical_columns()
+        assert df.count() == 5
+    # reconstruction reads through the batched layout transparently
+    trips = pipe.triples("O")
+    assert trips.count() == n_preds * 5

@@ -1748,3 +1748,120 @@ def test_optional_outer_filter_plan_uses_equi_join(oddeven):
         kind in plan
         for kind in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     )
+
+
+# -- round-5: ADVICE closures ------------------------------------------------
+
+
+def test_sameterm_vars_respects_lang_and_datatype(spark, tmp_path):
+    """sameTerm(?a, ?b) over variables compares TERMS, not lexical forms:
+    "7" vs "7"@en vs "7"^^xsd:int vs IRI <...#7-lexical> all differ even
+    when the lexical form matches (ADVICE r4: use the hidden
+    __kind/__lang/__dt metadata, not plain equality)."""
+    from r2s2_spark.pipeline import KgPipeline
+
+    nt = "\n".join(
+        [
+            f'<{EX}plain> <{EX}p> "7" .',
+            f'<{EX}plain> <{EX}q> "7" .',
+            f'<{EX}lang> <{EX}p> "7" .',
+            f'<{EX}lang> <{EX}q> "7"@en .',
+            f'<{EX}dt> <{EX}p> "7" .',
+            f'<{EX}dt> <{EX}q> "7"^^<{XSD}int> .',
+            f'<{EX}iri> <{EX}p> <http://x/7> .',
+            f'<{EX}iri> <{EX}q> "http://x/7" .',
+            f'<{EX}langsame> <{EX}p> "7"@en .',
+            f'<{EX}langsame> <{EX}q> "7"@en .',
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "d.nt", nt)]))
+    out = sparql_query(
+        p,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{ ?s ex:p ?a ; ex:q ?b FILTER(SAMETERM(?a, ?b)) }}
+        ORDER BY ?s""",
+    )
+    assert [r.s for r in out.collect()] == [EX + "langsame", EX + "plain"]
+
+
+def test_optional_filter_on_nowhere_bound_var_is_false(oddeven):
+    """A FILTER variable bound NOWHERE is a SPARQL type error -> the
+    LeftJoin condition evaluates effectively-false (§17.2): every
+    required solution survives with the OPTIONAL side unbound. Before
+    the structural-correlation fix this path depended on catching
+    AnalysisException and then crashed resolving the column."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?t WHERE {{
+          ?s rdfs:label ?l .
+          OPTIONAL {{ ?s a ?t FILTER(?nowhere = 1) }}
+        }}""",
+    )
+    rows = out.collect()
+    assert len(rows) == 99 and all(r.t is None for r in rows)
+
+
+def test_group_by_without_aggregate_distinct_keys(oddeven):
+    """GROUP BY with no aggregate groups solutions by the keys and
+    yields one row per group (§11) — plain key and computed key."""
+    out = sparql_query(
+        oddeven,
+        "SELECT ?t WHERE { ?s a ?t } GROUP BY ?t ORDER BY ?t",
+    )
+    assert [r.t for r in out.collect()] == [EX + "even", EX + "odd"]
+    assert out.columns == ["t"]
+    out2 = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?w WHERE {{ ?s rdfs:label ?l }}
+        GROUP BY (STRLEN(?l) AS ?w) ORDER BY ?w""",
+    )
+    assert [r.w for r in out2.collect()] == [1, 2]
+
+
+def test_group_by_without_aggregate_hidden_key_not_leaked(oddeven):
+    """A hidden (unaliased) GROUP BY expression key must not leak a __g
+    column; the SELECTed subset projects the grouped multiset."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?t WHERE {{ ?s a ?t ; rdfs:label ?l }}
+        GROUP BY ?t (STRLEN(?l)) ORDER BY ?t""",
+    )
+    assert out.columns == ["t"]
+    # 2 types x 2 widths = 4 grouped rows projected to ?t
+    assert [r.t for r in out.collect()] == [
+        EX + "even", EX + "even", EX + "odd", EX + "odd",
+    ]
+
+
+def test_group_by_without_aggregate_named_narrowings(oddeven):
+    with pytest.raises(SparqlUnsupported, match="SELECT \\*"):
+        sparql_query(oddeven, "SELECT * WHERE { ?s a ?t } GROUP BY ?t")
+    with pytest.raises(SparqlUnsupported, match="non-group-key"):
+        sparql_query(
+            oddeven, "SELECT ?s WHERE { ?s a ?t } GROUP BY ?t"
+        )
+
+
+def test_construct_order_by_limit(oddeven):
+    """CONSTRUCT WHERE and full CONSTRUCT take the whole solution
+    modifier set (§16.2): LIMIT applies to the ORDERED solution
+    sequence (ADVICE r4: was a generic leftover-token error)."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        CONSTRUCT WHERE {{ ?s rdfs:label ?l }} ORDER BY ?l LIMIT 3""",
+    )
+    rows = sorted(r.object for r in out.collect())
+    assert rows == ["1", "10", "11"]  # string order over "1".."99"
+    out2 = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        CONSTRUCT {{ ?s ex:tag ?l }} WHERE {{ ?s rdfs:label ?l }}
+        ORDER BY DESC(?l) LIMIT 2""",
+    )
+    rows2 = sorted(r.object for r in out2.collect())
+    assert rows2 == ["98", "99"]
