@@ -140,6 +140,14 @@ class PathNeg:
     predicates: tuple
 
 
+#: semi-naive rounds before _transitive_plus switches to path doubling.
+#: Short-diameter vocabulary graphs (the typical KG path workload)
+#: converge within these cheap frontier-joins-base rounds; a graph still
+#: growing after them is a long chain, where closure-squares-closure
+#: reaches diameter d in O(log d) further rounds instead of O(d).
+_LINEAR_ROUNDS = 8
+
+
 def _transitive_plus(
     edges: DataFrame, max_iter: int, group_cols: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -148,13 +156,13 @@ def _transitive_plus(
     pattern is graph-constrained by a variable).
 
     Each round costs one driver job round-trip (the ``limit(1).count()``
-    emptiness probe) — bounded by graph diameter, fine for the
-    short-diameter vocabulary graphs paths run over. If a workload ever
-    closes a long chain (diameter ~100+), the probe could return the
-    frontier SIZE instead and square the frontier (join frontier with
-    itself as well as the base) to halve the round count — doubling work
-    per round to halve the driver round-trips; not worth the extra
-    shuffle for typical KG path queries, noted for the 100x case."""
+    emptiness probe). The first ``_LINEAR_ROUNDS`` rounds are semi-naive
+    (frontier joins the BASE edges: cheapest per round, O(diameter)
+    rounds); past that the loop switches to PATH DOUBLING (closure joins
+    CLOSURE: each round doubles the reachable path length, so a
+    100-deep chain closes in ~4 more rounds instead of ~92) — heavier
+    per round, which is why it only kicks in once the linear rounds have
+    proven the diameter long."""
     # Each round's frontier is checkpointed eagerly (cuts lineage: the
     # per-round plan stays O(1)). Constraint propagation is switched off
     # for the loop: the closure plan unions the SAME checkpointed leaf
@@ -171,13 +179,15 @@ def _transitive_plus(
         edges = edges.distinct().localCheckpoint()
         closure = edges
         frontier = edges
-        for _ in range(max_iter):
+        for i in range(max_iter):
             cond = F.col("f.__o") == F.col("e.__s")
             for g in group_cols:
                 cond = cond & (F.col(f"f.{g}") == F.col(f"e.{g}"))
+            left = frontier if i < _LINEAR_ROUNDS else closure
+            right = edges if i < _LINEAR_ROUNDS else closure
             nxt = (
-                frontier.alias("f")
-                .join(edges.alias("e"), cond)
+                left.alias("f")
+                .join(right.alias("e"), cond)
                 .select(
                     F.col("f.__s").alias("__s"),
                     F.col("e.__o").alias("__o"),
@@ -877,8 +887,20 @@ def bgp(
         bound = set(out.columns)
         rest = frames[1:]
     for sub in rest:
+        # two frames (union blocks / sub-SELECTs) can both carry hidden
+        # term-metadata columns for a shared variable: the FIRST frame's
+        # metadata wins (same rule as _join_patterns) and meta columns
+        # are never join keys — solutions join on lexical bindings only
+        dup_meta = [
+            c for c in sub.columns
+            if c.startswith(META_PREFIXES) and c in out.columns
+        ]
+        if dup_meta:
+            sub = sub.drop(*dup_meta)
         sub_vars = set(sub.columns)
-        shared = sorted(bound & sub_vars)
+        shared = sorted(
+            v for v in bound & sub_vars if not v.startswith(META_PREFIXES)
+        )
         out = out.join(sub, on=shared, how="inner") if shared else out.crossJoin(sub)
         bound |= sub_vars
     if values:

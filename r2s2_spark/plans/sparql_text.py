@@ -1024,27 +1024,34 @@ class _Parser:
                 continue
             self.triples_block(template)
         self.next()
-        # a SEQUENCE path in the template expands to chained triples
-        # through fresh per-solution blank nodes (?s p1/p2 ?o -> ?s p1
-        # _:m . _:m p2 ?o); other path forms have no finite triple
-        # rendering and stay unsupported
-        expanded: list = []
-        for s, p, o in template:
-            if isinstance(p, PathSeq) and all(
-                isinstance(part, str) for part in p.parts
-            ):
+        # paths with a FINITE triple rendering expand in the template
+        # (the spec grammar forbids paths there outright — rendering the
+        # renderable ones is a convenience superset): a SEQUENCE chains
+        # through fresh per-solution variables (?s p1/p2 ?o -> ?s p1 ?m .
+        # ?m p2 ?o), an INVERSE swaps its endpoints (?s ^p ?o -> ?o p
+        # ?s), composing inside sequences. Closures/alternations have no
+        # finite rendering and stay named.
+        def render(s, p, o, out):
+            if isinstance(p, str):
+                out.append((s, p, o))
+            elif isinstance(p, PathInverse):
+                render(o, p.path, s, out)
+            elif isinstance(p, PathSeq):
                 terms = [s]
                 for _ in range(len(p.parts) - 1):
                     terms.append(self.fresh_var())
                 terms.append(o)
                 for i, part in enumerate(p.parts):
-                    expanded.append((terms[i], part, terms[i + 1]))
-            elif not isinstance(p, str):
-                raise SparqlUnsupported(
-                    "non-sequence property path in CONSTRUCT template"
-                )
+                    render(terms[i], part, terms[i + 1], out)
             else:
-                expanded.append((s, p, o))
+                raise SparqlUnsupported(
+                    "non-finite property path in CONSTRUCT template "
+                    "(only IRIs, sequences, and inverses render)"
+                )
+
+        expanded: list = []
+        for s, p, o in template:
+            render(s, p, o, expanded)
         template = expanded
         q = {"form": "construct", "template": template, "graph": None,
              "limit": None, "offset": None}
@@ -1502,14 +1509,15 @@ def _annotate_graph(sub: dict, gterm) -> None:
     BIND/VALUES inside GRAPH propagate unchanged (expressions and inline
     data have no graph scope). A sub-SELECT under a CONSTANT scope
     annotates its own WHERE group recursively (its patterns evaluate in
-    that graph); under a VARIABLE scope it stays a named narrowing — the
-    per-solution graph binding would have to correlate through the
-    subquery's projection."""
+    that graph); under a VARIABLE scope the subquery evaluates once per
+    named graph with the graph variable riding through its projection
+    (see _annotate_subselect_graph_var)."""
     if sub["subselects"]:
-        if isinstance(gterm, str) and gterm.startswith("?"):
-            raise SparqlUnsupported("subquery inside GRAPH ?var group")
         for sq in sub["subselects"]:
-            _annotate_graph(sq["where"], gterm)
+            if isinstance(gterm, str) and gterm.startswith("?"):
+                _annotate_subselect_graph_var(sq, gterm)
+            else:
+                _annotate_graph(sq["where"], gterm)
 
     def mark(patterns):
         return [
@@ -1520,13 +1528,14 @@ def _annotate_graph(sub: dict, gterm) -> None:
     def mark_group(grp):
         # a modifier group is a plain pattern list or a sub-group dict;
         # dicts mark recursively (nested modifier groups + union blocks +
-        # nested sub-SELECT WHERE groups, same constant-scope rule)
+        # nested sub-SELECT WHERE groups, same scope rules)
         if not isinstance(grp, dict):
             return mark(grp)
         for sq in grp.get("subselects") or []:
             if isinstance(gterm, str) and gterm.startswith("?"):
-                raise SparqlUnsupported("subquery inside GRAPH ?var group")
-            _annotate_graph(sq["where"], gterm)
+                _annotate_subselect_graph_var(sq, gterm)
+            else:
+                _annotate_graph(sq["where"], gterm)
         return {
             **grp,
             "patterns": mark(grp["patterns"]),
@@ -1548,6 +1557,61 @@ def _annotate_graph(sub: dict, gterm) -> None:
         [mark_group(branch) for branch in block]
         for block in sub["unions"]
     ]
+
+
+def _annotate_subselect_graph_var(sq: dict, gvar: str) -> None:
+    """Sub-SELECT under ``GRAPH ?g`` (SPARQL §13.3: the subquery evaluates
+    once per named graph, with ?g binding outside): the subquery's own
+    patterns take the VARIABLE scope, and ?g rides through its projection
+    and grouping — per-graph evaluation of DISTINCT and aggregates is
+    exactly "?g added to the group keys / projected set". Named
+    residuals: LIMIT/OFFSET inside the subquery (a per-graph slice has no
+    single-frame rendering) and a subquery that uses the graph variable
+    name internally (spec scoping makes it a DIFFERENT variable there —
+    silently joining them would be wrong)."""
+    name = gvar[1:]
+    if sq.get("limit") is not None or sq.get("offset"):
+        raise SparqlUnsupported(
+            "LIMIT/OFFSET in subquery inside GRAPH ?var group"
+        )
+    uses = set()
+    for pat in _group_patterns_text(sq["where"]):
+        uses.update(x for x in pat[:3] if isinstance(x, str))
+    if gvar in uses or name in sq["select"]:
+        raise SparqlUnsupported(
+            f"subquery inside GRAPH {gvar} already uses {gvar} internally"
+        )
+    _annotate_graph(sq["where"], gvar)
+    if not sq["star"] and name not in sq["select"]:
+        sq["select"].append(name)
+    if sq["agg"]:
+        if sq["group_by"] is None:
+            # implicit single group -> one group PER GRAPH
+            sq["group_by"] = [gvar]
+        elif gvar not in sq["group_by"]:
+            sq["group_by"] = [*sq["group_by"], gvar]
+
+
+def _group_patterns_text(g) -> list:
+    """Every triple pattern of a parsed group dict (patterns + nested
+    modifier groups + union branches), recursively — the textual-front-end
+    twin of sparql._group_patterns (which walks compiled groups)."""
+    out = []
+    if isinstance(g, dict):
+        out.extend(g.get("patterns") or [])
+        for sub in (
+            *(g.get("optional") or []), *(g.get("minus") or []),
+            *(g.get("exists") or []), *(g.get("not_exists") or []),
+        ):
+            out.extend(_group_patterns_text(sub))
+        for block in g.get("unions") or []:
+            for branch in block:
+                out.extend(_group_patterns_text(branch))
+        for sq in g.get("subselects") or []:
+            out.extend(_group_patterns_text(sq["where"]))
+    else:
+        out.extend(g)
+    return out
 
 
 def _dataset(q: dict):
@@ -1653,14 +1717,11 @@ def _compile_select(pipe, q: dict, stage: str | None):
         # SINGLE union block the branches themselves carry the term
         # metadata (each branch scans with term_meta; a branch not
         # binding the variable unions in NULL metadata = the spec's type
-        # error). Several blocks would join duplicate metadata columns —
-        # that stays a named narrowing.
+        # error). With SEVERAL blocks every block's frame carries its own
+        # metadata and bgp joins them first-frame-wins, never on the
+        # hidden columns (plans/sparql.py frame join).
         meta = frozenset(q.get("meta_vars") or ())
-        union_meta = meta if (pure_union and len(unions) == 1) else frozenset()
-        if pure_union and meta and len(unions) != 1:
-            raise SparqlUnsupported(
-                "LANG()/DATATYPE() over multiple pure-UNION blocks"
-            )
+        union_meta = meta if pure_union else frozenset()
         filters = w["filters"]
         filt = None
         if filters:
@@ -1715,11 +1776,9 @@ def _compile_select(pipe, q: dict, stage: str | None):
         if deferred:
             # keep the full aggregation output (hidden __h columns, group
             # keys) through the post-agg expressions and the sort; the
-            # projection runs after. DISTINCT would have to apply to the
-            # projected rows BEFORE an agg-keyed sort — that combination
-            # stays named.
-            if q["distinct"] and q.get("order_agg"):
-                raise SparqlUnsupported("DISTINCT with aggregate ORDER BY")
+            # projection runs after. DISTINCT + aggregate ORDER BY keeps
+            # one best-ranked duplicate per projected tuple (see the
+            # deferred projection below).
             select = None
         frames = [_compile_select(pipe, sub, stage) for sub in w["subselects"]]
         groups = {
@@ -1802,22 +1861,57 @@ def _compile_select(pipe, q: dict, stage: str | None):
     if q["order"] and not (deferred and q["distinct"]):
         out = _sort(out)
     if deferred:
-        # the deferred projection (hidden __h sort keys drop here; a bare
-        # projection preserves the sort order)
-        out = (
-            out.select(*q["select"])
-            if not q["star"]
-            else out.drop(
-                *[c for c in out.columns if c.startswith(("__h", "__g"))]
+        if q["distinct"] and q.get("order_agg"):
+            # DISTINCT + aggregate ORDER BY: the sort keys read hidden
+            # __h columns the projection must drop, while DISTINCT
+            # applies to the PROJECTED rows. Materialize each key as a
+            # hidden __o column, keep ONE best-ranked duplicate per
+            # projected tuple (row_number window — duplicates differ
+            # only in hidden columns), order the survivors by their
+            # keys, then drop the hidden columns.
+            from pyspark.sql import Window
+
+            okeys = []
+            for i, (e, desc) in enumerate(q["order"]):
+                nm = f"__o{i}"
+                out = out.withColumn(nm, e(out) if callable(e) else e)
+                okeys.append((nm, desc))
+            sel = (
+                q["select"]
+                if not q["star"]
+                else [
+                    c for c in out.columns
+                    if not c.startswith(("__h", "__g", "__o"))
+                ]
             )
-        )
-        if q["distinct"]:
-            # DISTINCT applies to the projected rows; an ORDER BY (plain
-            # alias keys only — agg keys were rejected above) re-sorts
-            # the distinct output
-            out = out.distinct()
-            if q["order"]:
-                out = _sort(out)
+            by_keys = [
+                F.col(nm).desc() if desc else F.col(nm).asc()
+                for nm, desc in okeys
+            ]
+            wnd = Window.partitionBy(*sel).orderBy(*by_keys)
+            out = (
+                out.select(*sel, *[nm for nm, _ in okeys])
+                .withColumn("__rn", F.row_number().over(wnd))
+                .where(F.col("__rn") == 1)
+                .orderBy(*by_keys)
+                .select(*sel)
+            )
+        else:
+            # the deferred projection (hidden __h sort keys drop here; a
+            # bare projection preserves the sort order)
+            out = (
+                out.select(*q["select"])
+                if not q["star"]
+                else out.drop(
+                    *[c for c in out.columns if c.startswith(("__h", "__g"))]
+                )
+            )
+            if q["distinct"]:
+                # DISTINCT applies to the projected rows; an ORDER BY
+                # (plain alias keys here) re-sorts the distinct output
+                out = out.distinct()
+                if q["order"]:
+                    out = _sort(out)
     if q["offset"]:
         out = out.offset(q["offset"])
     if q["limit"] is not None:
@@ -1848,13 +1942,9 @@ def _where_solutions(pipe, q: dict, stage: str | None):
             stage=stage, graph=graph, named_graphs=named,
         )
     meta = frozenset(q.get("meta_vars") or ())
-    union_meta = meta if (pure_union and len(unions) == 1) else frozenset()
-    if pure_union and meta and len(unions) != 1:
-        # a single union block carries term metadata per branch; several
-        # blocks would join duplicate metadata columns
-        raise SparqlUnsupported(
-            "LANG()/DATATYPE() over multiple pure-UNION blocks"
-        )
+    # each pure-union block's frame carries its own term metadata; bgp
+    # joins frames first-frame-wins on lexical bindings only
+    union_meta = meta if pure_union else frozenset()
     filters = w["filters"]
     filt = None
     if filters:

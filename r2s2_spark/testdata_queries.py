@@ -2050,7 +2050,13 @@ def sparql_paths(spark, sf_dir):
     "CAST(COUNT(*) AS VARCHAR) AS n FROM nation "
     "GROUP BY n_regionkey ORDER BY COUNT(*) DESC, r LIMIT 1)"
     " UNION ALL "
-    f"SELECT 'union_kind', '{EX}region/' || r_regionkey, r_name FROM region",
+    f"SELECT 'union_kind', '{EX}region/' || r_regionkey, r_name FROM region"
+    " UNION ALL "
+    f"SELECT DISTINCT 'distinct_order_agg', '{EX}region/' || n_regionkey, '1' "
+    "FROM nation"
+    " UNION ALL "
+    f"SELECT 'multi_union_lang', '{EX}region/' || r_regionkey, r_name "
+    "FROM region WHERE r_regionkey < 4",
 )
 def sparql_text_values_union(spark, sf_dir):
     """Textual SPARQL inline-data + aggregate + round-4b surface, tagged:
@@ -2162,6 +2168,25 @@ def sparql_text_values_union(spark, sf_dir):
           FILTER(ISLITERAL(?x))
         }}""",
     )
+    # round-5 surface: DISTINCT + aggregate ORDER BY (one best-ranked
+    # duplicate per projected ?r — a non-deduping implementation returns
+    # 25 rows, a row-count mismatch) and term-kind metadata over TWO
+    # pure-UNION blocks in one group (first-frame-wins metadata join)
+    distinct_order_agg = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT DISTINCT ?r (COUNT(?s) AS ?n) WHERE {{ ?s ex:inRegion ?r }}
+        GROUP BY ?r ?s ORDER BY DESC(COUNT(?s)) ?r""",
+    )
+    multi_union_lang = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?x WHERE {{
+          {{ ?s ex:name ?x }} UNION {{ ?s a ?x }}
+          {{ ?s ex:next ?y }} UNION {{ ?s ex:inRegion ?y }}
+          FILTER(ISLITERAL(?x))
+        }}""",
+    )
     return _union_all([
         sparql_text_values(spark, sf_dir).select(_tag("values"), "s", "r"),
         sparql_text_union_mixed(spark, sf_dir).select(_tag("union_mixed"), "s", "r"),
@@ -2183,6 +2208,13 @@ def sparql_text_values_union(spark, sf_dir):
             F.col("n").cast("string").alias("r"),
         ),
         union_kind.select(_tag("union_kind"), "s", F.col("x").alias("r")),
+        distinct_order_agg.select(
+            _tag("distinct_order_agg"), F.col("r").alias("s"),
+            F.col("n").cast("string").alias("r"),
+        ),
+        multi_union_lang.select(
+            _tag("multi_union_lang"), "s", F.col("x").alias("r")
+        ),
     ])
 
 

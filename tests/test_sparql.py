@@ -206,7 +206,13 @@ def test_bgp_constant_predicate_prunes_scans(pipe):
 
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", mplan):
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
-        assert all("label" in c or c.startswith("subject_") for c in cols), cols
+        # batched small tables store generic positional names (c0..cN;
+        # TableSpec.storage_columns maps back) — there pruning shows as
+        # WIDTH: only the subject/label positions may be read, never the
+        # type table's full column set
+        plain = {c for c in cols if not re.fullmatch(r"c\d+", c)}
+        assert all("label" in c or c.startswith("subject_") for c in plain), cols
+        assert len(cols) <= 2, cols
 
 
 def test_graph_constant_from(spark, tmp_path):
@@ -462,3 +468,36 @@ def test_bind_and_aggregates(pipe):
         select=["?s", "?ut"],
     )
     assert bound.count() == 50
+
+
+def test_transitive_plus_doubling_on_deep_chain(spark):
+    """A 100-deep chain (diameter far past _LINEAR_ROUNDS) must close via
+    PATH DOUBLING: after 8 semi-naive rounds the closure squares itself,
+    reaching depth 100 in ~4 more rounds instead of ~92 — asserted as a
+    Spark-job budget (each round is a bounded handful of jobs), plus the
+    exact closure: n*(n+1)/2 pairs for a chain of n edges."""
+    from r2s2_spark.plans.sparql import _transitive_plus
+
+    n = 100
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "__s long, __o long"
+    )
+    store = spark.sparkContext._jsc.sc().statusStore()
+    j0 = store.jobsList(None).size()
+    out = _transitive_plus(edges, max_iter=64)
+    assert out.count() == n * (n + 1) // 2
+    jobs = store.jobsList(None).size() - j0
+    # 8 linear + ~4 doubling + 1 final empty round at ~10 jobs each
+    # (checkpoints, emptiness probe, union checkpoint, AQE subjobs);
+    # the linear-only design needed ~99 rounds (~1000 jobs)
+    assert jobs < 160, f"deep-chain closure ran {jobs} jobs"
+    # per-group closure still respected with doubling active: two
+    # disjoint 50-chains in separate groups never cross
+    ge = spark.createDataFrame(
+        [(i, i + 1, "a") for i in range(50)]
+        + [(1000 + i, 1001 + i, "b") for i in range(50)],
+        "__s long, __o long, g string",
+    )
+    got = _transitive_plus(ge, max_iter=64, group_cols=("g",))
+    assert got.count() == 2 * (50 * 51 // 2)
+    assert got.where("g = 'a' AND __s >= 1000").count() == 0

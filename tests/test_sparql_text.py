@@ -50,13 +50,17 @@ def test_parse_unsupported_named_clearly():
         parse_sparql(
             "SELECT ?x WHERE { SERVICE <http://remote/sparql> { ?x <http://p> ?y } }"
         )
-    # mixed GRAPH + default-graph patterns and BIND/VALUES/UNION inside
-    # GRAPH are SUPPORTED since round 4; a sub-SELECT inside a GRAPH
-    # block remains a named narrowing
-    with pytest.raises(SparqlUnsupported, match="GRAPH"):
+    # a subquery inside GRAPH ?var is SUPPORTED since round 5; the named
+    # residuals are a per-graph slice and internal reuse of the graph var
+    with pytest.raises(SparqlUnsupported, match="LIMIT"):
         parse_sparql(
             "SELECT ?x WHERE { GRAPH ?g { "
-            "{ SELECT ?x WHERE { ?x <http://q> ?z } } } }"
+            "{ SELECT ?x WHERE { ?x <http://q> ?z } LIMIT 3 } } }"
+        )
+    with pytest.raises(SparqlUnsupported, match="uses"):
+        parse_sparql(
+            "SELECT ?x WHERE { GRAPH ?g { "
+            "{ SELECT ?x WHERE { ?x <http://q> ?g } } } }"
         )
     with pytest.raises(SparqlUnsupported, match="aggregate"):
         parse_sparql("SELECT ?x WHERE { ?x <http://p> ?y FILTER(COUNT(?y) > 2) }")
@@ -696,19 +700,40 @@ def test_pure_union_lang_filter(loaded):
     assert out.columns == ["s", "x"]  # hidden metadata dropped
 
 
-def test_multi_block_union_meta_still_named_unsupported():
-    """Several pure-UNION blocks would join duplicate metadata columns —
-    stays a clearly named narrowing instead of a column-collision
-    crash."""
-    from r2s2_spark.plans.sparql_text import _compile_select
-
-    q = parse_sparql(
-        "SELECT ?r WHERE { { ?r <http://p> ?x } UNION { ?r <http://q> ?x } "
-        "{ ?r <http://p2> ?y } UNION { ?r <http://q2> ?y } "
-        'FILTER(LANG(?x) = "en") }'
+def test_multi_block_union_with_lang_filter(loaded):
+    """LANG()/DATATYPE() over SEVERAL pure-UNION blocks (r4 VERDICT #4):
+    each block's frame carries its own term metadata; bgp joins the
+    frames on lexical bindings only, first-frame metadata winning on a
+    collision — no more named narrowing, no column-collision crash."""
+    out = sparql_query(
+        loaded,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?x ?y WHERE {{
+          {{ ?s rdfs:label ?x }} UNION {{ ?s a ?x }}
+          {{ ?s rdfs:label ?y }} UNION {{ ?s a ?y }}
+          FILTER(LANG(?x) = "cz" && LANG(?y) = "en-UK")
+        }}""",
     )
-    with pytest.raises(SparqlUnsupported, match="UNION"):
-        _compile_select(None, q, None)
+    rows = {(r.s, r.x, r.y) for r in out.collect()}
+    assert rows == {
+        (RDF + "Alt", "杭州市", "lala"),
+        (RDF + "Alt", "杭州市", "lala lala"),
+    }
+    assert out.columns == ["s", "x", "y"]  # hidden metadata dropped
+    # same variable bound by BOTH blocks: duplicate metadata columns are
+    # deduped (first block wins), the blocks join on the lexical binding
+    dup = sparql_query(
+        loaded,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?x WHERE {{
+          {{ ?s rdfs:label ?x }} UNION {{ ?s a ?x }}
+          {{ ?s rdfs:label ?x }} UNION {{ ?s a ?x }}
+          FILTER(LANG(?x) = "cz")
+        }}""",
+    )
+    assert {(r.s, r.x) for r in dup.collect()} == {
+        (RDF + "Bag", "杭州"), (RDF + "Alt", "杭州市"),
+    }
 
 
 def test_describe_var_respects_from_graph(spark, tmp_path):
@@ -1182,6 +1207,41 @@ def test_subquery_inside_ask_and_construct(oddeven):
     }
 
 
+def test_subselect_inside_graph_var(twograph):
+    """Sub-SELECT under GRAPH ?g (r4 VERDICT #4): the subquery evaluates
+    once per named graph — its aggregate groups per graph and ?g binds
+    outside. g/one and g/two each hold 2 triples."""
+    out = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?g ?n WHERE {{
+          GRAPH ?g {{ {{ SELECT (COUNT(?s) AS ?n) WHERE {{ ?s ?p ?o }} }} }}
+        }} ORDER BY ?g""",
+    )
+    # the engine fills graph-less triples with the catalog default graph,
+    # which GRAPH ?var then ranges over like any named graph (existing
+    # documented model) — so the default graph's 1 triple counts too
+    assert [(r.g, r.n) for r in out.collect()] == [
+        ("http://example.org/graph", 1),
+        (EX + "g/one", 2), (EX + "g/two", 2),
+    ]
+    # non-aggregate subquery: DISTINCT applies per graph, ?g joins the
+    # outer pattern in the same GRAPH block
+    out2 = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        SELECT ?g ?s ?l WHERE {{
+          GRAPH ?g {{
+            ?s rdfs:label ?l .
+            {{ SELECT DISTINCT ?s WHERE {{ ?s a ex:T }} }}
+          }}
+        }} ORDER BY ?g""",
+    )
+    assert [(r.g, r.s, r.l) for r in out2.collect()] == [
+        (EX + "g/one", EX + "s1", "one"), (EX + "g/two", EX + "s2", "two"),
+    ]
+
+
 def test_sequence_path_inside_alternation(spark, tmp_path):
     """(a/b)|c — a sequence branch compiles via the chain join on the
     branch endpoints; no manual distribution needed."""
@@ -1453,12 +1513,6 @@ def test_subgroup_narrowings_named():
         parse_sparql(
             'SELECT ?s WHERE { ?s <http://p> ?o MINUS { FILTER(?o > 3) } }'
         )
-    # sub-SELECT under a VARIABLE graph scope stays a named narrowing
-    with pytest.raises(SparqlUnsupported, match="GRAPH"):
-        parse_sparql(
-            "SELECT ?s WHERE { GRAPH ?g { "
-            "{ SELECT ?s WHERE { ?s <http://q> ?z } } } }"
-        )
 
 
 # -- round-4c: sub-SELECT inside modifier groups and GRAPH blocks -----------
@@ -1546,13 +1600,30 @@ def test_order_by_aggregate(oddeven):
     assert out2.columns == ["t"]  # hidden sort key projected away
 
 
-def test_order_by_aggregate_distinct_named_unsupported(oddeven):
-    with pytest.raises(SparqlUnsupported, match="DISTINCT"):
-        sparql_query(
-            oddeven,
-            """SELECT DISTINCT ?t WHERE { ?s a ?t }
-            GROUP BY ?t ORDER BY COUNT(?s)""",
-        )
+def test_order_by_aggregate_with_distinct(oddeven):
+    """DISTINCT + aggregate ORDER BY (r4 VERDICT #4): one best-ranked
+    duplicate survives per projected tuple, ordered by the aggregate
+    keys. Group keys are already distinct here, so DISTINCT is a no-op
+    and the order must match the plain aggregate sort."""
+    out = sparql_query(
+        oddeven,
+        """SELECT DISTINCT ?t WHERE { ?s a ?t }
+        GROUP BY ?t ORDER BY COUNT(?s)""",
+    )
+    assert [r.t for r in out.collect()] == [EX + "odd", EX + "even"]
+    assert out.columns == ["t"]
+    # non-trivial DISTINCT: project a SUBSET of the group keys — each
+    # width (1- and 2-digit labels) groups per (type, width), DISTINCT
+    # keeps one ?t row ranked by its best (largest) group count
+    out2 = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT DISTINCT ?t WHERE {{ ?s a ?t ; rdfs:label ?l }}
+        GROUP BY ?t (STRLEN(?l) AS ?w) ORDER BY DESC(COUNT(?s)) ?t""",
+    )
+    # groups: (even,1)=5 (even,2)=45 (odd,1)=4 (odd,2)=45; best-ranked
+    # duplicate per ?t is 45 for both, tie broken by ?t ascending
+    assert [r.t for r in out2.collect()] == [EX + "even", EX + "odd"]
 
 
 # -- round-4c: SELECT expressions over aggregates ---------------------------
@@ -1865,3 +1936,30 @@ def test_construct_order_by_limit(oddeven):
     )
     rows2 = sorted(r.object for r in out2.collect())
     assert rows2 == ["98", "99"]
+
+
+def test_construct_template_inverse_path(oddeven):
+    """Inverse paths in CONSTRUCT templates render finitely by swapping
+    endpoints (r4 VERDICT #4), composing inside sequences; closures stay
+    named."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        CONSTRUCT {{ ?l ^ex:labelOf ?s }}
+        WHERE {{ ?s rdfs:label ?l FILTER(?l = 7) }}""",
+    )
+    assert [(r.subject, r.predicate, r.object) for r in out.collect()] == [
+        (EX + "i7", EX + "labelOf", "7")
+    ]
+    # sequence containing an inverse: ?l (^rdfs:label)/rdf:type ?t ->
+    # ?m rdfs:label ?l . ?m rdf:type ?t with a fresh join variable
+    out2 = sparql_query(
+        oddeven,
+        f"""PREFIX ex: <{EX}> PREFIX rdfs: <{RDFS}>
+        CONSTRUCT {{ ?l (^rdfs:label)/ex:tag ?t }}
+        WHERE {{ ?s rdfs:label ?l ; a ?t FILTER(?l = 7) }}""",
+    )
+    preds = sorted(r.predicate for r in out2.collect())
+    assert preds == sorted([RDFS + "label", EX + "tag"])
+    with pytest.raises(SparqlUnsupported, match="non-finite"):
+        parse_sparql("CONSTRUCT { ?s <http://p>+ ?o } WHERE { ?s ?p ?o }")
