@@ -180,21 +180,24 @@ def run_many_tables_layout(spark) -> dict:
         pipe.stage_e(src)
         pipe.stage_d()
         pipe.stage_v()
-        # Spark job COUNT per stage (AppStatusStore delta): the round-5
-        # write fusion makes this sub-linear in table count — the r4
-        # design ran ~2 jobs per table (footer inference + write) on top
-        # of the fixed jobs, i.e. >= 128 extra at 64 tables
-        store = spark.sparkContext._jsc.sc().statusStore()
-        j0 = store.jobsList(None).size()
+        # Spark job COUNT per stage: the round-5 write fusion makes this
+        # sub-linear in table count — the r4 design ran ~2 jobs per table
+        # (footer inference + write) on top of the fixed jobs, i.e.
+        # >= 128 extra at 64 tables. Counted with the DAG scheduler's
+        # monotonic job-id counter, NOT statusStore().jobsList() — the
+        # status store is bounded by spark.ui.retainedJobs and evicts
+        # after ~1000 jobs in a long session, corrupting deltas
+        sc = spark.sparkContext._jsc.sc()
+        j0 = sc.dagScheduler().nextJobId()
         t0 = time.time()
         pipe.stage_o()
         t_o = time.time() - t0
-        jobs_o = store.jobsList(None).size() - j0
-        j0 = store.jobsList(None).size()
+        jobs_o = sc.dagScheduler().nextJobId() - j0
+        j0 = sc.dagScheduler().nextJobId()
         t0 = time.time()
         pipe.stage_m()
         t_m = time.time() - t0
-        jobs_m = store.jobsList(None).size() - j0
+        jobs_m = sc.dagScheduler().nextJobId() - j0
         return {
             "stage_o_64tables_sec": round(t_o, 3),
             "stage_m_64tables_sec": round(t_m, 3),

@@ -430,6 +430,81 @@ def fused_probe_tables(
     return out
 
 
+def fused_reopt_probe(
+    spark: SparkSession,
+    pairs: list,
+    pooled_map=None,
+) -> dict[str, dict]:
+    """``probe_table(mode="reopt")`` for MANY tables in ONE grouped agg job
+    per distinct schema shape — the stage-M analog of fused_probe_tables
+    (which fuses over the shared generic V schema; post-merge frames have
+    heterogeneous real schemas, so they fuse by SHAPE instead).
+
+    Tables group by their frame's physical type tuple, rename to generic
+    c0..cN plus a table tag, union as a balanced tree, and one
+    ``groupBy(__t)`` agg computes ``__n`` + per-column count/min/max for
+    every member — job count = number of distinct shapes (a handful),
+    not number of tables (10^4-10^5 at a real KG vocabulary). Only the
+    keys the reopt passes read are produced: narrowing guards are
+    full-mode only (ReOptimizeForR2RML.java:24-46 re-runs virtual + LCP
+    alone). ``pairs`` is [(TableSpec, frame)]; returns {table name:
+    stats dict in probe_table's key format}.
+    """
+    groups: dict[tuple, list] = {}
+    for t, df in pairs:
+        key = tuple(f.dataType.simpleString() for f in df.schema.fields)
+        groups.setdefault(key, []).append((t, df))
+
+    def probe_group(item):
+        key, members = item
+        parts = []
+        for t, df in members:
+            parts.append(
+                df.select(
+                    F.lit(t.name).alias("__t"),
+                    *[F.col(c).alias(f"c{i}") for i, c in enumerate(df.columns)],
+                )
+            )
+        # balanced-tree union (left-deep chains are O(T^2) analyzer work)
+        while len(parts) > 1:
+            parts = [
+                parts[i].unionByName(parts[i + 1]) if i + 1 < len(parts) else parts[i]
+                for i in range(0, len(parts), 2)
+            ]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i in range(len(key)):
+            c = F.col(f"c{i}")
+            aggs.append(F.count(c).alias(f"c{i}\x00cnt"))
+            aggs.append(F.min(c).alias(f"c{i}\x00min"))
+            aggs.append(F.max(c).alias(f"c{i}\x00max"))
+        rows = {
+            r["__t"]: r.asDict()
+            for r in parts[0].groupBy("__t").agg(*aggs).collect()
+        }
+        out_g = []
+        for t, df in members:
+            r = rows.get(t.name)
+            stats: dict = {"__n": 0 if r is None else r["__n"]}
+            for i, c in enumerate(df.columns):
+                if r is None:
+                    stats[f"{c}\x00cnt"] = 0
+                    stats[f"{c}\x00min"] = None
+                    stats[f"{c}\x00max"] = None
+                else:
+                    stats[f"{c}\x00cnt"] = r[f"c{i}\x00cnt"]
+                    stats[f"{c}\x00min"] = r[f"c{i}\x00min"]
+                    stats[f"{c}\x00max"] = r[f"c{i}\x00max"]
+            out_g.append((t.name, stats))
+        return out_g
+
+    items = sorted(groups.items(), key=lambda kv: str(kv[0]))
+    mapper = pooled_map or (lambda fn, xs: [fn(x) for x in xs])
+    out: dict[str, dict] = {}
+    for got in mapper(probe_group, items):
+        out.update(dict(got))
+    return out
+
+
 def _iri_group_parts(table: TableSpec, cs: ColumnSpec) -> bool:
     return cs.part in PART_KEYS
 

@@ -111,15 +111,28 @@ def _write_batched(
 
     Each member TableSpec gets ``path = {rel_dir}/{gid}/t={name}`` and
     ``storage_columns`` = its real column names in storage order
-    (vertical.read_stored renames back on read). The repartition("t")
-    co-locates each table in one task, and the post-shuffle
-    sortWithinPartitions keeps the O1 clustering-sort contract the
-    per-branch sorts lose in the shuffle. Returns {name: row_count}
-    (missing = zero rows; an empty table writes no partition dir)."""
+    (vertical.read_stored renames back on read). NO shuffle is added:
+    every union branch is ONE table (t constant per input partition,
+    already size-coalesced and clustering-sorted by optimize_table), so
+    the partitionBy("t") write routes each task's rows to its own
+    partition dir as-is — batching only fuses the JOB SUBMISSIONS, it
+    must not re-shuffle data the identity fast path deliberately avoided
+    shuffling. Returns {name: row_count} (missing = zero rows; an empty
+    table writes no partition dir)."""
     groups: dict[tuple, list] = {}
     for t, out in pairs:
         key = tuple(f.dataType.simpleString() for f in out.schema.fields)
         groups.setdefault(key, []).append((t, out))
+    # chunk size balances two costs: fewer chunks = fewer driver jobs
+    # (the 10^4-table win), more chunks = batch jobs overlap on the
+    # thread pool (wall clock at moderate table counts). Aim for ~2
+    # chunks per pool slot, floored at 8 tables and capped by the
+    # monster-plan bounds — job count stays O(T / 8) worst case and
+    # O(T / BATCH_MAX_TABLES) at vocabulary scale.
+    chunk_max = min(
+        BATCH_MAX_TABLES,
+        max(8, -(-len(pairs) // (2 * MAX_CONCURRENT_TABLE_JOBS))),
+    )
     jobs: list[tuple[int, list]] = []
     gid = 0
     for key in sorted(groups, key=str):
@@ -128,7 +141,7 @@ def _write_batched(
         for t, out in groups[key]:
             chunk.append((t, out))
             chunk_rows += t.row_count or 0
-            if len(chunk) >= BATCH_MAX_TABLES or chunk_rows >= BATCH_MAX_ROWS:
+            if len(chunk) >= chunk_max or chunk_rows >= BATCH_MAX_ROWS:
                 jobs.append((gid, chunk))
                 gid += 1
                 chunk, chunk_rows = [], 0
@@ -141,16 +154,21 @@ def _write_batched(
         if pool:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
         parts = []
+        obs: list[tuple[str, Observation]] = []
         for t, out in chunk:
             names = list(out.columns)
             t.storage_columns = names
             t.path = f"{rel_dir}/{g}/t={t.name}"
-            parts.append(
-                out.select(
-                    F.lit(t.name).alias("t"),
-                    *[F.col(c).alias(f"c{i}") for i, c in enumerate(names)],
-                )
+            branch = out.select(
+                F.lit(t.name).alias("t"),
+                *[F.col(c).alias(f"c{i}") for i, c in enumerate(names)],
             )
+            # per-BRANCH row-count metric: each branch is exactly one
+            # table, so a plain count per branch rides the write — no
+            # read-back scan, no per-row conditionals
+            ob = Observation()
+            obs.append((t.name, ob))
+            parts.append(branch.observe(ob, F.count(F.lit(1)).alias("n")))
         # balanced-tree union (left-deep chains are O(T^2) analyzer work)
         while len(parts) > 1:
             parts = [
@@ -158,22 +176,9 @@ def _write_batched(
                 for i in range(0, len(parts), 2)
             ]
         u = parts[0]
-        data_cols = [c for c in u.columns if c != "t"]
         dest = os.path.join(abs_dir, str(g))
-        (
-            u.repartition("t")
-            .sortWithinPartitions("t", *data_cols)
-            .write.mode("overwrite")
-            .partitionBy("t")
-            .parquet(dest)
-        )
-        return {
-            r["t"]: int(r["n"])
-            for r in spark.read.parquet(dest)
-            .groupBy("t")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        u.write.mode("overwrite").partitionBy("t").parquet(dest)
+        return {name: int(ob.get["n"]) for name, ob in obs}
 
     counts: dict[str, int] = {}
     for got in _pooled_map(write_one, jobs):
@@ -466,9 +471,19 @@ class KgPipeline:
                 t.storage_columns = None
                 return t.name, int(obs.get["n"])
 
-            # small frames build FIRST (serial driver-side analysis) so the
-            # schema cache is warm before the pooled big writes race on it
-            small_pairs = [(t, optimize_frame(t)) for t in small]
+            # warm the schema cache serially (one footer-inference job per
+            # distinct source layout), then build the small frames on the
+            # POOL — plan construction is eager-analysis py4j work (~50 ms
+            # per table, 3.5 s serial at 64 tables) and the Java calls
+            # release the GIL, so threads overlap it
+            seen_parents = set()
+            for t in catalog.tables:
+                src_dir = split_paths.get(t.name, f"{v_data}/t={t.name}")
+                parent = os.path.dirname(src_dir)
+                if parent not in seen_parents:
+                    seen_parents.add(parent)
+                    read_src(src_dir)
+            small_pairs = _pooled_map(lambda t: (t, optimize_frame(t)), small)
             table_counts = dict(_pooled_map(write_big, big))
             table_counts.update(
                 _write_batched(
@@ -539,9 +554,16 @@ class KgPipeline:
 
             _pooled_map(reopt_one, big)
 
-            # small tables: reopt probes run pooled (one agg job each —
-            # unavoidable until a fused reopt probe exists, but they're
-            # tiny), then ALL writes fuse into batched jobs
+            # small tables: ONE fused reopt probe job per schema shape
+            # (count/min/max for every table at once — no per-table agg
+            # jobs), then ALL writes fuse into batched jobs: stage M's
+            # job count is sub-linear in table count end to end
+            reopt_stats = passes.fused_reopt_probe(
+                self.spark,
+                [(t, frames[t.name]) for t in small],
+                pooled_map=_pooled_map,
+            )
+
             def reopt_frame(t):
                 self.spark.sparkContext.setLocalProperty(
                     "spark.scheduler.pool", "stage_m"
@@ -549,7 +571,8 @@ class KgPipeline:
                 return (
                     t,
                     passes.optimize_table(
-                        self.spark, frames[t.name], t, mode="reopt"
+                        self.spark, frames[t.name], t, mode="reopt",
+                        stats=reopt_stats[t.name],
                     ),
                 )
 

@@ -223,40 +223,94 @@ def test_stage_d_target_keys_match_discovery(spark, tmp_path):
 def test_stage_o_batched_writes_sublinear_jobs(spark, tmp_path):
     """Round-5 write fusion: small tables land in shared generic-schema
     partitionBy('t') batches (path under O/batch, storage_columns set),
-    and stage O's Spark job count stays SUB-LINEAR in table count — the
-    last linear-in-vocabulary driver cost. 16 predicates here: the old
-    one-write-job-per-table design needed >= 16 jobs after the probe;
-    batching needs a handful (probe pair + dict builds + batch write +
-    batch count)."""
+    and stage O's Spark job count grows SUB-LINEARLY in table count —
+    the old design added ~2 jobs per table (footer inference + write) on
+    top of ~20 fixed jobs (dicts, fused probe, AQE subjobs). Measured as
+    GROWTH between two catalog widths so the fixed overhead cancels:
+    tripling the table count must add far less than 1 job per added
+    table."""
     from r2s2_spark.naming import EX
     from r2s2_spark.operators import vertical
 
-    n_preds = 32
-    nt = "\n".join(
-        f'<{EX}s{i}> <{EX}p{p}> "v{i}" .'
-        for p in range(n_preds)
-        for i in range(5)
+    # the status store's jobsList is bounded by spark.ui.retainedJobs and
+    # evicts mid-suite (shared session, >1000 prior jobs), corrupting
+    # before/after deltas; the DAG scheduler's job-id counter is monotonic
+    # and exact
+    sc = spark.sparkContext._jsc.sc()
+
+    def run(n_preds, wd):
+        nt = "\n".join(
+            f'<{EX}s{i}> <{EX}p{p}> "v{i}" .'
+            for p in range(n_preds)
+            for i in range(5)
+        )
+        pipe = KgPipeline(spark, str(tmp_path / wd))
+        src = fx.source_files_df(spark, [fx._row("r", "many.nt", nt)])
+        pipe.stage_e(src)
+        pipe.stage_d()
+        pipe.stage_v()
+        before = sc.dagScheduler().nextJobId()
+        pipe.stage_o()
+        return pipe, sc.dagScheduler().nextJobId() - before
+
+    pipe_small, jobs_small = run(12, "wd12")
+    pipe, jobs_big = run(48, "wd48")
+    added = jobs_big - jobs_small
+    # growth is per BATCH (~4 jobs per chunk of >= 8 tables at the
+    # wall-clock floor -> <= 0.5/table here, ~0.004/table at the
+    # 1024-table vocabulary-scale chunk), vs the old ~2 jobs per TABLE
+    # (36 added tables would have added ~72)
+    assert added <= 20, (
+        f"stage O grew {added} jobs for 36 added tables "
+        f"({jobs_small} @12 -> {jobs_big} @48); old design added ~72"
     )
+
+    cat = pipe.catalog("O")
+    assert len(cat.tables) == 48
+    batched = [t for t in cat.tables if t.storage_columns]
+    assert len(batched) == 48  # all tiny -> all fused
+    for t in batched:
+        assert t.path.startswith("O/batch/") and t.row_count == 5
+    one = batched[0]
+    df = vertical.read_stored(spark, pipe.io.root, one)
+    assert df.columns == one.physical_columns()
+    assert df.count() == 5
+    # reconstruction reads through the batched layout transparently
+    trips = pipe.triples("O")
+    assert trips.count() == 48 * 5
+
+
+def test_fused_reopt_probe_matches_per_table(spark, tmp_path):
+    """Stage-M fused reopt probe (one grouped agg per schema SHAPE, not
+    one agg job per table) must reproduce probe_table(mode='reopt')
+    key-for-key for every table — mixed shapes: plain literals, IRI
+    objects (9-part decompose), narrowed ints."""
+    from r2s2_spark.naming import EX
+    from r2s2_spark.operators import passes, vertical
+
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = []
+    for i in range(6):
+        rows.append(f'<{EX}s{i}> <{EX}lit1> "a{i}" .')
+        rows.append(f'<{EX}s{i}> <{EX}lit2> "b{i}" .')
+        rows.append(f'<{EX}s{i}> <{EX}ref> <{EX}o{i}> .')
+        rows.append(f'<{EX}s{i}> <{EX}num> "{i}"^^<{xsd_int}> .')
     pipe = KgPipeline(spark, str(tmp_path / "wd"))
-    src = fx.source_files_df(spark, [fx._row("r", "many_preds.nt", nt)])
-    store = spark.sparkContext._jsc.sc().statusStore()
+    src = fx.source_files_df(spark, [fx._row("r", "mix.nt", "\n".join(rows))])
     pipe.stage_e(src)
     pipe.stage_d()
     pipe.stage_v()
-    jobs_before = store.jobsList(None).size()
     pipe.stage_o()
-    jobs_o = store.jobsList(None).size() - jobs_before
-    assert jobs_o < n_preds, f"stage O ran {jobs_o} jobs for {n_preds} tables"
-
     cat = pipe.catalog("O")
-    assert len(cat.tables) == n_preds
-    batched = [t for t in cat.tables if t.storage_columns]
-    assert len(batched) == n_preds  # all tiny -> all fused
-    for t in batched:
-        assert t.path.startswith("O/batch/") and t.row_count == 5
-        df = vertical.read_stored(spark, pipe.io.root, t)
-        assert df.columns == t.physical_columns()
-        assert df.count() == 5
-    # reconstruction reads through the batched layout transparently
-    trips = pipe.triples("O")
-    assert trips.count() == n_preds * 5
+    frames = vertical.read_stored_frames(spark, pipe.io.root, cat.tables)
+    pairs = [(t, frames[t.name]) for t in cat.tables]
+    fused = passes.fused_reopt_probe(spark, pairs)
+    assert len(fused) == len(cat.tables) >= 3
+    shapes = {
+        tuple(f.dataType.simpleString() for f in frames[t.name].schema.fields)
+        for t in cat.tables
+    }
+    assert len(shapes) >= 2  # the test must actually exercise shape grouping
+    for t in cat.tables:
+        solo = passes.probe_table(frames[t.name], t, mode="reopt")
+        assert fused[t.name] == solo, t.name
