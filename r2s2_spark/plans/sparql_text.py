@@ -1564,16 +1564,19 @@ def _annotate_subselect_graph_var(sq: dict, gvar: str) -> None:
     once per named graph, with ?g binding outside): the subquery's own
     patterns take the VARIABLE scope, and ?g rides through its projection
     and grouping — per-graph evaluation of DISTINCT and aggregates is
-    exactly "?g added to the group keys / projected set". Named
-    residuals: LIMIT/OFFSET inside the subquery (a per-graph slice has no
-    single-frame rendering) and a subquery that uses the graph variable
+    exactly "?g added to the group keys / projected set", and
+    LIMIT/OFFSET becomes a per-graph row_number-window slice
+    (``graph_slice`` in _compile_select). Named residuals: aggregate
+    ORDER BY combined with that slice (the hidden sort keys are dropped
+    before the slice point) and a subquery that uses the graph variable
     name internally (spec scoping makes it a DIFFERENT variable there —
     silently joining them would be wrong)."""
     name = gvar[1:]
     if sq.get("limit") is not None or sq.get("offset"):
-        raise SparqlUnsupported(
-            "LIMIT/OFFSET in subquery inside GRAPH ?var group"
-        )
+        # per-graph slice: _compile_select turns the subquery's
+        # LIMIT/OFFSET into a row_number window partitioned by the graph
+        # variable (a single-frame limit would cut across graphs)
+        sq["graph_slice"] = name
     uses = set()
     for pat in _group_patterns_text(sq["where"]):
         uses.update(x for x in pat[:3] if isinstance(x, str))
@@ -1912,6 +1915,42 @@ def _compile_select(pipe, q: dict, stage: str | None):
                 out = out.distinct()
                 if q["order"]:
                     out = _sort(out)
+    gslice = q.get("graph_slice")
+    if gslice is not None and (q["offset"] or q["limit"] is not None):
+        # sub-SELECT under GRAPH ?g (§13.3 evaluates the subquery once
+        # per named graph): the LIMIT/OFFSET slice applies PER GRAPH — a
+        # single-frame limit would take k rows across ALL graphs. Slice
+        # with a row_number window partitioned by the graph variable,
+        # ordered by the subquery's ORDER BY keys (re-evaluated — plain
+        # alias keys survive the projection) or, unordered, by every
+        # projected column (arbitrary-but-deterministic; any k-subset is
+        # spec-valid without ORDER BY). Runs after DISTINCT/projection,
+        # matching the §15 modifier order.
+        from pyspark.sql import Window
+
+        if q.get("order_agg"):
+            # the aggregate sort keys lived in hidden __h/__o columns the
+            # deferred projection already dropped — not re-evaluable here
+            raise SparqlUnsupported(
+                "LIMIT/OFFSET with aggregate ORDER BY in subquery "
+                f"inside GRAPH ?{gslice} group"
+            )
+        if q["order"]:
+            keys = []
+            for e, desc in q["order"]:
+                k = e(out) if callable(e) else e
+                keys.append(k.desc() if desc else k.asc())
+        else:
+            keys = [F.col(c) for c in out.columns if c != gslice]
+            if not keys:  # SELECT projects only the graph var
+                keys = [F.lit(1)]
+        wnd = Window.partitionBy(gslice).orderBy(*keys)
+        out = out.withColumn("__rn", F.row_number().over(wnd))
+        lo = q["offset"] or 0
+        cond = F.col("__rn") > lo
+        if q["limit"] is not None:
+            cond = cond & (F.col("__rn") <= lo + q["limit"])
+        return out.where(cond).drop("__rn")
     if q["offset"]:
         out = out.offset(q["offset"])
     if q["limit"] is not None:

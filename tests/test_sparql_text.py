@@ -50,13 +50,15 @@ def test_parse_unsupported_named_clearly():
         parse_sparql(
             "SELECT ?x WHERE { SERVICE <http://remote/sparql> { ?x <http://p> ?y } }"
         )
-    # a subquery inside GRAPH ?var is SUPPORTED since round 5; the named
-    # residuals are a per-graph slice and internal reuse of the graph var
-    with pytest.raises(SparqlUnsupported, match="LIMIT"):
-        parse_sparql(
-            "SELECT ?x WHERE { GRAPH ?g { "
-            "{ SELECT ?x WHERE { ?x <http://q> ?z } LIMIT 3 } } }"
-        )
+    # a subquery inside GRAPH ?var is SUPPORTED since round 5 — including
+    # LIMIT/OFFSET (per-graph window slice); the named residual is
+    # internal reuse of the graph var
+    q = parse_sparql(
+        "SELECT ?x WHERE { GRAPH ?g { "
+        "{ SELECT ?x WHERE { ?x <http://q> ?z } LIMIT 3 } } }"
+    )
+    [sq] = q["where"]["subselects"]
+    assert sq["graph_slice"] == "g" and sq["limit"] == 3
     with pytest.raises(SparqlUnsupported, match="uses"):
         parse_sparql(
             "SELECT ?x WHERE { GRAPH ?g { "
@@ -1240,6 +1242,56 @@ def test_subselect_inside_graph_var(twograph):
     assert [(r.g, r.s, r.l) for r in out2.collect()] == [
         (EX + "g/one", EX + "s1", "one"), (EX + "g/two", EX + "s2", "two"),
     ]
+
+
+def test_subselect_graph_var_limit_per_graph(twograph):
+    """LIMIT/OFFSET in a sub-SELECT under GRAPH ?g slices PER GRAPH
+    (row_number window partitioned on ?g), not across the whole frame —
+    each graph keeps its own top-k. g/one and g/two hold 2 triples each,
+    the default graph 1."""
+    out = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?g ?p WHERE {{
+          GRAPH ?g {{ {{ SELECT ?p WHERE {{ ?s ?p ?o }} ORDER BY ?p LIMIT 1 }} }}
+        }} ORDER BY ?g""",
+    )
+    # per graph, the lexically smallest predicate survives; a plain
+    # frame-wide LIMIT 1 would keep a single row total
+    assert [(r.g, r.p) for r in out.collect()] == [
+        ("http://example.org/graph", EX + "seen"),
+        (EX + "g/one", RDF + "type"),
+        (EX + "g/two", RDF + "type"),
+    ]
+    # OFFSET skips per graph too: the 1-triple default graph empties out
+    out2 = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?g ?p WHERE {{
+          GRAPH ?g {{
+            {{ SELECT ?p WHERE {{ ?s ?p ?o }} ORDER BY ?p LIMIT 1 OFFSET 1 }}
+          }}
+        }} ORDER BY ?g""",
+    )
+    assert [(r.g, r.p) for r in out2.collect()] == [
+        (EX + "g/one", RDFS + "label"),
+        (EX + "g/two", RDFS + "label"),
+    ]
+    # unordered slice: any 1 row per graph is spec-valid — assert the
+    # per-graph cardinality, not which row
+    out3 = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?g ?p WHERE {{
+          GRAPH ?g {{ {{ SELECT ?p WHERE {{ ?s ?p ?o }} LIMIT 1 }} }}
+        }}""",
+    )
+    from collections import Counter
+
+    counts = Counter(r.g for r in out3.collect())
+    assert counts == {
+        "http://example.org/graph": 1, EX + "g/one": 1, EX + "g/two": 1,
+    }
 
 
 def test_sequence_path_inside_alternation(spark, tmp_path):
