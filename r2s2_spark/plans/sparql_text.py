@@ -200,6 +200,15 @@ class _Parser:
         # variables appearing inside LANG()/DATATYPE(): the compiler
         # carries hidden term-metadata columns for exactly these
         self.meta_vars: set[str] = set()
+        # every variable referenced by an EXPRESSION (filter, BIND,
+        # SELECT expr, ORDER BY key, HAVING, aggregate argument) of the
+        # query currently being parsed — select_query scopes this per
+        # (sub)query and stows the set in q["expr_vars"]. Expressions
+        # compile to opaque lambdas, so structural facts like "does this
+        # subquery's FILTER mention ?g" must be recorded at parse time
+        # (the GRAPH ?var alpha-rename in _annotate_subselect_graph_var
+        # is the consumer)
+        self.expr_vars: set[str] = set()
 
     # -- token helpers ----------------------------------------------------
     def peek(self, k: int = 0) -> tuple[str, str]:
@@ -758,6 +767,7 @@ class _Parser:
         if kind == "var":
             self.next()
             name = val[1:]
+            self.expr_vars.add(name)
             return lambda df, n=name: df[n]
         if kind == "number":
             self.next()
@@ -1103,6 +1113,10 @@ class _Parser:
             "graph": None, "order": [], "limit": None, "offset": None,
             "star": False, "having": None, "values": [], "select_exprs": [],
         }
+        # scope the expression-variable record to THIS (sub)query; the
+        # final set propagates to the enclosing query (an inner reference
+        # is also textually inside the outer query)
+        prev_expr_vars, self.expr_vars = self.expr_vars, set()
         if self.at_word("DISTINCT"):
             self.next()
             q["distinct"] = True
@@ -1239,6 +1253,8 @@ class _Parser:
             self.next()
             q["values"].append(self._values_block())
         q["meta_vars"] = self.meta_vars
+        q["expr_vars"] = self.expr_vars
+        self.expr_vars = prev_expr_vars | self.expr_vars
         return q
 
     def _direct_agg_ahead(self) -> bool:
@@ -1283,6 +1299,7 @@ class _Parser:
                 raise SparqlSyntaxError(f"{name}(*)")
             return lambda df: F.count(F.lit(1))
         var = self.next()[1][1:]
+        self.expr_vars.add(var)
         sep = " "
         if name == "GROUP_CONCAT" and self.peek()[1] == ";":
             self.next()
@@ -1566,24 +1583,57 @@ def _annotate_subselect_graph_var(sq: dict, gvar: str) -> None:
     and grouping — per-graph evaluation of DISTINCT and aggregates is
     exactly "?g added to the group keys / projected set", and
     LIMIT/OFFSET becomes a per-graph row_number-window slice
-    (``graph_slice`` in _compile_select). Named residuals: aggregate
-    ORDER BY combined with that slice (the hidden sort keys are dropped
-    before the slice point) and a subquery that uses the graph variable
-    name internally (spec scoping makes it a DIFFERENT variable there —
-    silently joining them would be wrong)."""
+    (``graph_slice`` in _compile_select, aggregate ORDER BY keys
+    included — they materialize as hidden __o columns through the
+    deferred projection). A subquery whose PATTERNS reuse the graph
+    variable name is alpha-renamed: §18.2.1 scoping makes the inner
+    occurrence a DIFFERENT variable (only projected variables leave a
+    subquery), so a fresh name preserves semantics while keeping it
+    clear of the graph scope column. Named residuals: the subquery
+    PROJECTING the graph variable (that joins the projected values
+    against the graph IRI — not rendered), and internal reuse inside an
+    expression or a nested sub-SELECT (expressions are opaque lambdas by
+    then; a nested projection would re-expose the renamed name)."""
     name = gvar[1:]
     if sq.get("limit") is not None or sq.get("offset"):
         # per-graph slice: _compile_select turns the subquery's
         # LIMIT/OFFSET into a row_number window partitioned by the graph
         # variable (a single-frame limit would cut across graphs)
         sq["graph_slice"] = name
+    if name in sq["select"]:
+        raise SparqlUnsupported(
+            f"subquery inside GRAPH {gvar} projects {gvar}"
+        )
     uses = set()
     for pat in _group_patterns_text(sq["where"]):
-        uses.update(x for x in pat[:3] if isinstance(x, str))
-    if gvar in uses or name in sq["select"]:
-        raise SparqlUnsupported(
-            f"subquery inside GRAPH {gvar} already uses {gvar} internally"
+        # scope position included: an inner GRAPH ?g reuses the name too
+        uses.update(x for x in pat if isinstance(x, str))
+    if gvar in uses:
+        nested = any(
+            sq2["star"] or name in sq2["select"] or any(
+                gvar in pat
+                for pat in _group_patterns_text(sq2["where"])
+            )
+            for sq2 in _nested_subselects(sq["where"])
         )
+        # the outer graph binding rides on the scope column of the
+        # subquery's UNSCOPED patterns; with none left (every pattern
+        # sits under an inner GRAPH), the subquery is graph-independent
+        # and ?g would need a graphs-list cross product — not rendered
+        anchored = any(
+            len(pat) == 3 for pat in sq["where"].get("patterns") or []
+        )
+        if sq["star"] or nested or not anchored or (
+            name in sq.get("expr_vars", ())
+        ):
+            raise SparqlUnsupported(
+                f"subquery inside GRAPH {gvar} already uses {gvar} "
+                "internally (in an expression, a nested sub-SELECT, "
+                "under SELECT *, or with no outer-scoped pattern)"
+            )
+        # pattern-only internal reuse: rename every occurrence (term and
+        # scope positions) to a fresh variable — the §18.2.1 alpha-rename
+        sq["where"] = _rename_var(sq["where"], gvar, f"?__gv_{name}")
     _annotate_graph(sq["where"], gvar)
     if not sq["star"] and name not in sq["select"]:
         sq["select"].append(name)
@@ -1615,6 +1665,50 @@ def _group_patterns_text(g) -> list:
     else:
         out.extend(g)
     return out
+
+
+def _nested_subselects(g):
+    """Every sub-SELECT dict nested anywhere in a parsed group
+    (directly, in modifier groups, in union branches, or inside other
+    sub-SELECTs), depth-first."""
+    out = []
+    if isinstance(g, dict):
+        for sq in g.get("subselects") or []:
+            out.append(sq)
+            out.extend(_nested_subselects(sq["where"]))
+        for sub in (
+            *(g.get("optional") or []), *(g.get("minus") or []),
+            *(g.get("exists") or []), *(g.get("not_exists") or []),
+        ):
+            out.extend(_nested_subselects(sub))
+        for block in g.get("unions") or []:
+            for branch in block:
+                out.extend(_nested_subselects(branch))
+    return out
+
+
+def _rename_var(g, old: str, new: str):
+    """Alpha-rename a variable in every pattern of a parsed group —
+    term positions AND graph-scope positions (an inner ``GRAPH ?g``
+    block reuses the name the same way) — recursively through modifier
+    groups and union branches. Sub-SELECTs are left untouched (their
+    occurrences are separate scopes; callers reject the ambiguous
+    cases). Returns the renamed structure; plain pattern lists rebuild
+    as lists."""
+    def ren(pat):
+        return tuple(new if x == old else x for x in pat)
+
+    if isinstance(g, dict):
+        out = dict(g)
+        out["patterns"] = [ren(p) for p in g.get("patterns") or []]
+        for key in ("optional", "minus", "exists", "not_exists"):
+            out[key] = [_rename_var(x, old, new) for x in g.get(key) or []]
+        out["unions"] = [
+            [_rename_var(b, old, new) for b in block]
+            for block in g.get("unions") or []
+        ]
+        return out
+    return [ren(p) for p in g]
 
 
 def _dataset(q: dict):
@@ -1863,6 +1957,15 @@ def _compile_select(pipe, q: dict, stage: str | None):
 
     if q["order"] and not (deferred and q["distinct"]):
         out = _sort(out)
+    gslice = q.get("graph_slice")
+    gslice_active = gslice is not None and (
+        q["offset"] or q["limit"] is not None
+    )
+    # aggregate ORDER BY keys under a per-graph slice: the keys read
+    # hidden __h columns the deferred projection drops, so materialize
+    # them as __o columns that survive the projection for the slice
+    # window to order by (dropped after the slice)
+    gslice_okeys: list = []
     if deferred:
         if q["distinct"] and q.get("order_agg"):
             # DISTINCT + aggregate ORDER BY: the sort keys read hidden
@@ -1897,13 +2000,21 @@ def _compile_select(pipe, q: dict, stage: str | None):
                 .withColumn("__rn", F.row_number().over(wnd))
                 .where(F.col("__rn") == 1)
                 .orderBy(*by_keys)
-                .select(*sel)
             )
+            if gslice_active:
+                gslice_okeys = okeys  # the slice drops them after
+            else:
+                out = out.select(*sel)
         else:
+            if gslice_active and q.get("order_agg") and q["order"]:
+                for i, (e, desc) in enumerate(q["order"]):
+                    nm = f"__o{i}"
+                    out = out.withColumn(nm, e(out) if callable(e) else e)
+                    gslice_okeys.append((nm, desc))
             # the deferred projection (hidden __h sort keys drop here; a
             # bare projection preserves the sort order)
             out = (
-                out.select(*q["select"])
+                out.select(*q["select"], *[nm for nm, _ in gslice_okeys])
                 if not q["star"]
                 else out.drop(
                     *[c for c in out.columns if c.startswith(("__h", "__g"))]
@@ -1915,27 +2026,25 @@ def _compile_select(pipe, q: dict, stage: str | None):
                 out = out.distinct()
                 if q["order"]:
                     out = _sort(out)
-    gslice = q.get("graph_slice")
-    if gslice is not None and (q["offset"] or q["limit"] is not None):
+    if gslice_active:
         # sub-SELECT under GRAPH ?g (§13.3 evaluates the subquery once
         # per named graph): the LIMIT/OFFSET slice applies PER GRAPH — a
         # single-frame limit would take k rows across ALL graphs. Slice
         # with a row_number window partitioned by the graph variable,
-        # ordered by the subquery's ORDER BY keys (re-evaluated — plain
+        # ordered by the subquery's ORDER BY keys (materialized hidden
+        # __o columns for aggregate keys, re-evaluated otherwise — plain
         # alias keys survive the projection) or, unordered, by every
         # projected column (arbitrary-but-deterministic; any k-subset is
         # spec-valid without ORDER BY). Runs after DISTINCT/projection,
         # matching the §15 modifier order.
         from pyspark.sql import Window
 
-        if q.get("order_agg"):
-            # the aggregate sort keys lived in hidden __h/__o columns the
-            # deferred projection already dropped — not re-evaluable here
-            raise SparqlUnsupported(
-                "LIMIT/OFFSET with aggregate ORDER BY in subquery "
-                f"inside GRAPH ?{gslice} group"
-            )
-        if q["order"]:
+        if gslice_okeys:
+            keys = [
+                F.col(nm).desc() if desc else F.col(nm).asc()
+                for nm, desc in gslice_okeys
+            ]
+        elif q["order"]:
             keys = []
             for e, desc in q["order"]:
                 k = e(out) if callable(e) else e
@@ -1950,7 +2059,9 @@ def _compile_select(pipe, q: dict, stage: str | None):
         cond = F.col("__rn") > lo
         if q["limit"] is not None:
             cond = cond & (F.col("__rn") <= lo + q["limit"])
-        return out.where(cond).drop("__rn")
+        return out.where(cond).drop(
+            "__rn", *[nm for nm, _ in gslice_okeys]
+        )
     if q["offset"]:
         out = out.offset(q["offset"])
     if q["limit"] is not None:

@@ -51,18 +51,38 @@ def test_parse_unsupported_named_clearly():
             "SELECT ?x WHERE { SERVICE <http://remote/sparql> { ?x <http://p> ?y } }"
         )
     # a subquery inside GRAPH ?var is SUPPORTED since round 5 — including
-    # LIMIT/OFFSET (per-graph window slice); the named residual is
-    # internal reuse of the graph var
+    # LIMIT/OFFSET (per-graph window slice) and pattern-only reuse of the
+    # graph var (alpha-renamed, §18.2.1); the named residuals are
+    # projecting the graph var and reuse in expressions / nested subqueries
     q = parse_sparql(
         "SELECT ?x WHERE { GRAPH ?g { "
         "{ SELECT ?x WHERE { ?x <http://q> ?z } LIMIT 3 } } }"
     )
     [sq] = q["where"]["subselects"]
     assert sq["graph_slice"] == "g" and sq["limit"] == 3
-    with pytest.raises(SparqlUnsupported, match="uses"):
+    q2 = parse_sparql(
+        "SELECT ?x WHERE { GRAPH ?g { "
+        "{ SELECT ?x WHERE { ?x <http://q> ?g } } } }"
+    )
+    [sq2] = q2["where"]["subselects"]
+    # the inner ?g is a DIFFERENT variable (not projected): renamed, and
+    # the pattern carries the outer graph scope
+    assert sq2["where"]["patterns"] == [("?x", "http://q", "?__gv_g", "?g")]
+    with pytest.raises(SparqlUnsupported, match="projects"):
         parse_sparql(
             "SELECT ?x WHERE { GRAPH ?g { "
-            "{ SELECT ?x WHERE { ?x <http://q> ?g } } } }"
+            "{ SELECT ?x ?g WHERE { ?x <http://q> ?g } } } }"
+        )
+    with pytest.raises(SparqlUnsupported, match="expression"):
+        parse_sparql(
+            "SELECT ?x WHERE { GRAPH ?g { "
+            "{ SELECT ?x WHERE { ?x <http://q> ?g FILTER(?g != <http://u>) } } } }"
+        )
+    with pytest.raises(SparqlUnsupported, match="expression"):
+        # SELECT * re-exposes the internal use through the projection
+        parse_sparql(
+            "SELECT ?x WHERE { GRAPH ?g { "
+            "{ SELECT * WHERE { ?x <http://q> ?g } } } }"
         )
     with pytest.raises(SparqlUnsupported, match="aggregate"):
         parse_sparql("SELECT ?x WHERE { ?x <http://p> ?y FILTER(COUNT(?y) > 2) }")
@@ -1292,6 +1312,96 @@ def test_subselect_graph_var_limit_per_graph(twograph):
     assert counts == {
         "http://example.org/graph": 1, EX + "g/one": 1, EX + "g/two": 1,
     }
+
+
+def test_subselect_graph_var_agg_order_slice(spark, tmp_path_factory):
+    """Aggregate ORDER BY + LIMIT in a sub-SELECT under GRAPH ?g: the
+    hidden aggregate sort keys materialize as __o columns that survive
+    the deferred projection, so the per-graph slice can rank by them —
+    the most frequent predicate PER GRAPH, not across graphs."""
+    nq = "\n".join(
+        [
+            f"<{EX}s1> <{RDF}type> <{EX}T> <{EX}g/one> .",
+            f"<{EX}s2> <{RDF}type> <{EX}T> <{EX}g/one> .",
+            f'<{EX}s1> <{RDFS}label> "a" <{EX}g/one> .',
+            f'<{EX}s3> <{RDFS}label> "x" <{EX}g/two> .',
+            f'<{EX}s4> <{RDFS}label> "y" <{EX}g/two> .',
+            f"<{EX}s3> <{RDF}type> <{EX}T> <{EX}g/two> .",
+            f'<{EX}s1> <{EX}seen> "y" .',
+        ]
+    )
+    pipe = KgPipeline(spark, str(tmp_path_factory.mktemp("gs") / "wd"))
+    pipe.load(fx.source_files_df(spark, [fx._row("r", "g.nq", nq)]))
+    q = f"""PREFIX ex: <{EX}>
+    SELECT ?g ?p WHERE {{
+      GRAPH ?g {{
+        {{ SELECT ?p WHERE {{ ?s ?p ?o }}
+           GROUP BY ?p ORDER BY DESC(COUNT(?s)) LIMIT 1 }}
+      }}
+    }} ORDER BY ?g"""
+    out = sparql_query(pipe, q)
+    assert [(r.g, r.p) for r in out.collect()] == [
+        ("http://example.org/graph", EX + "seen"),
+        (EX + "g/one", RDF + "type"),
+        (EX + "g/two", RDFS + "label"),
+    ]
+    # DISTINCT + aggregate ORDER BY + slice compose too (the __o keys
+    # ride through the one-best-ranked-duplicate window as well)
+    q2 = f"""PREFIX ex: <{EX}>
+    SELECT ?g ?p WHERE {{
+      GRAPH ?g {{
+        {{ SELECT DISTINCT ?p WHERE {{ ?s ?p ?o }}
+           GROUP BY ?p ORDER BY DESC(COUNT(?s)) LIMIT 1 }}
+      }}
+    }} ORDER BY ?g"""
+    out2 = sparql_query(pipe, q2)
+    assert [(r.g, r.p) for r in out2.collect()] == [
+        ("http://example.org/graph", EX + "seen"),
+        (EX + "g/one", RDF + "type"),
+        (EX + "g/two", RDFS + "label"),
+    ]
+
+
+def test_subselect_graph_var_pattern_reuse_renamed(twograph):
+    """Pattern-only reuse of the graph variable inside a sub-SELECT:
+    the inner occurrence is a different variable (§18.2.1) and is
+    alpha-renamed — it must NOT join against the graph IRI. Here the
+    inner ?g sits in object position over rdfs:label; a (wrong) join
+    with the graph name would match nothing."""
+    out = sparql_query(
+        twograph,
+        f"""SELECT ?g ?s WHERE {{
+          GRAPH ?g {{ {{ SELECT ?s WHERE {{ ?s <{RDFS}label> ?g }} }} }}
+        }} ORDER BY ?g""",
+    )
+    assert [(r.g, r.s) for r in out.collect()] == [
+        (EX + "g/one", EX + "s1"),
+        (EX + "g/two", EX + "s2"),
+    ]
+    # inner GRAPH ?g reuse: the inner scope variable is ALSO a different
+    # variable — it ranges over graphs independently of the outer
+    # binding. With an outer-scoped pattern anchoring ?g, the renamed
+    # inner block joins in (here: no shared vars -> spec cross product,
+    # collapsed by DISTINCT); with NO anchor pattern it stays named.
+    out2 = sparql_query(
+        twograph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?g ?s WHERE {{
+          GRAPH ?g {{
+            {{ SELECT DISTINCT ?s WHERE
+               {{ ?s a ex:T . GRAPH ?g {{ ?s2 ?p ?o }} }} }}
+          }}
+        }} ORDER BY ?g ?s""",
+    )
+    assert [(r.g, r.s) for r in out2.collect()] == [
+        (EX + "g/one", EX + "s1"),
+        (EX + "g/two", EX + "s2"),
+    ]
+    with pytest.raises(SparqlUnsupported, match="outer-scoped"):
+        parse_sparql(
+            "SELECT ?g ?s WHERE { GRAPH ?g { "
+            "{ SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } } } } }"
+        )
 
 
 def test_sequence_path_inside_alternation(spark, tmp_path):
