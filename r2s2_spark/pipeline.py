@@ -200,6 +200,16 @@ class KgPipeline:
         self.runner = StageRunner(self.io, force=force)
         self.default_graph = default_graph
         self.namespaces = namespaces
+        # SPARQL SERVICE federation registry: endpoint IRI -> another
+        # loaded KgPipeline (plans/sparql_text._service_frames)
+        self.services: dict[str, "KgPipeline"] = {}
+
+    def register_service(self, iri: str, pipeline: "KgPipeline") -> None:
+        """Map a SPARQL ``SERVICE <iri>`` endpoint to another loaded
+        pipeline: queries against THIS pipeline may federate sub-groups
+        to it (SPARQL 1.1 Federated Query over registered engines; real
+        HTTP endpoints are out of scope)."""
+        self.services[iri] = pipeline
 
     # -- stages ----------------------------------------------------------
     def stage_e(self, source_files: DataFrame) -> None:

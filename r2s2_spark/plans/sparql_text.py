@@ -108,7 +108,10 @@ ORDER BY keys, LANG()/DATATYPE() over MULTIPLE pure-UNION blocks
 (duplicate metadata columns would collide in the join — a SINGLE
 pure-UNION block works: each branch carries the term metadata,
 non-binding branches union in NULL = the spec's type error),
-federation (SERVICE). The programmatic ``bgp()`` surface remains the
+HTTP federation (SERVICE evaluates against endpoints REGISTERED via
+``KgPipeline.register_service`` — other loaded pipelines; a variable
+endpoint or an unregistered IRI is named, SILENT yields the spec's
+empty solution). The programmatic ``bgp()`` surface remains the
 escape hatch.
 """
 
@@ -468,7 +471,7 @@ class _Parser:
         g = {
             "patterns": [], "optional": [], "minus": [], "exists": [],
             "not_exists": [], "filters": [], "binds": [], "graph": None,
-            "unions": [], "values": [], "subselects": [],
+            "unions": [], "values": [], "subselects": [], "services": [],
         }
         while True:
             kind, val = self.peek()
@@ -544,8 +547,47 @@ class _Parser:
                 g["values"].extend(sub["values"])
                 g["unions"].extend(sub["unions"])
                 g["subselects"].extend(sub["subselects"])
+                # SERVICE is untouched by an enclosing GRAPH (§13.3
+                # scopes the LOCAL dataset; the remote endpoint's is its
+                # own) — the blocks pass through unannotated
+                g["services"].extend(sub["services"])
             elif self.at_word("SERVICE"):
-                raise SparqlUnsupported("SERVICE federation")
+                # SPARQL 1.1 Federated Query: the block's patterns
+                # evaluate against a REGISTERED endpoint
+                # (KgPipeline.register_service) and the solutions join
+                # the enclosing group on shared variables — the block
+                # wraps as a SELECT * sub-query compiled against the
+                # endpoint's pipeline. Real HTTP federation is out of
+                # scope; an unregistered endpoint is a named error
+                # (SILENT: the spec's single empty solution instead).
+                self.next()
+                silent = False
+                if self.at_word("SILENT"):
+                    self.next()
+                    silent = True
+                kind2, val2 = self.peek()
+                if kind2 == "iri":
+                    self.next()
+                    endpoint = self._iri(val2)
+                elif kind2 == "pname":
+                    self.next()
+                    endpoint = self._pname(val2)
+                elif kind2 == "var":
+                    raise SparqlUnsupported("SERVICE with a variable endpoint")
+                else:
+                    raise SparqlSyntaxError("SERVICE needs an IRI endpoint")
+                sub = self.group()
+                g["services"].append({
+                    "endpoint": endpoint, "silent": silent,
+                    "select": {
+                        "form": "select", "distinct": False, "select": [],
+                        "agg": {}, "group_by": None, "graph": None,
+                        "order": [], "limit": None, "offset": None,
+                        "star": True, "having": None, "values": [],
+                        "select_exprs": [], "where": sub,
+                        "meta_vars": self.meta_vars, "expr_vars": set(),
+                    },
+                })
             elif self.at_word("VALUES"):
                 self.next()
                 g["values"].append(self._values_block())
@@ -568,7 +610,7 @@ class _Parser:
                     b = branches[0]
                     for k in ("patterns", "optional", "minus", "exists",
                               "not_exists", "filters", "binds", "values",
-                              "unions", "subselects"):
+                              "unions", "subselects", "services"):
                         g[k].extend(b[k])
                 else:
                     # multiple UNION blocks per group are allowed: each
@@ -1662,6 +1704,8 @@ def _group_patterns_text(g) -> list:
                 out.extend(_group_patterns_text(branch))
         for sq in g.get("subselects") or []:
             out.extend(_group_patterns_text(sq["where"]))
+        for svc in g.get("services") or []:
+            out.extend(_group_patterns_text(svc["select"]["where"]))
     else:
         out.extend(g)
     return out
@@ -1676,6 +1720,8 @@ def _nested_subselects(g):
         for sq in g.get("subselects") or []:
             out.append(sq)
             out.extend(_nested_subselects(sq["where"]))
+        for svc in g.get("services") or []:
+            out.extend(_nested_subselects(svc["select"]["where"]))
         for sub in (
             *(g.get("optional") or []), *(g.get("minus") or []),
             *(g.get("exists") or []), *(g.get("not_exists") or []),
@@ -1707,6 +1753,18 @@ def _rename_var(g, old: str, new: str):
             [_rename_var(b, old, new) for b in block]
             for block in g.get("unions") or []
         ]
+        # SERVICE bodies share the enclosing variable scope (federated
+        # query joins on shared names), so the rename reaches them too
+        out["services"] = [
+            {
+                **svc,
+                "select": {
+                    **svc["select"],
+                    "where": _rename_var(svc["select"]["where"], old, new),
+                },
+            }
+            for svc in g.get("services") or []
+        ]
         return out
     return [ren(p) for p in g]
 
@@ -1724,7 +1782,7 @@ def _dataset(q: dict):
 
 _SUBGROUP_KEYS = (
     "patterns", "optional", "minus", "exists", "not_exists",
-    "filters", "binds", "values", "unions", "subselects",
+    "filters", "binds", "values", "unions", "subselects", "services",
 )
 
 
@@ -1741,11 +1799,67 @@ def _subgroup(sub: dict, what: str):
     extras = [k for k in _SUBGROUP_KEYS[1:] if sub[k]]
     if not extras:
         return sub["patterns"]
-    if not sub["patterns"] and not sub["unions"] and not sub["subselects"]:
+    if (
+        not sub["patterns"] and not sub["unions"]
+        and not sub["subselects"] and not sub["services"]
+    ):
         raise SparqlUnsupported(
             f"{what} with only {extras} and no patterns"
         )
     return {k: sub[k] for k in _SUBGROUP_KEYS}
+
+
+def _service_frames(pipe, grp, stage):
+    """Compile a group's SERVICE blocks (SPARQL 1.1 Federated Query) to
+    solution frames against REGISTERED endpoints — ``KgPipeline.
+    register_service(iri, pipeline)`` maps an endpoint IRI to another
+    loaded pipeline, and the block's patterns evaluate there, joining
+    the enclosing group on shared variables exactly like sub-SELECT
+    frames (reference surface: Ontop federation, pom.xml:118-127; real
+    HTTP federation is out of scope — an unregistered endpoint is a
+    named error). ``SERVICE SILENT`` turns ANY failure into the spec's
+    single empty solution μ0 (§18.8, a join identity): the block
+    contributes no frame and its exclusive variables stay unbound —
+    returned as ``mu0_vars`` for the caller to NULL-bind."""
+    frames, mu0_vars = [], set()
+    for svc in grp.get("services") or []:
+        target = (getattr(pipe, "services", None) or {}).get(svc["endpoint"])
+        try:
+            if target is None:
+                raise SparqlCompileError(
+                    f"SERVICE endpoint not registered: <{svc['endpoint']}>"
+                    " — map it to a pipeline with"
+                    " KgPipeline.register_service(iri, pipeline)"
+                )
+            frames.append(_compile_select(target, svc["select"], stage))
+        except Exception:
+            # SILENT swallows any failure by spec — unregistered
+            # endpoint, endpoint-side compile/analysis error alike
+            if not svc["silent"]:
+                raise
+            mu0_vars.update(
+                x[1:]
+                for pat in _group_patterns_text(svc["select"]["where"])
+                for x in pat
+                if isinstance(x, str) and x.startswith("?")
+            )
+    return frames, mu0_vars
+
+
+def _mu0_binds(grp, mu0_vars: set):
+    """NULL-binds for the μ0 (SERVICE SILENT failure) variables that
+    nothing else in the group binds — those columns must still exist
+    for the projection, unbound per the spec."""
+    bound = {
+        x[1:]
+        for pat in _group_patterns_text({**grp, "services": []})
+        for x in pat
+        if isinstance(x, str) and x.startswith("?")
+    }
+    return [
+        (lambda df: F.lit(None).cast("string"), "?" + v)
+        for v in sorted(mu0_vars - bound)
+    ]
 
 
 def _resolve_subselects(pipe, grp, stage):
@@ -1753,15 +1867,20 @@ def _resolve_subselects(pipe, grp, stage):
     solution DataFrame (stowed under the group's ``frames`` key, which
     ``sparql._group_frame`` seeds ``bgp`` with) — recursively, so
     sub-SELECTs inside nested OPTIONAL/MINUS/EXISTS/UNION sub-groups
-    compile too. Plain pattern lists pass through untouched."""
+    compile too; SERVICE blocks compile to frames the same way. Plain
+    pattern lists pass through untouched."""
     if not isinstance(grp, dict):
         return grp
+    svc_frames, mu0 = _service_frames(pipe, grp, stage)
     out = {k: grp[k] for k in _SUBGROUP_KEYS if k in grp}
     out["frames"] = list(grp.get("frames") or []) + [
         _compile_select(pipe, sub, stage)
         for sub in grp.get("subselects") or []
-    ]
+    ] + svc_frames
     out["subselects"] = []
+    out["services"] = []
+    if mu0:
+        out["binds"] = list(out.get("binds") or []) + _mu0_binds(grp, mu0)
     for key in ("optional", "minus", "exists", "not_exists"):
         out[key] = [_resolve_subselects(pipe, x, stage) for x in out.get(key, [])]
     out["unions"] = [
@@ -1793,7 +1912,8 @@ def _compile_select(pipe, q: dict, stage: str | None):
     unions = w["unions"]
     pure_union = bool(unions) and not w["patterns"]
     if pure_union and len(unions) == 1 and not (
-        q["agg"] or values or w["subselects"] or q["select_exprs"]
+        q["agg"] or values or w["subselects"] or w["services"]
+        or q["select_exprs"]
         or w["filters"] or w["optional"] or w["minus"] or w["binds"]
         or w["exists"] or w["not_exists"] or q["group_by"] is not None
     ):
@@ -1878,6 +1998,10 @@ def _compile_select(pipe, q: dict, stage: str | None):
             # deferred projection below).
             select = None
         frames = [_compile_select(pipe, sub, stage) for sub in w["subselects"]]
+        svc_frames, mu0 = _service_frames(pipe, w, stage)
+        frames += svc_frames
+        if mu0:
+            binds.extend(_mu0_binds(w, mu0))
         groups = {
             key: [_resolve_subselects(pipe, x, stage) for x in w[key]]
             for key in ("optional", "minus", "exists", "not_exists")
@@ -2085,6 +2209,7 @@ def _where_solutions(pipe, q: dict, stage: str | None):
     if pure_union and len(unions) == 1 and not (
         w["filters"] or w["optional"] or w["minus"] or w["binds"]
         or w["exists"] or w["not_exists"] or w["values"] or w["subselects"]
+        or w["services"]
     ):
         return bgp_union_on_pipeline(
             pipe,
@@ -2104,6 +2229,11 @@ def _where_solutions(pipe, q: dict, stage: str | None):
                 cond = cond & f(df)
             return cond
     frames = [_compile_select(pipe, sub, stage) for sub in w["subselects"]]
+    svc_frames, mu0 = _service_frames(pipe, w, stage)
+    frames += svc_frames
+    binds = list(w["binds"])
+    if mu0:
+        binds.extend(_mu0_binds(w, mu0))
     frames += [
         bgp_union_on_pipeline(
             pipe,
@@ -2121,7 +2251,7 @@ def _where_solutions(pipe, q: dict, stage: str | None):
         pipe, w["patterns"], stage=stage,
         optional=groups["optional"] or None, filter=filt, graph=graph,
         minus=groups["minus"] or None, exists=groups["exists"] or None,
-        not_exists=groups["not_exists"] or None, bind=w["binds"] or None,
+        not_exists=groups["not_exists"] or None, bind=binds or None,
         values=w["values"] or None, frames=frames or None,
         term_meta=meta,
         named_graphs=named,

@@ -1462,6 +1462,9 @@ def _sparql_kg(spark: SparkSession, sf_dir: str):
 
     pipe = KgPipeline(spark, tempfile.mkdtemp(prefix="r2s2_sparqlkg_"))
     pipe.load(src(nation, nk, n_content, "n").unionByName(src(region, rk, r_content, "r")))
+    # self-registered SERVICE endpoint: federation machinery exercised
+    # against the same loaded KG (sparql_text_values_union service tags)
+    pipe.register_service("urn:svc:self", pipe)
     _SPARQL_KG[key] = pipe
     return pipe
 
@@ -2056,7 +2059,12 @@ def sparql_paths(spark, sf_dir):
     "FROM nation"
     " UNION ALL "
     f"SELECT 'multi_union_lang', '{EX}region/' || r_regionkey, r_name "
-    "FROM region WHERE r_regionkey < 4",
+    "FROM region WHERE r_regionkey < 4"
+    " UNION ALL "
+    f"SELECT 'service_fed', '{EX}nation/' || n_nationkey, "
+    f"'{EX}region/' || n_regionkey FROM nation"
+    " UNION ALL "
+    f"SELECT 'service_silent', '{EX}region/' || r_regionkey, NULL FROM region",
 )
 def sparql_text_values_union(spark, sf_dir):
     """Textual SPARQL inline-data + aggregate + round-4b surface, tagged:
@@ -2187,6 +2195,27 @@ def sparql_text_values_union(spark, sf_dir):
           FILTER(ISLITERAL(?x))
         }}""",
     )
+    # round-5 surface: SERVICE federation — the KG registers ITSELF as
+    # <urn:svc:self>, so the block's solutions compile against a second
+    # pipeline handle and join the outer group (the machinery under
+    # test); SERVICE SILENT on an absent endpoint yields the spec's
+    # empty solution — outer rows survive, ?x unbound
+    service_fed = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?r WHERE {{
+          ?s a ex:Nation .
+          SERVICE <urn:svc:self> {{ ?s ex:inRegion ?r }}
+        }}""",
+    )
+    service_silent = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?x WHERE {{
+          ?s a ex:Region .
+          SERVICE SILENT <urn:svc:absent> {{ ?s ex:comment ?x }}
+        }}""",
+    )
     return _union_all([
         sparql_text_values(spark, sf_dir).select(_tag("values"), "s", "r"),
         sparql_text_union_mixed(spark, sf_dir).select(_tag("union_mixed"), "s", "r"),
@@ -2214,6 +2243,10 @@ def sparql_text_values_union(spark, sf_dir):
         ),
         multi_union_lang.select(
             _tag("multi_union_lang"), "s", F.col("x").alias("r")
+        ),
+        service_fed.select(_tag("service_fed"), "s", "r"),
+        service_silent.select(
+            _tag("service_silent"), "s", F.col("x").alias("r")
         ),
     ])
 

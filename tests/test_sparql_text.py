@@ -46,10 +46,10 @@ def test_parse_abbreviations_and_paths():
 def test_parse_unsupported_named_clearly():
     with pytest.raises(SparqlUnsupported, match="path"):
         parse_sparql("CONSTRUCT { ?s <http://p>+ ?o } WHERE { ?s ?p ?o }")
-    with pytest.raises(SparqlUnsupported, match="SERVICE"):
-        parse_sparql(
-            "SELECT ?x WHERE { SERVICE <http://remote/sparql> { ?x <http://p> ?y } }"
-        )
+    # SERVICE over a registered endpoint is SUPPORTED since round 5; a
+    # variable endpoint stays a parse-time named error
+    with pytest.raises(SparqlUnsupported, match="variable endpoint"):
+        parse_sparql("SELECT ?x WHERE { SERVICE ?e { ?x <http://p> ?y } }")
     # a subquery inside GRAPH ?var is SUPPORTED since round 5 — including
     # LIMIT/OFFSET (per-graph window slice) and pattern-only reuse of the
     # graph var (alpha-renamed, §18.2.1); the named residuals are
@@ -1402,6 +1402,100 @@ def test_subselect_graph_var_pattern_reuse_renamed(twograph):
             "SELECT ?g ?s WHERE { GRAPH ?g { "
             "{ SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } } } } }"
         )
+
+
+# -- SERVICE federation over registered endpoints ---------------------------
+
+
+@pytest.fixture(scope="module")
+def fedpair(spark, tmp_path_factory):
+    """Two loaded pipelines: the local one holds rdf:type triples, the
+    pipeline registered as <urn:svc:labels> holds the labels."""
+    local_nt = "\n".join(
+        [
+            f"<{EX}s1> <{RDF}type> <{EX}T> .",
+            f"<{EX}s2> <{RDF}type> <{EX}T> .",
+            f"<{EX}s3> <{RDF}type> <{EX}U> .",
+        ]
+    )
+    remote_nt = "\n".join(
+        [
+            f'<{EX}s1> <{RDFS}label> "one" .',
+            f'<{EX}s2> <{RDFS}label> "two" .',
+            f'<{EX}s9> <{RDFS}label> "nine" .',
+        ]
+    )
+    local = KgPipeline(spark, str(tmp_path_factory.mktemp("fl") / "wd"))
+    local.load(fx.source_files_df(spark, [fx._row("r", "l.nt", local_nt)]))
+    remote = KgPipeline(spark, str(tmp_path_factory.mktemp("fr") / "wd"))
+    remote.load(fx.source_files_df(spark, [fx._row("r", "r.nt", remote_nt)]))
+    local.register_service("urn:svc:labels", remote)
+    return local
+
+
+def test_service_joins_registered_endpoint(fedpair):
+    """SERVICE <iri> { P }: P evaluates against the registered endpoint
+    pipeline and joins the enclosing group on shared variables — s3 has
+    no remote label, s9 no local type."""
+    out = sparql_query(
+        fedpair,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l WHERE {{
+          ?s a ex:T .
+          SERVICE <urn:svc:labels> {{ ?s <{RDFS}label> ?l }}
+        }} ORDER BY ?s""",
+    )
+    assert [(r.s, r.l) for r in out.collect()] == [
+        (EX + "s1", "one"),
+        (EX + "s2", "two"),
+    ]
+
+
+def test_service_only_group_and_optional(fedpair):
+    """A WHERE group consisting of just a SERVICE block works (the frame
+    IS the solution set), and SERVICE inside OPTIONAL left-joins."""
+    out = sparql_query(
+        fedpair,
+        f"""SELECT ?s WHERE {{
+          SERVICE <urn:svc:labels> {{ ?s <{RDFS}label> ?l }}
+        }} ORDER BY ?s""",
+    )
+    assert [r.s for r in out.collect()] == [
+        EX + "s1", EX + "s2", EX + "s9",
+    ]
+    out2 = sparql_query(
+        fedpair,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l WHERE {{
+          ?s a ?t .
+          OPTIONAL {{ SERVICE <urn:svc:labels> {{ ?s <{RDFS}label> ?l }} }}
+        }} ORDER BY ?s""",
+    )
+    assert [(r.s, r.l) for r in out2.collect()] == [
+        (EX + "s1", "one"),
+        (EX + "s2", "two"),
+        (EX + "s3", None),
+    ]
+
+
+def test_service_unregistered_named_and_silent(fedpair):
+    """An unregistered endpoint is a NAMED error; SILENT turns the
+    failure into the spec's single empty solution (§18.8) — the outer
+    solutions survive with the service variables unbound."""
+    from r2s2_spark.plans.sparql import SparqlCompileError
+
+    q = f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l WHERE {{
+          ?s a ex:T .
+          SERVICE <urn:svc:nope> {{ ?s <{RDFS}label> ?l }}
+        }}"""
+    with pytest.raises(SparqlCompileError, match="not registered"):
+        sparql_query(fedpair, q)
+    out = sparql_query(fedpair, q.replace("SERVICE", "SERVICE SILENT"))
+    assert sorted((r.s, r.l) for r in out.collect()) == [
+        (EX + "s1", None),
+        (EX + "s2", None),
+    ]
 
 
 def test_sequence_path_inside_alternation(spark, tmp_path):
