@@ -1821,7 +1821,15 @@ def _service_frames(pipe, grp, stage):
     single empty solution μ0 (§18.8, a join identity): the block
     contributes no frame and its exclusive variables stay unbound —
     returned as ``mu0_vars`` for the caller to NULL-bind."""
-    frames, mu0_vars = [], set()
+    def svc_vars(svc):
+        return {
+            x[1:]
+            for pat in _group_patterns_text(svc["select"]["where"])
+            for x in pat
+            if isinstance(x, str) and x.startswith("?")
+        }
+
+    frames, mu0_vars, framed_vars = [], set(), set()
     for svc in grp.get("services") or []:
         target = (getattr(pipe, "services", None) or {}).get(svc["endpoint"])
         try:
@@ -1832,30 +1840,33 @@ def _service_frames(pipe, grp, stage):
                     " KgPipeline.register_service(iri, pipeline)"
                 )
             frames.append(_compile_select(target, svc["select"], stage))
+            framed_vars |= svc_vars(svc)
         except Exception:
             # SILENT swallows any failure by spec — unregistered
             # endpoint, endpoint-side compile/analysis error alike
             if not svc["silent"]:
                 raise
-            mu0_vars.update(
-                x[1:]
-                for pat in _group_patterns_text(svc["select"]["where"])
-                for x in pat
-                if isinstance(x, str) and x.startswith("?")
-            )
-    return frames, mu0_vars
+            mu0_vars |= svc_vars(svc)
+    # a variable another (successful) SERVICE frame provides is bound —
+    # it must not be NULL-bound over
+    return frames, mu0_vars - framed_vars
 
 
 def _mu0_binds(grp, mu0_vars: set):
     """NULL-binds for the μ0 (SERVICE SILENT failure) variables that
     nothing else in the group binds — those columns must still exist
-    for the projection, unbound per the spec."""
+    for the projection, unbound per the spec. "Bound elsewhere" covers
+    the group's patterns (modifier groups and union branches included),
+    BIND targets, and VALUES names."""
     bound = {
         x[1:]
         for pat in _group_patterns_text({**grp, "services": []})
         for x in pat
         if isinstance(x, str) and x.startswith("?")
     }
+    bound |= {v[1:] for _, v in grp.get("binds") or []}
+    for names, _rows in grp.get("values") or []:
+        bound |= set(names)
     return [
         (lambda df: F.lit(None).cast("string"), "?" + v)
         for v in sorted(mu0_vars - bound)
@@ -1880,7 +1891,8 @@ def _resolve_subselects(pipe, grp, stage):
     out["subselects"] = []
     out["services"] = []
     if mu0:
-        out["binds"] = list(out.get("binds") or []) + _mu0_binds(grp, mu0)
+        # ahead of user binds, so a BIND may read the NULL column
+        out["binds"] = _mu0_binds(grp, mu0) + list(out.get("binds") or [])
     for key in ("optional", "minus", "exists", "not_exists"):
         out[key] = [_resolve_subselects(pipe, x, stage) for x in out.get(key, [])]
     out["unions"] = [
@@ -2001,7 +2013,8 @@ def _compile_select(pipe, q: dict, stage: str | None):
         svc_frames, mu0 = _service_frames(pipe, w, stage)
         frames += svc_frames
         if mu0:
-            binds.extend(_mu0_binds(w, mu0))
+            # ahead of user binds, so a BIND may read the NULL column
+            binds = _mu0_binds(w, mu0) + binds
         groups = {
             key: [_resolve_subselects(pipe, x, stage) for x in w[key]]
             for key in ("optional", "minus", "exists", "not_exists")
@@ -2233,7 +2246,8 @@ def _where_solutions(pipe, q: dict, stage: str | None):
     frames += svc_frames
     binds = list(w["binds"])
     if mu0:
-        binds.extend(_mu0_binds(w, mu0))
+        # ahead of user binds, so a BIND may read the NULL column
+        binds = _mu0_binds(w, mu0) + binds
     frames += [
         bgp_union_on_pipeline(
             pipe,

@@ -1498,6 +1498,39 @@ def test_service_unregistered_named_and_silent(fedpair):
     ]
 
 
+def test_service_silent_mu0_edge_cases(fedpair):
+    """μ0 NULL-binding composes: a variable a LIVE service frame shares
+    with the failed one keeps the frame's values (only the exclusive
+    variable NULL-binds), and a BIND can read the NULL column."""
+    out = sparql_query(
+        fedpair,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l ?c WHERE {{
+          ?s a ex:T .
+          SERVICE <urn:svc:labels> {{ ?s <{RDFS}label> ?l }}
+          SERVICE SILENT <urn:svc:gone>
+            {{ ?s <{RDFS}label> ?l . ?s ex:c ?c }}
+        }} ORDER BY ?s""",
+    )
+    assert [(r.s, r.l, r.c) for r in out.collect()] == [
+        (EX + "s1", "one", None),
+        (EX + "s2", "two", None),
+    ]
+    out2 = sparql_query(
+        fedpair,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?y WHERE {{
+          ?s a ex:T .
+          SERVICE SILENT <urn:svc:gone> {{ ?s <{RDFS}label> ?l }}
+          BIND(COALESCE(?l, "none") AS ?y)
+        }} ORDER BY ?s""",
+    )
+    assert [(r.s, r.y) for r in out2.collect()] == [
+        (EX + "s1", "none"),
+        (EX + "s2", "none"),
+    ]
+
+
 def test_sequence_path_inside_alternation(spark, tmp_path):
     """(a/b)|c — a sequence branch compiles via the chain join on the
     branch endpoints; no manual distribution needed."""
