@@ -109,10 +109,10 @@ ORDER BY keys, LANG()/DATATYPE() over MULTIPLE pure-UNION blocks
 pure-UNION block works: each branch carries the term metadata,
 non-binding branches union in NULL = the spec's type error),
 HTTP federation (SERVICE evaluates against endpoints REGISTERED via
-``KgPipeline.register_service`` — other loaded pipelines; a variable
-endpoint or an unregistered IRI is named, SILENT yields the spec's
-empty solution). The programmatic ``bgp()`` surface remains the
-escape hatch.
+``KgPipeline.register_service`` — other loaded pipelines; ``SERVICE
+?e`` ranges over the registry binding each IRI; an unregistered IRI is
+named, SILENT yields the spec's empty solution). The programmatic
+``bgp()`` surface remains the escape hatch.
 """
 
 from __future__ import annotations
@@ -573,7 +573,12 @@ class _Parser:
                     self.next()
                     endpoint = self._pname(val2)
                 elif kind2 == "var":
-                    raise SparqlUnsupported("SERVICE with a variable endpoint")
+                    # SERVICE ?e: the endpoint variable ranges over the
+                    # REGISTERED endpoints (federated-query §2.4 leaves
+                    # the candidate set implementation-defined; the
+                    # registry is ours), binding the IRI per solution
+                    self.next()
+                    endpoint = "?" + val2[1:]
                 else:
                     raise SparqlSyntaxError("SERVICE needs an IRI endpoint")
                 sub = self.group()
@@ -1650,6 +1655,8 @@ def _annotate_subselect_graph_var(sq: dict, gvar: str) -> None:
     for pat in _group_patterns_text(sq["where"]):
         # scope position included: an inner GRAPH ?g reuses the name too
         uses.update(x for x in pat if isinstance(x, str))
+    # a variable SERVICE endpoint is a use the pattern walk cannot see
+    uses |= _service_endpoint_vars(sq["where"])
     if gvar in uses:
         nested = any(
             sq2["star"] or name in sq2["select"] or any(
@@ -1754,10 +1761,12 @@ def _rename_var(g, old: str, new: str):
             for block in g.get("unions") or []
         ]
         # SERVICE bodies share the enclosing variable scope (federated
-        # query joins on shared names), so the rename reaches them too
+        # query joins on shared names), so the rename reaches them too —
+        # a variable ENDPOINT included
         out["services"] = [
             {
                 **svc,
+                "endpoint": new if svc["endpoint"] == old else svc["endpoint"],
                 "select": {
                     **svc["select"],
                     "where": _rename_var(svc["select"]["where"], old, new),
@@ -1767,6 +1776,29 @@ def _rename_var(g, old: str, new: str):
         ]
         return out
     return [ren(p) for p in g]
+
+
+def _service_endpoint_vars(g) -> set:
+    """Every variable SERVICE endpoint (``SERVICE ?e``) anywhere in a
+    parsed group, recursively — these are variable uses the pattern walk
+    cannot see."""
+    out = set()
+    if isinstance(g, dict):
+        for svc in g.get("services") or []:
+            if svc["endpoint"].startswith("?"):
+                out.add(svc["endpoint"])
+            out |= _service_endpoint_vars(svc["select"]["where"])
+        for sub in (
+            *(g.get("optional") or []), *(g.get("minus") or []),
+            *(g.get("exists") or []), *(g.get("not_exists") or []),
+        ):
+            out |= _service_endpoint_vars(sub)
+        for block in g.get("unions") or []:
+            for branch in block:
+                out |= _service_endpoint_vars(branch)
+        for sq in g.get("subselects") or []:
+            out |= _service_endpoint_vars(sq["where"])
+    return out
 
 
 def _dataset(q: dict):
@@ -1822,24 +1854,38 @@ def _service_frames(pipe, grp, stage):
     contributes no frame and its exclusive variables stay unbound —
     returned as ``mu0_vars`` for the caller to NULL-bind."""
     def svc_vars(svc):
-        return {
+        names = {
             x[1:]
             for pat in _group_patterns_text(svc["select"]["where"])
             for x in pat
             if isinstance(x, str) and x.startswith("?")
         }
+        if svc["endpoint"].startswith("?"):
+            names.add(svc["endpoint"][1:])
+        return names
 
+    registry = getattr(pipe, "services", None) or {}
     frames, mu0_vars, framed_vars = [], set(), set()
     for svc in grp.get("services") or []:
-        target = (getattr(pipe, "services", None) or {}).get(svc["endpoint"])
+        ep = svc["endpoint"]
         try:
-            if target is None:
-                raise SparqlCompileError(
-                    f"SERVICE endpoint not registered: <{svc['endpoint']}>"
-                    " — map it to a pipeline with"
-                    " KgPipeline.register_service(iri, pipeline)"
+            if ep.startswith("?"):
+                # SERVICE ?e: evaluate against EVERY registered endpoint,
+                # the variable binding each endpoint's IRI (the union of
+                # per-endpoint solutions — federated-query §2.4's
+                # implementation-defined candidate set is the registry)
+                frames.append(
+                    _variable_endpoint_frame(registry, svc, ep[1:], stage)
                 )
-            frames.append(_compile_select(target, svc["select"], stage))
+            else:
+                target = registry.get(ep)
+                if target is None:
+                    raise SparqlCompileError(
+                        f"SERVICE endpoint not registered: <{ep}>"
+                        " — map it to a pipeline with"
+                        " KgPipeline.register_service(iri, pipeline)"
+                    )
+                frames.append(_compile_select(target, svc["select"], stage))
             framed_vars |= svc_vars(svc)
         except Exception:
             # SILENT swallows any failure by spec — unregistered
@@ -1850,6 +1896,37 @@ def _service_frames(pipe, grp, stage):
     # a variable another (successful) SERVICE frame provides is bound —
     # it must not be NULL-bound over
     return frames, mu0_vars - framed_vars
+
+
+def _variable_endpoint_frame(registry, svc, ename: str, stage):
+    """The union-over-registered-endpoints frame for ``SERVICE ?e``:
+    each endpoint's solutions tagged with (or, when the block's own
+    patterns bind the endpoint variable, filtered against) its IRI.
+    Under SILENT an endpoint that fails to compile is skipped; no
+    endpoints at all (or all skipped) raises, which the caller's SILENT
+    handling turns into the empty solution."""
+    parts = []
+    for iri in sorted(registry):
+        try:
+            f = _compile_select(registry[iri], svc["select"], stage)
+        except Exception:
+            if not svc["silent"]:
+                raise
+            continue
+        if ename in f.columns:
+            f = f.where(F.col(ename) == F.lit(iri))
+        else:
+            f = f.withColumn(ename, F.lit(iri))
+        parts.append(f)
+    if not parts:
+        raise SparqlCompileError(
+            "SERVICE with a variable endpoint and no registered"
+            " endpoints (KgPipeline.register_service)"
+        )
+    out = parts[0]
+    for f in parts[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def _mu0_binds(grp, mu0_vars: set):

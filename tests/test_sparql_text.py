@@ -46,10 +46,11 @@ def test_parse_abbreviations_and_paths():
 def test_parse_unsupported_named_clearly():
     with pytest.raises(SparqlUnsupported, match="path"):
         parse_sparql("CONSTRUCT { ?s <http://p>+ ?o } WHERE { ?s ?p ?o }")
-    # SERVICE over a registered endpoint is SUPPORTED since round 5; a
-    # variable endpoint stays a parse-time named error
-    with pytest.raises(SparqlUnsupported, match="variable endpoint"):
-        parse_sparql("SELECT ?x WHERE { SERVICE ?e { ?x <http://p> ?y } }")
+    # SERVICE is SUPPORTED since round 5 — constant endpoints resolve
+    # through the registry, variable endpoints range over it
+    q_svc = parse_sparql("SELECT ?x WHERE { SERVICE ?e { ?x <http://p> ?y } }")
+    [svc] = q_svc["where"]["services"]
+    assert svc["endpoint"] == "?e" and not svc["silent"]
     # a subquery inside GRAPH ?var is SUPPORTED since round 5 — including
     # LIMIT/OFFSET (per-graph window slice) and pattern-only reuse of the
     # graph var (alpha-renamed, §18.2.1); the named residuals are
@@ -1495,6 +1496,57 @@ def test_service_unregistered_named_and_silent(fedpair):
     assert sorted((r.s, r.l) for r in out.collect()) == [
         (EX + "s1", None),
         (EX + "s2", None),
+    ]
+
+
+def test_service_variable_endpoint_over_registry(fedpair, spark, tmp_path_factory):
+    """SERVICE ?e ranges over the REGISTERED endpoints, binding each
+    endpoint's IRI per solution (the union of per-endpoint results)."""
+    extra = KgPipeline(spark, str(tmp_path_factory.mktemp("fx2") / "wd"))
+    extra.load(
+        fx.source_files_df(
+            spark, [fx._row("r", "x.nt", f'<{EX}s2> <{RDFS}label> "zwei" .')]
+        )
+    )
+    fedpair.register_service("urn:svc:labels2", extra)
+    try:
+        out = sparql_query(
+            fedpair,
+            f"""PREFIX ex: <{EX}>
+            SELECT ?e ?s ?l WHERE {{
+              ?s a ex:T .
+              SERVICE ?e {{ ?s <{RDFS}label> ?l }}
+            }} ORDER BY ?e ?s""",
+        )
+        assert [(r.e, r.s, r.l) for r in out.collect()] == [
+            ("urn:svc:labels", EX + "s1", "one"),
+            ("urn:svc:labels", EX + "s2", "two"),
+            ("urn:svc:labels2", EX + "s2", "zwei"),
+        ]
+    finally:
+        del fedpair.services["urn:svc:labels2"]
+    # no registered endpoints: a named error (SILENT -> empty solution)
+    from r2s2_spark.plans.sparql import SparqlCompileError
+
+    lone = KgPipeline(spark, str(tmp_path_factory.mktemp("fx3") / "wd"))
+    lone.load(
+        fx.source_files_df(
+            spark, [fx._row("r", "y.nt", f"<{EX}s1> <{RDF}type> <{EX}T> .")]
+        )
+    )
+    with pytest.raises(SparqlCompileError, match="no registered"):
+        sparql_query(
+            lone, "SELECT ?s WHERE { SERVICE ?e { ?s ?p ?o } }"
+        )
+    out2 = sparql_query(
+        lone,
+        f"""SELECT ?s ?l ?e WHERE {{
+          ?s a <{EX}T> .
+          SERVICE SILENT ?e {{ ?s <{RDFS}label> ?l }}
+        }}""",
+    )
+    assert [(r.s, r.l, r.e) for r in out2.collect()] == [
+        (EX + "s1", None, None)
     ]
 
 
