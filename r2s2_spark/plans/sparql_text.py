@@ -60,16 +60,25 @@ SHA256 SHA384 SHA512``, ``ENCODE_FOR_URI``, the xsd:dateTime component
 accessors ``YEAR MONTH DAY HOURS MINUTES SECONDS TZ`` (read from the
 LEXICAL form — the literal's own timezone is never shifted), ``IRI()/
 URI()`` (RFC 3986 §5.3 merge against the prologue BASE, dot-segments
-not normalized), ``STRDT/STRLANG`` (the lexical binds; the constructed
-type/tag is not carried into term metadata — documented), ``UUID
-STRUUID RAND NOW``, and the term-inspection family
-``LANG() DATATYPE() LANGMATCHES() isIRI() isBlank() isLiteral()
+not normalized), ``STRDT/STRLANG`` (the lexical binds; a CONSTANT
+type/tag annotation is carried as the result's static term shape, so
+``LANG(STRLANG(?x, "en"))`` and ``DATATYPE(STRDT(?x, xsd:token))``
+constant-fold; a computed annotation stays unknown — documented),
+``UUID STRUUID RAND NOW BNODE() TIMEZONE``, and the term-inspection
+family ``LANG() DATATYPE() LANGMATCHES() isIRI() isBlank() isLiteral()
 isNumeric()`` — variables inside these make the compiler carry hidden
 per-variable term-metadata columns (``plans/sparql.py`` ``term_meta``),
 constant-folded per predicate map (object/subject kinds are catalog
-metadata, known at plan time). Joins still compare lexical forms — a
-documented narrowing; term inspection over a variable never bound in a
-pattern position yields NULL (the spec's type error).
+metadata, known at plan time); NON-variable arguments constant-fold on
+the expression's statically-known term shape (literal constants incl.
+``@tag``/``^^dt`` annotations, numbers per §19.8, string-function
+results per §17.4/§17.5 result types — ``DATATYPE(STR(?x))`` is
+xsd:string, ``LANG(CONCAT(?a, "x"))`` is ``""`` because one untagged
+argument forces a simple literal per §17.4.3.12,
+``LANG(<iri>)`` is the spec's type error NULL), with
+statically-unknown shapes a named error. Joins still compare lexical
+forms — a documented narrowing; term inspection over a variable never
+bound in a pattern position yields NULL (the spec's type error).
 
 CONSTRUCT/DESCRIBE breadth: ``DESCRIBE *`` (every WHERE-bound variable),
 UNION inside ASK/CONSTRUCT/DESCRIBE WHERE groups (pure or mixed with
@@ -121,7 +130,7 @@ import re
 
 from pyspark.sql import functions as F
 
-from ..naming import RDF
+from ..naming import RDF, XSD
 from .sparql import (
     META_DT,
     META_KIND,
@@ -141,6 +150,17 @@ from .sparql import (
 
 
 _AGG_NAMES = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
+
+#: the XSD numeric datatypes isNumeric() recognizes (SPARQL §17.4.2.4
+#: over the XPath atomic numeric types and their derived types)
+_NUMERIC_DTS = frozenset(
+    "http://www.w3.org/2001/XMLSchema#" + t
+    for t in (
+        "integer", "decimal", "double", "float", "int",
+        "long", "short", "byte", "nonNegativeInteger",
+        "positiveInteger", "unsignedInt", "unsignedLong",
+    )
+)
 
 #: VALUES UNDEF wildcard marker: the row leaves the variable unbound and
 #: the inline-data join ignores it for that row (see sparql.join_values)
@@ -818,15 +838,45 @@ class _Parser:
             return lambda df, n=name: df[n]
         if kind == "number":
             self.next()
-            return _Num(float(val) if "." in val or "e" in val.lower() else int(val))
+            if "e" in val.lower():
+                return _Num(float(val), dt=XSD + "double")
+            if "." in val:
+                return _Num(float(val), dt=XSD + "decimal")
+            return _Num(int(val), dt=XSD + "integer")
         if kind == "string":
             self.next()
             s = _unquote(val)
-            return lambda df, s=s: F.lit(s)
+            # optional annotation: "..."@tag binds the lexical form with
+            # rdf:langString shape; "..."^^<dt> with that datatype —
+            # solution frames bind LEXICAL forms, so the annotation only
+            # feeds term inspection (LANG/DATATYPE/is*), not the value
+            nv = self.peek()[1]
+            if nv == "@":
+                self.next()
+                tag = self.next()[1]
+                while self.peek()[1] == "-":
+                    self.next()
+                    tag += "-" + self.next()[1]
+                return _Term(
+                    lambda df, s=s: F.lit(s),
+                    kind="literal", lang=tag, dt=RDF + "langString", const=s,
+                )
+            if nv == "^^":
+                self.next()
+                k2, v2 = self.next()
+                dt = self._iri(v2) if k2 == "iri" else self._pname(v2)
+                return _Term(
+                    lambda df, s=s: F.lit(s),
+                    kind="literal", lang="", dt=dt, const=s,
+                )
+            return _Term(
+                lambda df, s=s: F.lit(s),
+                kind="literal", lang="", dt=XSD + "string", const=s,
+            )
         if kind in ("iri", "pname"):
             self.next()
             iri = self._iri(val) if kind == "iri" else self._pname(val)
-            return lambda df, s=iri: F.lit(s)
+            return _Term(lambda df, s=iri: F.lit(s), kind="iri", const=iri)
         if kind == "word":
             return self._function_call()
         raise SparqlSyntaxError(f"bad expression at {val!r}")
@@ -848,11 +898,30 @@ class _Parser:
         if name in ("ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC"):
             # term-kind tests compile on the hidden __kind_<v> metadata
             # column (the object kind is catalog metadata per predicate
-            # map, so the test constant-folds per scan branch)
+            # map, so the test constant-folds per scan branch); over a
+            # NON-variable expression they constant-fold on the
+            # statically-known term shape (_Term/_Num) — constants,
+            # IRI()/STR()/CONCAT()/STRDT()/... results — and an
+            # expression of unknown shape stays a named error
             self.eat_op("(")
+            if not (self.peek()[0] == "var" and self.peek(1)[1] == ")"):
+                expr = self.expression()
+                self.eat_op(")")
+                tkind, _, tdt = _term_shape(expr)
+                if tkind is None:
+                    raise SparqlUnsupported(
+                        f"{name}() over an expression of statically "
+                        "unknown term shape"
+                    )
+                if name == "ISNUMERIC":
+                    ok = tdt is not None and tdt in _NUMERIC_DTS
+                    return lambda df, b=ok: F.lit(b)
+                want = {
+                    "ISIRI": "iri", "ISURI": "iri", "ISBLANK": "bnode",
+                    "ISLITERAL": "literal",
+                }[name]
+                return lambda df, b=(tkind == want): F.lit(b)
             k, v = self.next()
-            if k != "var":
-                raise SparqlUnsupported(f"{name}() over a non-variable expression")
             self.eat_op(")")
             var = v[1:]
             self.meta_vars.add("?" + var)
@@ -864,28 +933,37 @@ class _Parser:
             else:
                 want = "literal"
             if name == "ISNUMERIC":
-                xsd = "http://www.w3.org/2001/XMLSchema#"
-                numeric = [
-                    xsd + t for t in (
-                        "integer", "decimal", "double", "float", "int",
-                        "long", "short", "byte", "nonNegativeInteger",
-                        "positiveInteger", "unsignedInt", "unsignedLong",
-                    )
-                ]
-                return lambda df, c=dcol, ns=numeric: (
+                return lambda df, c=dcol, ns=list(_NUMERIC_DTS): (
                     df[c].isin(ns) if c in df.columns else F.lit(None).cast("boolean")
                 )
             return lambda df, c=kcol, w=want: (
                 (df[c] == w) if c in df.columns else F.lit(None).cast("boolean")
             )
         if name in ("LANG", "DATATYPE"):
-            # compile against the hidden per-variable term-metadata
-            # columns (plans/sparql.py term_meta); a variable never bound
-            # in object position yields NULL (the spec's type error)
+            # over a VARIABLE: compile against the hidden per-variable
+            # term-metadata columns (plans/sparql.py term_meta); a
+            # variable never bound in object position yields NULL (the
+            # spec's type error). Over a NON-variable expression:
+            # constant-fold on the statically-known term shape — literal
+            # constants (incl. @tag / ^^dt annotations), numbers, string
+            # function results (simple literals), STRDT/STRLANG with
+            # constant annotations; an IRI/bnode-shaped argument is the
+            # spec's type error (NULL); unknown shape stays a named error
             self.eat_op("(")
+            if not (self.peek()[0] == "var" and self.peek(1)[1] == ")"):
+                expr = self.expression()
+                self.eat_op(")")
+                tkind, tlang, tdt = _term_shape(expr)
+                if tkind in ("iri", "bnode"):
+                    return lambda df: F.lit(None).cast("string")
+                want = tlang if name == "LANG" else tdt
+                if tkind != "literal" or want is None:
+                    raise SparqlUnsupported(
+                        f"{name}() over an expression of statically "
+                        "unknown term shape"
+                    )
+                return lambda df, s=want: F.lit(s)
             k, v = self.next()
-            if k != "var":
-                raise SparqlUnsupported(f"{name}() over a non-variable expression")
             self.eat_op(")")
             var = v[1:]
             self.meta_vars.add("?" + var)
@@ -943,7 +1021,11 @@ class _Parser:
 
             return sameterm_vars
         if name in ("TRUE", "FALSE"):
-            return lambda df, b=(name == "TRUE"): F.lit(b)
+            return _Term(
+                lambda df, b=(name == "TRUE"): F.lit(b),
+                kind="literal", lang="", dt=XSD + "boolean",
+                const=name.lower(),
+            )
         self.eat_op("(")
         args = []
         if self.peek()[1] != ")":
@@ -1385,13 +1467,65 @@ class _Parser:
 
 
 class _Num:
-    """Numeric literal marker: forces numeric comparison semantics."""
+    """Numeric literal marker: forces numeric comparison semantics.
 
-    def __init__(self, value):
+    Carries the literal's XSD datatype (SPARQL §19.8 grammar: no
+    decimal point and no exponent -> xsd:integer, decimal point ->
+    xsd:decimal, exponent -> xsd:double) so term inspection
+    (``DATATYPE(5)``, ``isNumeric(5)``) constant-folds."""
+
+    def __init__(self, value, dt: str | None = None):
         self.value = value
+        self.dt = dt
 
     def __call__(self, df):
         return F.lit(self.value)
+
+
+class _Term:
+    """Compiled expression carrying a statically-known RDF term shape.
+
+    Wraps a compiled column lambda with whatever the parser can prove
+    about the VALUE's term at parse time: ``kind`` ("iri" | "literal" |
+    "bnode" | None = unknown), ``lang`` (None = unknown, "" = no
+    language tag, else the tag), ``dt`` (None = unknown, else the
+    datatype IRI) and ``const`` (the Python constant when the whole
+    expression is a literal/IRI constant, else None). It behaves
+    exactly like the bare lambda everywhere an expression is consumed;
+    the term-inspection builtins (LANG/DATATYPE/isIRI/isLiteral/...)
+    constant-fold on the static shape instead of raising
+    SparqlUnsupported, and STRDT/STRLANG read constant annotations off
+    ``const``."""
+
+    def __init__(self, fn, kind=None, lang=None, dt=None, const=None):
+        self.fn = fn
+        self.kind = kind
+        self.lang = lang
+        self.dt = dt
+        self.const = const
+
+    def __call__(self, df):
+        return self.fn(df)
+
+
+def _term_shape(e) -> tuple:
+    """(kind, lang, dt) of a compiled expression — None = unknown."""
+    if isinstance(e, _Num):
+        return ("literal", "", e.dt)
+    if isinstance(e, _Term):
+        return (e.kind, e.lang, e.dt)
+    return (None, None, None)
+
+
+def _arg_lang(e):
+    kind, lang, _ = _term_shape(e)
+    return lang if kind == "literal" else (None if kind is None else "")
+
+
+def _dt_for_lang(lang):
+    if lang is None:
+        return None
+    return XSD + "string" if lang == "" else RDF + "langString"
 
 
 def _as_num(e):
@@ -1413,7 +1547,87 @@ def _unquote(raw: str) -> str:
     )
 
 
+def _static_shape(name: str, args: list):
+    """(kind, lang, dt) statically known for a builtin's RESULT, or None.
+
+    Follows SPARQL §17.4/§17.5 result types: the string functions that
+    preserve the first argument's language tag (UCASE/LCASE/SUBSTR/
+    REPLACE) propagate a statically-known tag; STRBEFORE/STRAFTER return
+    a SIMPLE literal on no-match, so a tagged argument makes their tag
+    runtime-dependent (unknown); CONCAT is tagged iff every argument
+    carries the same known tag."""
+    simple = ("literal", "", XSD + "string")
+    if name in (
+        "STR", "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256", "SHA384",
+        "SHA512", "STRUUID", "TZ", "LANG",
+    ):
+        return simple
+    if name in ("UCASE", "LCASE", "SUBSTR", "REPLACE"):
+        lang = _arg_lang(args[0])
+        return ("literal", lang, _dt_for_lang(lang))
+    if name in ("STRBEFORE", "STRAFTER"):
+        lang = _arg_lang(args[0])
+        return simple if lang == "" else ("literal", None, None)
+    if name == "CONCAT":
+        # §17.4.3.12: tagged iff EVERY argument carries the same tag —
+        # one statically-untagged argument forces a simple literal no
+        # matter what the unknown arguments turn out to be
+        langs = [_arg_lang(a) for a in args]
+        if any(l == "" for l in langs) or (langs and len(set(langs)) > 1 and None not in langs):
+            lang = ""
+        elif langs and len(set(langs)) == 1 and langs[0] is not None:
+            lang = langs[0]
+        elif not langs:
+            lang = ""
+        else:
+            lang = None
+        return ("literal", lang, _dt_for_lang(lang))
+    if name == "STRDT" and len(args) == 2 and isinstance(args[1], _Term) and (
+        args[1].kind == "iri" and args[1].const
+    ):
+        return ("literal", "", args[1].const)
+    if name == "STRLANG" and len(args) == 2 and isinstance(args[1], _Term) and (
+        args[1].kind == "literal" and args[1].const is not None
+    ):
+        return ("literal", args[1].const, RDF + "langString")
+    if name in ("IRI", "URI", "UUID"):
+        return ("iri", None, None)
+    if name == "BNODE":
+        return ("bnode", None, None)
+    if name in (
+        "BOUND", "CONTAINS", "STRSTARTS", "STRENDS", "REGEX",
+        "LANGMATCHES", "SAMETERM",
+    ):
+        return ("literal", "", XSD + "boolean")
+    if name in ("STRLEN", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES"):
+        return ("literal", "", XSD + "integer")
+    if name == "SECONDS":
+        return ("literal", "", XSD + "decimal")
+    if name == "TIMEZONE":
+        return ("literal", "", XSD + "dayTimeDuration")
+    if name == "NOW":
+        return ("literal", "", XSD + "dateTime")
+    if name in ("ABS", "CEIL", "FLOOR", "ROUND", "RAND"):
+        # numeric result — the exact XSD type follows the argument, so
+        # DATATYPE() stays unknown but isNumeric-style kind is known
+        return ("literal", "", None)
+    return None
+
+
 def _compile_function(name: str, args: list, base: str = ""):
+    """Compile a builtin call, annotating the result with its statically
+    known term shape (_Term) so nested term inspection constant-folds —
+    e.g. ``LANG(CONCAT(?a, "x"))`` is ``""`` without touching metadata
+    columns."""
+    fn = _compile_function_raw(name, args, base)
+    shape = _static_shape(name, args)
+    if shape is None or isinstance(fn, (_Term, _Num)):
+        return fn
+    kind, lang, dt = shape
+    return _Term(fn, kind=kind, lang=lang, dt=dt)
+
+
+def _compile_function_raw(name: str, args: list, base: str = ""):
     fns = {
         "BOUND": lambda a: a.isNotNull(),
         "STR": lambda a: a.cast("string"),
@@ -1537,15 +1751,56 @@ def _compile_function(name: str, args: list, base: str = ""):
         return make_iri
     if name in ("STRDT", "STRLANG"):
         # constructs a typed / language-tagged literal; solution frames
-        # bind LEXICAL forms, so the value is the lexical and the
-        # type/tag annotation is not carried into term metadata
-        # (documented narrowing — LANG()/DATATYPE() of a constructed
-        # literal yields NULL like any expression-bound variable)
+        # bind LEXICAL forms, so the value is the lexical. A CONSTANT
+        # annotation (the usual case) is carried as the result's static
+        # term shape (_static_shape), so LANG(STRLANG(?x, "en")) = "en"
+        # and DATATYPE(STRDT(?x, xsd:token)) = xsd:token constant-fold;
+        # a computed annotation leaves the shape unknown (named error
+        # under term inspection — documented narrowing)
         return lambda df: args[0](df)
     if name == "UUID":
         return lambda df: F.concat(F.lit("urn:uuid:"), F.expr("uuid()"))
     if name == "STRUUID":
         return lambda df: F.expr("uuid()")
+    if name == "BNODE" and not args:
+        # a FRESH blank node per solution (SPARQL §17.4.2.9's zero-arg
+        # form); the labeled form BNODE(expr) — same label -> same bnode
+        # WITHIN a solution, distinct ACROSS solutions — needs a
+        # solution identity no expression context carries, so it stays
+        # a named error below
+        return lambda df: F.concat(F.lit("_:b"), F.expr("replace(uuid(), '-', '')"))
+    if name == "TIMEZONE":
+        # xsd:dayTimeDuration of the literal's timezone, read from the
+        # LEXICAL form ("Z"/"+00:00" -> "PT0S", "-05:00" -> "-PT5H",
+        # "+05:30" -> "PT5H30M"); no timezone -> NULL (the spec's type
+        # error), matching the lexical-read convention of YEAR..TZ above
+        def timezone(df):
+            tz = F.regexp_extract(args[0](df), r"(Z|[+-]\d{2}:\d{2})$", 1)
+            h = F.nullif(
+                F.regexp_extract(tz, r"^[+-](\d{2}):", 1), F.lit("")
+            ).try_cast("int")
+            m = F.nullif(
+                F.regexp_extract(tz, r":(\d{2})$", 1), F.lit("")
+            ).try_cast("int")
+            sign = F.when(
+                tz.startswith("-") & ((h > 0) | (m > 0)), F.lit("-")
+            ).otherwise(F.lit(""))
+            body = (
+                F.when((h == 0) & (m == 0), F.lit("PT0S"))
+                .when(m == 0, F.concat(F.lit("PT"), h.cast("string"), F.lit("H")))
+                .when(h == 0, F.concat(F.lit("PT"), m.cast("string"), F.lit("M")))
+                .otherwise(
+                    F.concat(
+                        F.lit("PT"), h.cast("string"), F.lit("H"),
+                        m.cast("string"), F.lit("M"),
+                    )
+                )
+            )
+            return (
+                F.when(tz == "Z", F.lit("PT0S"))
+                .when(tz != "", F.concat(sign, body))
+            )
+        return timezone
     if name == "RAND":
         return lambda df: F.rand()
     if name == "NOW":

@@ -2304,3 +2304,143 @@ def test_construct_template_inverse_path(oddeven):
     assert preds == sorted([RDFS + "label", EX + "tag"])
     with pytest.raises(SparqlUnsupported, match="non-finite"):
         parse_sparql("CONSTRUCT { ?s <http://p>+ ?o } WHERE { ?s ?p ?o }")
+
+
+# -- round-5: term inspection over non-variable expressions ------------------
+
+
+def test_lang_datatype_constant_fold(oddeven):
+    """LANG()/DATATYPE() over CONSTANTS constant-fold on the literal's
+    static term shape (SPARQL §19.8 numeric datatypes, @tag ->
+    rdf:langString, plain string -> xsd:string) instead of raising the
+    old non-variable-expression narrowing."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?l1 ?l2 ?d1 ?d2 ?d3 ?d4 ?d5 ?d6 WHERE {{
+          ?s rdfs:label ?x FILTER(?x = 7)
+          BIND(LANG("chat"@en) AS ?l1)
+          BIND(LANG("chat") AS ?l2)
+          BIND(DATATYPE("chat") AS ?d1)
+          BIND(DATATYPE("chat"@en-GB) AS ?d2)
+          BIND(DATATYPE(5) AS ?d3)
+          BIND(DATATYPE(5.5) AS ?d4)
+          BIND(DATATYPE(5e0) AS ?d5)
+          BIND(DATATYPE(TRUE) AS ?d6)
+        }}""",
+    )
+    row = out.collect()[0]
+    assert (row.l1, row.l2) == ("en", "")
+    assert row.d1 == XSD + "string"
+    assert row.d2 == RDF + "langString"
+    assert row.d3 == XSD + "integer"
+    assert row.d4 == XSD + "decimal"
+    assert row.d5 == XSD + "double"
+    assert row.d6 == XSD + "boolean"
+
+
+def test_lang_datatype_over_derived_expressions(oddeven):
+    """String-function results carry their §17.4/§17.5 static shapes:
+    STR() is always a simple literal, CONCAT with one untagged argument
+    is simple (§17.4.3.12), UCASE preserves the tag, and STRDT/STRLANG
+    constant annotations feed DATATYPE()/LANG()."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}> PREFIX xsd: <{XSD}>
+        SELECT ?s WHERE {{
+          ?s rdfs:label ?l FILTER(?l = 7)
+          FILTER(DATATYPE(STR(?l)) = xsd:string)
+          FILTER(LANG(CONCAT(?l, "!")) = "")
+          FILTER(LANG(UCASE("a"@en)) = "en")
+          FILTER(DATATYPE(STRDT(?l, xsd:token)) = xsd:token)
+          FILTER(LANG(STRLANG(?l, "en-GB")) = "en-GB")
+        }}""",
+    )
+    assert [r.s for r in out.collect()] == [EX + "i7"]
+
+
+def test_lang_of_iri_is_type_error_null(oddeven):
+    """LANG()/DATATYPE() of an IRI-shaped expression is the spec's type
+    error: NULL, which a FILTER treats as false and COALESCE recovers."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          ?s rdfs:label ?l FILTER(?l = 7)
+          FILTER(LANG(<http://x/>) = "")
+        }}""",
+    )
+    assert out.count() == 0
+    out2 = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          ?s rdfs:label ?l FILTER(?l = 7)
+          FILTER(COALESCE(DATATYPE(IRI("http://x/")), "none") = "none")
+        }}""",
+    )
+    assert [r.s for r in out2.collect()] == [EX + "i7"]
+
+
+def test_term_kind_tests_constant_fold(oddeven):
+    """isIRI/isBlank/isLiteral/isNumeric over statically-shaped
+    expressions: IRI() results are IRIs, BNODE() results are blank
+    nodes, typed numeric constants are numeric, plain strings are not."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <{RDFS}> PREFIX xsd: <{XSD}>
+        SELECT ?s WHERE {{
+          ?s rdfs:label ?l FILTER(?l = 7)
+          FILTER(ISIRI(IRI("http://x/")) && !ISIRI("x"))
+          FILTER(ISLITERAL("x") && !ISLITERAL(<http://x/>))
+          FILTER(ISNUMERIC(5) && !ISNUMERIC("5") && ISNUMERIC("5"^^xsd:int))
+          FILTER(ISBLANK(BNODE()) && !ISBLANK(STR(?l)))
+        }}""",
+    )
+    assert [r.s for r in out.collect()] == [EX + "i7"]
+
+
+def test_term_inspection_unknown_shape_stays_named(oddeven):
+    """Shapes the parser cannot prove stay NAMED errors: STRBEFORE over
+    a tagged literal (no-match returns a SIMPLE literal, so the tag is
+    runtime-dependent) and STRDT with a computed datatype."""
+    with pytest.raises(SparqlUnsupported, match="statically unknown"):
+        parse_sparql(
+            'SELECT ?s WHERE { ?s ?p ?o '
+            'FILTER(LANG(STRBEFORE("ab"@en, "b")) = "en") }'
+        )
+    with pytest.raises(SparqlUnsupported, match="statically unknown"):
+        parse_sparql(
+            "SELECT ?s WHERE { ?s ?p ?o ; ?q ?dt "
+            "FILTER(DATATYPE(STRDT(?o, ?dt)) = ?dt) }"
+        )
+
+
+def test_timezone_from_lexical(spark, tmp_path):
+    """TIMEZONE() reads the literal's OWN timezone off the lexical form
+    as an xsd:dayTimeDuration — never shifted to the session zone; a
+    literal without a timezone is the spec's type error (NULL)."""
+    nt = "\n".join(
+        [
+            f'<{EX}e1> <{EX}t> "2011-01-10T14:45:13.815-05:00"^^<{XSD}dateTime> .',
+            f'<{EX}e2> <{EX}t> "2011-01-10T14:45:13Z"^^<{XSD}dateTime> .',
+            f'<{EX}e3> <{EX}t> "2011-01-10T14:45:13+05:30"^^<{XSD}dateTime> .',
+            f'<{EX}e4> <{EX}t> "2011-01-10T14:45:13"^^<{XSD}dateTime> .',
+            f'<{EX}e5> <{EX}t> "2011-01-10T14:45:13+00:00"^^<{XSD}dateTime> .',
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "d.nt", nt)]))
+    out = sparql_query(
+        p,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s (TIMEZONE(?t) AS ?tz) WHERE {{ ?s ex:t ?t }} ORDER BY ?s""",
+    )
+    got = [(r.s.rsplit("/", 1)[-1], r.tz) for r in out.collect()]
+    assert got == [
+        ("e1", "-PT5H"),
+        ("e2", "PT0S"),
+        ("e3", "PT5H30M"),
+        ("e4", None),
+        ("e5", "PT0S"),
+    ]
