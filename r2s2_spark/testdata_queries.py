@@ -2064,7 +2064,11 @@ def sparql_paths(spark, sf_dir):
     f"SELECT 'service_fed', '{EX}nation/' || n_nationkey, "
     f"'{EX}region/' || n_regionkey FROM nation"
     " UNION ALL "
-    f"SELECT 'service_silent', '{EX}region/' || r_regionkey, NULL FROM region",
+    f"SELECT 'service_silent', '{EX}region/' || r_regionkey, NULL FROM region"
+    " UNION ALL "
+    f"SELECT 'term_shape', '{EX}region/' || r_regionkey, "
+    "'en-GB|http://www.w3.org/2001/XMLSchema#decimal|fr|"
+    "http://www.w3.org/2001/XMLSchema#token|PT5H30M|none' FROM region",
 )
 def sparql_text_values_union(spark, sf_dir):
     """Textual SPARQL inline-data + aggregate + round-4b surface, tagged:
@@ -2216,6 +2220,28 @@ def sparql_text_values_union(spark, sf_dir):
           SERVICE SILENT <urn:svc:absent> {{ ?s ex:comment ?x }}
         }}""",
     )
+    # round-5 surface: term inspection over statically-shaped NON-variable
+    # expressions — LANG/DATATYPE constant-fold on @tag/^^dt annotations,
+    # §19.8 numeric datatypes, §17.4 result shapes (UCASE preserves the
+    # tag, STRDT carries a constant annotation), TIMEZONE() reads the
+    # lexical timezone as xsd:dayTimeDuration, DATATYPE(IRI(...)) is the
+    # spec's type-error NULL (COALESCE recovers), and the FILTER proves
+    # the is* family folds (ISBLANK over a fresh BNODE() included)
+    term_shape = sparql_query(
+        kg,
+        f"""PREFIX ex: <{EX}>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?r (CONCAT(
+            LANG("chat"@en-GB), "|", DATATYPE(5.5), "|",
+            LANG(UCASE("a"@fr)), "|", DATATYPE(STRDT(?n, xsd:token)),
+            "|", TIMEZONE("2024-03-05T07:08:09+05:30"), "|",
+            COALESCE(DATATYPE(IRI("urn:x")), "none")
+        ) AS ?v) WHERE {{
+          ?r ex:name ?n
+          FILTER(ISNUMERIC(5) && ISBLANK(BNODE()) &&
+                 !ISIRI("x") && ISLITERAL("x"))
+        }}""",
+    )
     return _union_all([
         sparql_text_values(spark, sf_dir).select(_tag("values"), "s", "r"),
         sparql_text_union_mixed(spark, sf_dir).select(_tag("union_mixed"), "s", "r"),
@@ -2247,6 +2273,9 @@ def sparql_text_values_union(spark, sf_dir):
         service_fed.select(_tag("service_fed"), "s", "r"),
         service_silent.select(
             _tag("service_silent"), "s", F.col("x").alias("r")
+        ),
+        term_shape.select(
+            _tag("term_shape"), F.col("r").alias("s"), F.col("v").alias("r")
         ),
     ])
 
