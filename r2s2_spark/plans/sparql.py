@@ -28,12 +28,11 @@ Property paths (SPARQL 1.1 §9; the reference gets these from Ontop,
 pom.xml:118-127): ``PathPlus`` (p+), ``PathStar`` (p*), ``PathOpt``
 (p?), ``PathSeq`` (p1/p2), ``PathAlt`` (p1|p2), ``PathInverse`` (^p),
 ``PathNeg`` (!(p1|p2), plan-time map pruning), composable (``^(p1/p2)``
-normalizes to ``^p2/^p1``). Zero-length paths
-(p*/p?) draw their reflexive endpoints from the terms INCIDENT to the
-path predicate's edges — a documented narrowing of the spec's
-"all terms in the graph" (full-graph term enumeration would scan every
-table; incident terms are what real engines' users observe for connected
-data).
+normalizes to ``^p2/^p1``). Zero-length paths (p*/p?) follow §9.3
+ZeroLengthPath: a both-variable endpoint pair enumerates every term of
+the active graph (one scan over all predicate maps — the spec's own
+cost, paid only then); a constant endpoint matches itself with NO scan
+and regardless of graph membership.
 
 Solution modifiers and filters (SPARQL 1.1 §8, §11): OPTIONAL
 (left join, marker-key form for disjoint domains), FILTER, MINUS,
@@ -206,17 +205,124 @@ def _transitive_plus(
         spark.conf.set(prop_key, prev)
 
 
-def _reflexive(edges: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
-    """Zero-length path pairs: (n, n) for every term incident to an edge
-    (per group when graph-constrained)."""
+def _graph_restrict(df: DataFrame, dicts, graph, named) -> DataFrame:
+    """FROM <iri> / GRAPH <iri>: semi-join ``df.__gid`` down to the
+    constant graph — or to the MERGED dataset when ``graph`` is a
+    list/tuple of IRIs (SPARQL repeated FROM merges the named graphs into
+    the query's default graph). ``named`` (FROM NAMED) further restricts
+    which graphs qualify (§13.2: a constant outside the named set matches
+    nothing). The small dictionary side is left to AQE (no forced
+    broadcast). Drops ``__gid``."""
+    if isinstance(graph, (list, tuple, set, frozenset)):
+        # an EMPTY merge set (FROM NAMED without FROM: the default
+        # graph is empty) matches nothing
+        cond = F.col("iri").isin(list(graph)) if graph else F.lit(False)
+    else:
+        cond = F.col("iri") == graph
+    if named is not None:
+        cond = cond & F.col("iri").isin(list(named))
+    gd = dicts["graphs"].where(cond).select(F.col("id").alias("__gid"))
+    return df.join(gd, "__gid", "semi").drop("__gid")
+
+
+def _graph_terms(catalog, reader, dicts, graph, named, g_is_var) -> DataFrame:
+    """All RDF terms appearing as subject or object of ANY triple in the
+    active graph, as zero-length pairs ``(__n, __n)[, __gid]`` — the
+    SPARQL §9.3 ZeroLengthPath node set for a both-variable ``p*``/``p?``
+    endpoint pair. ONE scan over every predicate map (mirrors the
+    variable-predicate branch of ``_pattern_frame``, endpoints only — no
+    term metadata, no predicate column) + one distinct; the scan is the
+    spec's own cost and is paid only on both-variable zero-length paths."""
+    pieces = []
+    for t in catalog.tables:
+        for pm in t.predicates:
+            df = reader(t)
+            if dicts:
+                df = _decode_encoded(df, [*t.subject_columns, *pm.columns], dicts)
+            df = _merged_presence_filter(df, pm)
+            s_lex, _, _ = _term_exprs(t.subject_columns, t.subject_kind)
+            o_lex, _, _ = _term_exprs(pm.columns, pm.obj_kind)
+            sel = [s_lex.alias("__s"), o_lex.alias("__o")]
+            explode_graphs = False
+            if graph is not None:
+                gc = pm.graph_column
+                if gc is None:
+                    g_col = F.lit(None).cast("bigint")
+                elif not gc.physical:
+                    g_col = F.lit(int(gc.virtual_value)).cast("bigint")
+                elif gc.part == "graph_set":
+                    g_col = F.col(gc.name)  # exploded below
+                    explode_graphs = True
+                else:
+                    g_col = F.col(gc.name).cast("bigint")
+                sel.append(g_col.alias("__gid"))
+            out = df.select(*sel).where(
+                F.col("__s").isNotNull() & F.col("__o").isNotNull()
+            )
+            if explode_graphs:
+                out = out.withColumn("__gid", F.explode("__gid")).withColumn(
+                    "__gid", F.col("__gid").cast("bigint")
+                )
+            pieces.append(out)
+    group = ("__gid",) if g_is_var else ()
+    if not pieces:
+        from pyspark.sql import SparkSession
+
+        schema = "__s string, __o string" + (", __gid bigint" if g_is_var else "")
+        return SparkSession.getActiveSession().createDataFrame([], schema)
+    # balanced-tree union (left-deep chains are O(T^2) analyzer work)
+    while len(pieces) > 1:
+        pieces = [
+            pieces[i].unionByName(pieces[i + 1]) if i + 1 < len(pieces) else pieces[i]
+            for i in range(0, len(pieces), 2)
+        ]
+    edges = pieces[0]
+    if graph is not None and not g_is_var:
+        edges = _graph_restrict(edges, dicts, graph, named)
     nodes = (
-        edges.select(F.col("__s").alias("__n"), *group_cols)
-        .unionByName(edges.select(F.col("__o").alias("__n"), *group_cols))
+        edges.select(F.col("__s").alias("__n"), *group)
+        .unionByName(edges.select(F.col("__o").alias("__n"), *group))
         .distinct()
     )
     return nodes.select(
-        F.col("__n").alias("__s"), F.col("__n").alias("__o"), *group_cols
+        F.col("__n").alias("__s"), F.col("__n").alias("__o"), *group
     )
+
+
+def _zero_length(
+    catalog, reader, dicts, s, o, graph, named, g_is_var
+) -> DataFrame:
+    """SPARQL §9.3 ZeroLengthPath contribution of a ``p*``/``p?`` pattern.
+
+    - two variables: every term of the active graph pairs with itself
+      (``_graph_terms`` — one full scan, the spec's own cost);
+    - a constant endpoint matches ITSELF regardless of graph membership
+      (eval(ZeroLengthPath(term, var)) = { var -> term }) — O(1), no
+      scan; under GRAPH ?g the match holds in EVERY named graph (FROM
+      NAMED narrows later at the ?g decode join);
+    - two constants match iff they are the same term.
+
+    Returns ``(__s, __o[, __gid])`` matching the closure frame's schema."""
+    from pyspark.sql import SparkSession
+
+    s_const, o_const = not _is_var(s), not _is_var(o)
+    if not (s_const or o_const):
+        return _graph_terms(catalog, reader, dicts, graph, named, g_is_var)
+    spark = SparkSession.getActiveSession()
+    # a typed-literal endpoint compares on its lexical form, like the
+    # closure frame's __o (whose __ol/__od are NULL through paths)
+    s_lex = s.lex if isinstance(s, Literal) else s
+    o_lex = o.lex if isinstance(o, Literal) else o
+    if s_const and o_const and s_lex != o_lex:
+        schema = "__s string, __o string" + (", __gid bigint" if g_is_var else "")
+        return spark.createDataFrame([], schema)
+    c = s_lex if s_const else o_lex
+    one = spark.createDataFrame([(c, c)], "__s string, __o string")
+    if g_is_var:
+        one = one.crossJoin(
+            dicts["graphs"].select(F.col("id").cast("bigint").alias("__gid"))
+        )
+    return one
 
 
 def _is_var(t) -> bool:
@@ -440,37 +546,24 @@ def _pattern_frame(
         df = reduce(DataFrame.unionByName, pieces)
 
     if not compound and graph is not None and not g_is_var:
-        # FROM <iri> / GRAPH <iri>: restrict to the graph — or to the
-        # MERGED dataset when ``graph`` is a list/tuple of IRIs (SPARQL
-        # repeated FROM merges the named graphs into the query's default
-        # graph). The filter runs BEFORE any closure so paths stay inside
-        # the dataset. The small dictionary side is left to AQE (no
-        # forced broadcast).
-        if isinstance(graph, (list, tuple, set, frozenset)):
-            # an EMPTY merge set (FROM NAMED without FROM: the default
-            # graph is empty) matches nothing
-            cond = F.col("iri").isin(list(graph)) if graph else F.lit(False)
-        else:
-            cond = F.col("iri") == graph
-        if named is not None:
-            # FROM NAMED restricts which graphs a GRAPH block may touch:
-            # a constant outside the named set matches nothing (SPARQL
-            # §13.2 dataset semantics)
-            cond = cond & F.col("iri").isin(list(named))
-        gd = dicts["graphs"].where(cond).select(F.col("id").alias("__gid"))
-        df = df.join(gd, "__gid", "semi").drop("__gid")
+        # the filter runs BEFORE any closure so paths stay inside the
+        # dataset (see _graph_restrict)
+        df = _graph_restrict(df, dicts, graph, named)
 
     if is_path:
         group = ("__gid",) if g_is_var else ()
         base = df.select("__s", "__o", *group)
         if isinstance(p, PathPlus):
             paths = _transitive_plus(base, p.max_iter, group)
-        elif isinstance(p, PathStar):
-            paths = _transitive_plus(base, p.max_iter, group).unionByName(
-                _reflexive(base, group)
-            ).distinct()
-        else:  # PathOpt
-            paths = base.distinct().unionByName(_reflexive(base, group)).distinct()
+        else:
+            zero = _zero_length(
+                catalog, reader, dicts, s, o, graph, named, g_is_var
+            )
+            if isinstance(p, PathStar):
+                paths = _transitive_plus(base, p.max_iter, group)
+            else:  # PathOpt
+                paths = base.distinct()
+            paths = paths.unionByName(zero).distinct()
         path_meta = []
         for v in (o, s):
             # path endpoints are IRIs/bnodes: LANG/DATATYPE type-errors;

@@ -287,8 +287,9 @@ def test_graph_collapsed_set_still_queryable(spark, tmp_path):
 
 
 def test_path_star_and_opt(spark, tmp_path):
-    """p* = closure + zero-length (incident terms); p? = base +
-    zero-length."""
+    """p* = closure + zero-length (§9.3: every term of the graph for a
+    both-variable pair; a constant endpoint matches itself without a
+    scan); p? = base + zero-length."""
     from r2s2_spark.plans.sparql import PathOpt, PathStar
 
     nt = "\n".join(
@@ -306,6 +307,80 @@ def test_path_star_and_opt(spark, tmp_path):
     assert all_star.count() == 6
     opt = bgp_on_pipeline(p, [(EX + "a", PathOpt(EX + "next"), "?x")], select=["?x"])
     assert {r.x for r in opt.collect()} == {EX + "a", EX + "b"}
+
+
+def test_zero_length_path_spec_semantics(spark, tmp_path):
+    """§9.3 ZeroLengthPath: a both-variable p* pairs EVERY term of the
+    graph with itself — including terms never incident to p (the
+    pre-round-5 narrowing missed them); a constant endpoint matches
+    itself even when absent from the graph entirely; two constants match
+    iff equal."""
+    from r2s2_spark.plans.sparql import PathOpt, PathStar
+
+    nt = "\n".join(
+        [
+            f"<{EX}a> <{EX}next> <{EX}b> .",
+            f"<{EX}x> <{EX}other> <{EX}y> .",  # not incident to ex:next
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "zl.nt", nt)]))
+    all_star = bgp_on_pipeline(p, [("?s", PathStar(EX + "next"), "?o")])
+    rows = {(r[0], r[1]) for r in all_star.collect()}
+    # 4 reflexive nodes (a, b, x, y) + the one edge
+    expect = {(EX + t, EX + t) for t in "abxy"} | {(EX + "a", EX + "b")}
+    assert rows == expect
+    # constant endpoint absent from the graph still matches itself
+    ghost = bgp_on_pipeline(
+        p, [(EX + "ghost", PathStar(EX + "next"), "?x")], select=["?x"]
+    )
+    assert [r.x for r in ghost.collect()] == [EX + "ghost"]
+    # two constants: equal matches (marker row), unequal does not
+    eq = bgp_on_pipeline(p, [(EX + "g2", PathOpt(EX + "next"), EX + "g2")])
+    assert eq.count() == 1
+    ne = bgp_on_pipeline(p, [(EX + "g2", PathOpt(EX + "next"), EX + "g3")])
+    assert ne.count() == 0
+
+
+def test_zero_length_path_graph_scoped(spark, tmp_path):
+    """Zero-length node enumeration respects the active graph: GRAPH
+    <iri> restricts the §9.3 node set to that graph's terms, and GRAPH
+    ?g enumerates per named graph."""
+    from r2s2_spark.plans.sparql import PathStar
+
+    nq = "\n".join(
+        [
+            f"<{EX}a> <{EX}next> <{EX}b> <{EX}g1> .",
+            f"<{EX}x> <{EX}other> <{EX}y> <{EX}g2> .",
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "zl.nq", nq)]))
+    g1 = bgp_on_pipeline(
+        p, [("?s", PathStar(EX + "next"), "?o")], graph=EX + "g1"
+    )
+    rows = {(r[0], r[1]) for r in g1.collect()}
+    assert rows == {
+        (EX + "a", EX + "a"), (EX + "b", EX + "b"), (EX + "a", EX + "b"),
+    }
+    # GRAPH <g2> holds no ex:next edges: only its own terms' reflexive
+    # pairs remain
+    g2 = bgp_on_pipeline(
+        p, [("?s", PathStar(EX + "next"), "?o")], graph=EX + "g2"
+    )
+    rows2 = {(r[0], r[1]) for r in g2.collect()}
+    assert rows2 == {(EX + "x", EX + "x"), (EX + "y", EX + "y")}
+    # GRAPH ?g: per-graph node sets, the graph variable bound per row
+    gv = bgp_on_pipeline(
+        p, [("?s", PathStar(EX + "next"), "?o")], graph="?g"
+    )
+    by_g = {}
+    for r in gv.collect():
+        by_g.setdefault(r.g, set()).add((r.s, r.o))
+    assert by_g[EX + "g1"] == {
+        (EX + "a", EX + "a"), (EX + "b", EX + "b"), (EX + "a", EX + "b"),
+    }
+    assert by_g[EX + "g2"] == {(EX + "x", EX + "x"), (EX + "y", EX + "y")}
 
 
 def test_path_sequence_and_alternation(spark, tmp_path):
