@@ -90,9 +90,9 @@ class PathPlus:
 
 @dataclass(frozen=True)
 class PathStar:
-    """``p*`` — zero or more: the p+ closure plus the zero-length
-    (reflexive) pairs over the predicate's incident terms. ``predicate``
-    may be an IRI or a compound path (see ``PathPlus``)."""
+    """``p*`` — zero or more: the p+ closure plus the §9.3 zero-length
+    pairs (see ``_zero_length``). ``predicate`` may be an IRI or a
+    compound path (see ``PathPlus``)."""
 
     predicate: object
     max_iter: int = 64
@@ -225,14 +225,21 @@ def _graph_restrict(df: DataFrame, dicts, graph, named) -> DataFrame:
     return df.join(gd, "__gid", "semi").drop("__gid")
 
 
-def _graph_terms(catalog, reader, dicts, graph, named, g_is_var) -> DataFrame:
+def _graph_terms(
+    catalog, reader, dicts, graph, named, g_is_var, g_col="__gid"
+) -> DataFrame:
     """All RDF terms appearing as subject or object of ANY triple in the
     active graph, as zero-length pairs ``(__n, __n)[, __gid]`` — the
     SPARQL §9.3 ZeroLengthPath node set for a both-variable ``p*``/``p?``
     endpoint pair. ONE scan over every predicate map (mirrors the
     variable-predicate branch of ``_pattern_frame``, endpoints only — no
     term metadata, no predicate column) + one distinct; the scan is the
-    spec's own cost and is paid only on both-variable zero-length paths."""
+    spec's own cost and is paid only on both-variable zero-length paths.
+
+    ``g_col="__giri"`` decodes the per-graph key to the graph IRI after
+    the distinct (compound-path closures group on the decoded IRI), with
+    ``named`` (FROM NAMED) applied at the decode — the ``__gid`` form
+    leaves the named narrowing to the caller's decode join."""
     pieces = []
     for t in catalog.tables:
         for pm in t.predicates:
@@ -247,15 +254,15 @@ def _graph_terms(catalog, reader, dicts, graph, named, g_is_var) -> DataFrame:
             if graph is not None:
                 gc = pm.graph_column
                 if gc is None:
-                    g_col = F.lit(None).cast("bigint")
+                    g_expr = F.lit(None).cast("bigint")
                 elif not gc.physical:
-                    g_col = F.lit(int(gc.virtual_value)).cast("bigint")
+                    g_expr = F.lit(int(gc.virtual_value)).cast("bigint")
                 elif gc.part == "graph_set":
-                    g_col = F.col(gc.name)  # exploded below
+                    g_expr = F.col(gc.name)  # exploded below
                     explode_graphs = True
                 else:
-                    g_col = F.col(gc.name).cast("bigint")
-                sel.append(g_col.alias("__gid"))
+                    g_expr = F.col(gc.name).cast("bigint")
+                sel.append(g_expr.alias("__gid"))
             out = df.select(*sel).where(
                 F.col("__s").isNotNull() & F.col("__o").isNotNull()
             )
@@ -264,11 +271,13 @@ def _graph_terms(catalog, reader, dicts, graph, named, g_is_var) -> DataFrame:
                     "__gid", F.col("__gid").cast("bigint")
                 )
             pieces.append(out)
-    group = ("__gid",) if g_is_var else ()
     if not pieces:
         from pyspark.sql import SparkSession
 
-        schema = "__s string, __o string" + (", __gid bigint" if g_is_var else "")
+        schema = "__s string, __o string" + (
+            ", __gid bigint" if g_is_var and g_col == "__gid" else
+            ", __giri string" if g_is_var else ""
+        )
         return SparkSession.getActiveSession().createDataFrame([], schema)
     # balanced-tree union (left-deep chains are O(T^2) analyzer work)
     while len(pieces) > 1:
@@ -279,18 +288,28 @@ def _graph_terms(catalog, reader, dicts, graph, named, g_is_var) -> DataFrame:
     edges = pieces[0]
     if graph is not None and not g_is_var:
         edges = _graph_restrict(edges, dicts, graph, named)
+    group = ("__gid",) if g_is_var else ()
     nodes = (
         edges.select(F.col("__s").alias("__n"), *group)
         .unionByName(edges.select(F.col("__o").alias("__n"), *group))
         .distinct()
     )
+    if g_is_var and g_col == "__giri":
+        gd = dicts["graphs"]
+        if named is not None:
+            gd = gd.where(F.col("iri").isin(list(named)))
+        nodes = nodes.join(
+            gd.select(F.col("id").alias("__gid"), F.col("iri").alias("__giri")),
+            "__gid",
+        ).drop("__gid")
+        group = ("__giri",)
     return nodes.select(
         F.col("__n").alias("__s"), F.col("__n").alias("__o"), *group
     )
 
 
 def _zero_length(
-    catalog, reader, dicts, s, o, graph, named, g_is_var
+    catalog, reader, dicts, s, o, graph, named, g_is_var, g_col="__gid"
 ) -> DataFrame:
     """SPARQL §9.3 ZeroLengthPath contribution of a ``p*``/``p?`` pattern.
 
@@ -299,29 +318,41 @@ def _zero_length(
     - a constant endpoint matches ITSELF regardless of graph membership
       (eval(ZeroLengthPath(term, var)) = { var -> term }) — O(1), no
       scan; under GRAPH ?g the match holds in EVERY named graph (FROM
-      NAMED narrows later at the ?g decode join);
+      NAMED narrows at the ?g decode — the caller's join for the
+      ``__gid`` form, in-line here for ``__giri``);
     - two constants match iff they are the same term.
 
-    Returns ``(__s, __o[, __gid])`` matching the closure frame's schema."""
+    Returns ``(__s, __o[, g_col])`` matching the closure frame's schema."""
     from pyspark.sql import SparkSession
 
     s_const, o_const = not _is_var(s), not _is_var(o)
     if not (s_const or o_const):
-        return _graph_terms(catalog, reader, dicts, graph, named, g_is_var)
+        return _graph_terms(
+            catalog, reader, dicts, graph, named, g_is_var, g_col
+        )
     spark = SparkSession.getActiveSession()
     # a typed-literal endpoint compares on its lexical form, like the
     # closure frame's __o (whose __ol/__od are NULL through paths)
     s_lex = s.lex if isinstance(s, Literal) else s
     o_lex = o.lex if isinstance(o, Literal) else o
     if s_const and o_const and s_lex != o_lex:
-        schema = "__s string, __o string" + (", __gid bigint" if g_is_var else "")
+        schema = "__s string, __o string" + (
+            f", {g_col} bigint" if g_is_var and g_col == "__gid" else
+            f", {g_col} string" if g_is_var else ""
+        )
         return spark.createDataFrame([], schema)
     c = s_lex if s_const else o_lex
     one = spark.createDataFrame([(c, c)], "__s string, __o string")
     if g_is_var:
-        one = one.crossJoin(
-            dicts["graphs"].select(F.col("id").cast("bigint").alias("__gid"))
-        )
+        gd = dicts["graphs"]
+        if g_col == "__giri":
+            if named is not None:
+                gd = gd.where(F.col("iri").isin(list(named)))
+            one = one.crossJoin(gd.select(F.col("iri").alias("__giri")))
+        else:
+            one = one.crossJoin(
+                gd.select(F.col("id").cast("bigint").alias("__gid"))
+            )
     return one
 
 
@@ -444,21 +475,20 @@ def _pattern_frame(
         # the inner path to its edge set through hidden endpoint
         # variables; the shared closure block below closes it
         # transitively. A constant graph filters inside the inner compile
-        # (per-leaf, before closure); binding GRAPH ?g would need a
-        # per-graph edge set the hidden-variable join does not carry.
-        if g_is_var:
-            raise ValueError(
-                "closure over a compound path cannot bind GRAPH ?g "
-                "(constant graphs and the default graph are supported)"
-            )
+        # (per-leaf, before closure); GRAPH ?g compiles the inner with a
+        # hidden graph variable — the edge set carries the DECODED graph
+        # IRI, the closure groups on it, and the tail decode join is
+        # skipped (the frame already holds ``__giri``).
         ep_a, ep_b = f"?__cp{idx}a", f"?__cp{idx}b"
+        inner_graph = f"?__cp{idx}g" if g_is_var else graph
         inner, _ = _join_patterns(
-            catalog, reader, dicts, [(ep_a, p_match, ep_b, graph)],
+            catalog, reader, dicts, [(ep_a, p_match, ep_b, inner_graph)],
             named=named,
         )
-        df = inner.select(
-            F.col(ep_a[1:]).alias("__s"), F.col(ep_b[1:]).alias("__o")
-        )
+        sel = [F.col(ep_a[1:]).alias("__s"), F.col(ep_b[1:]).alias("__o")]
+        if g_is_var:
+            sel.append(F.col(inner_graph[1:]).alias("__giri"))
+        df = inner.select(*sel)
     pieces = []
     for t in (() if compound else catalog.tables):
         for pm in t.predicates:
@@ -551,13 +581,14 @@ def _pattern_frame(
         df = _graph_restrict(df, dicts, graph, named)
 
     if is_path:
-        group = ("__gid",) if g_is_var else ()
+        g_key = "__giri" if compound else "__gid"
+        group = (g_key,) if g_is_var else ()
         base = df.select("__s", "__o", *group)
         if isinstance(p, PathPlus):
             paths = _transitive_plus(base, p.max_iter, group)
         else:
             zero = _zero_length(
-                catalog, reader, dicts, s, o, graph, named, g_is_var
+                catalog, reader, dicts, s, o, graph, named, g_is_var, g_key
             )
             if isinstance(p, PathStar):
                 paths = _transitive_plus(base, p.max_iter, group)
@@ -586,11 +617,12 @@ def _pattern_frame(
             *group,
         )
 
-    if g_is_var:
+    if g_is_var and not compound:
         # GRAPH ?g: decode id -> IRI (plain join — unbounded dict) and
         # bind it; rows with NULL g_id (graph-less data) drop, matching
         # SPARQL's GRAPH matching named graphs only. FROM NAMED narrows
-        # the graphs ?g may range over.
+        # the graphs ?g may range over. (A compound-path frame already
+        # carries the decoded ``__giri`` from its inner compile.)
         gd = dicts["graphs"]
         if named is not None:
             gd = gd.where(F.col("iri").isin(list(named)))

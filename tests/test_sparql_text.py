@@ -525,6 +525,53 @@ def test_compound_path_closure(spark, tmp_path):
     assert {r.x for r in alt.collect()} == {EX + s for s in "abcde"}
 
 
+def test_compound_path_closure_graph_var(spark, tmp_path):
+    """Closure over a COMPOUND path under GRAPH ?g (the pre-round-5
+    ValueError): the inner edge set compiles per graph through a hidden
+    graph variable, the closure groups on the decoded IRI, and the
+    zero-length node set is per-graph too."""
+    nq = "\n".join(
+        [
+            f"<{EX}a> <{EX}p1> <{EX}m> <{EX}g1> .",
+            f"<{EX}m> <{EX}p2> <{EX}b> <{EX}g1> .",
+            f"<{EX}b> <{EX}p1> <{EX}n> <{EX}g1> .",
+            f"<{EX}n> <{EX}p2> <{EX}c> <{EX}g1> .",
+            # g2 has a p1/p2 hop of its own plus an unrelated edge
+            f"<{EX}x> <{EX}p1> <{EX}w> <{EX}g2> .",
+            f"<{EX}w> <{EX}p2> <{EX}y> <{EX}g2> .",
+            f"<{EX}q> <{EX}other> <{EX}r> <{EX}g2> .",
+        ]
+    )
+    p = KgPipeline(spark, str(tmp_path / "wd"))
+    p.load(fx.source_files_df(spark, [fx._row("r", "cp.nq", nq)]))
+    plus = sparql_query(
+        p,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?g ?s ?x WHERE {{ GRAPH ?g {{ ?s (ex:p1/ex:p2)+ ?x }} }}""",
+    )
+    got = {(r.g, r.s, r.x) for r in plus.collect()}
+    assert got == {
+        (EX + "g1", EX + "a", EX + "b"),
+        (EX + "g1", EX + "b", EX + "c"),
+        (EX + "g1", EX + "a", EX + "c"),  # two hops, closed within g1
+        (EX + "g2", EX + "x", EX + "y"),
+    }
+    # constant endpoint + star: zero-length self-match rides per graph —
+    # a bound in g1 only reaches its own graph's closure
+    star = sparql_query(
+        p,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?g ?x WHERE {{ GRAPH ?g {{ ex:a (ex:p1/ex:p2)* ?x }} }}""",
+    )
+    by_g = {}
+    for r in star.collect():
+        by_g.setdefault(r.g, set()).add(r.x)
+    # the (a, a) zero-length match holds in EVERY named graph (§9.3);
+    # the closure contributes b and c inside g1 only
+    assert by_g[EX + "g1"] == {EX + "a", EX + "b", EX + "c"}
+    assert by_g[EX + "g2"] == {EX + "a"}
+
+
 def test_select_expression(oddeven):
     out = sparql_query(
         oddeven,
