@@ -205,6 +205,19 @@ def _transitive_plus(
         spark.conf.set(prop_key, prev)
 
 
+def _balanced_union(frames: list) -> DataFrame:
+    """unionByName as a balanced tree: a left-deep chain re-analyzes the
+    growing plan on every union — O(T^2) analyzer work at vocabulary-scale
+    predicate-map counts (10^4+ branches for a variable predicate);
+    pairing halves keeps it O(T log T)."""
+    while len(frames) > 1:
+        frames = [
+            frames[i].unionByName(frames[i + 1]) if i + 1 < len(frames) else frames[i]
+            for i in range(0, len(frames), 2)
+        ]
+    return frames[0]
+
+
 def _graph_restrict(df: DataFrame, dicts, graph, named) -> DataFrame:
     """FROM <iri> / GRAPH <iri>: semi-join ``df.__gid`` down to the
     constant graph — or to the MERGED dataset when ``graph`` is a
@@ -279,13 +292,7 @@ def _graph_terms(
             ", __giri string" if g_is_var else ""
         )
         return SparkSession.getActiveSession().createDataFrame([], schema)
-    # balanced-tree union (left-deep chains are O(T^2) analyzer work)
-    while len(pieces) > 1:
-        pieces = [
-            pieces[i].unionByName(pieces[i + 1]) if i + 1 < len(pieces) else pieces[i]
-            for i in range(0, len(pieces), 2)
-        ]
-    edges = pieces[0]
+    edges = _balanced_union(pieces)
     if graph is not None and not g_is_var:
         edges = _graph_restrict(edges, dicts, graph, named)
     group = ("__gid",) if g_is_var else ()
@@ -573,7 +580,7 @@ def _pattern_frame(
             schema += ", __gid bigint"
         pieces = [SparkSession.getActiveSession().createDataFrame([], schema)]
     if not compound:
-        df = reduce(DataFrame.unionByName, pieces)
+        df = _balanced_union(pieces)
 
     if not compound and graph is not None and not g_is_var:
         # the filter runs BEFORE any closure so paths stay inside the
