@@ -198,11 +198,26 @@ def run_many_tables_layout(spark) -> dict:
         pipe.stage_m()
         t_m = time.time() - t0
         jobs_m = sc.dagScheduler().nextJobId() - j0
+        # Variable-predicate SPARQL over the 64-table catalog: compiles a
+        # union across EVERY predicate map (the balanced-tree branch of
+        # sparql._pattern_frame — a left-deep chain is O(T^2) analyzer
+        # work at vocabulary scale), then one groupBy. Wall time covers
+        # compile + execute; n_preds pins that all tables joined in.
+        from r2s2_spark.plans.sparql_text import sparql_query
+
+        t0 = time.time()
+        per_pred = sparql_query(
+            pipe,
+            "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p",
+        ).collect()
+        t_q = time.time() - t0
         return {
             "stage_o_64tables_sec": round(t_o, 3),
             "stage_m_64tables_sec": round(t_m, 3),
             "stage_o_64tables_jobs": jobs_o,
             "stage_m_64tables_jobs": jobs_m,
+            "sparql_varpred_64tables_sec": round(t_q, 3),
+            "sparql_varpred_64tables_preds": len(per_pred),
             # per-pass attribution (pipeline.TIMINGS): which pass moved
             # when a stage total drifts between rounds
             "stage_passes_64tables_sec": {
@@ -447,6 +462,8 @@ def main() -> None:
         "stage_m_64tables_sec": r["stage_m_64tables_sec"],
         "stage_o_64tables_jobs": r["stage_o_64tables_jobs"],
         "stage_m_64tables_jobs": r["stage_m_64tables_jobs"],
+        "sparql_varpred_64tables_sec": r["sparql_varpred_64tables_sec"],
+        "sparql_varpred_64tables_preds": r["sparql_varpred_64tables_preds"],
         "stage_passes_64tables_sec": r["stage_passes_64tables_sec"],
         "dedup_clusters_sf1_sec": r["dedup_clusters_sf1_sec"],
         "dedup_clusters_sf1_docs": r["dedup_clusters_sf1_docs"],

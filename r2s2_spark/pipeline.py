@@ -203,6 +203,17 @@ class KgPipeline:
         # SPARQL SERVICE federation registry: endpoint IRI -> another
         # loaded KgPipeline (plans/sparql_text._service_frames)
         self.services: dict[str, "KgPipeline"] = {}
+        # shared batch-root reads (see reader()): every spark.read.parquet
+        # submits a 1-task footer-inference job, so reading each batched
+        # small table through its own read costs one driver job per table
+        # — a variable-predicate SPARQL pattern over a 10^4-table
+        # vocabulary would pay 10^4 jobs before the query even runs.
+        # Tables in one batch share ONE cached read of the batch root;
+        # each member is a partition-pruned ``t =`` filter + rename on it.
+        # Keyed by batch-root rel path (stage-qualified, e.g. "M/batch/3");
+        # cleared by the writing stages (stage_o/stage_m/vacuum re-runs
+        # may rewrite the same dirs).
+        self._batch_reads: dict[str, DataFrame] = {}
 
     def register_service(self, iri: str, pipeline: "KgPipeline") -> None:
         """Map a SPARQL ``SERVICE <iri>`` endpoint to another loaded
@@ -360,6 +371,8 @@ class KgPipeline:
         from .operators import passes
 
         import time
+
+        self._batch_reads.clear()  # re-runs may rewrite batch dirs
 
         def fn(io: StageIO) -> dict:
             t0 = time.time()
@@ -519,6 +532,8 @@ class KgPipeline:
         import time
 
         from .operators import merging, passes
+
+        self._batch_reads.clear()  # re-runs may rewrite batch dirs
 
         def fn(io: StageIO) -> dict:
             catalog = io.read_catalog("O")
@@ -681,6 +696,7 @@ class KgPipeline:
         """
         import math
 
+        self._batch_reads.clear()  # compaction rewrites table dirs
         stage = self.last_catalog_stage()
         catalog = self.catalog(stage)
 
@@ -810,13 +826,41 @@ class KgPipeline:
 
         else:
 
+            def batch_raw(batch_rel: str) -> DataFrame:
+                """Shared read of one batch root (t partition column +
+                positional c0..cN): footer inference runs once per batch,
+                not once per member table. Cached on the pipeline; the
+                writing stages invalidate."""
+                base = self._batch_reads.get(batch_rel)
+                if base is None:
+                    base = self.spark.read.parquet(
+                        os.path.join(self.io.root, batch_rel)
+                    )
+                    self._batch_reads[batch_rel] = base
+                return base
+
             def read(t: TableSpec) -> DataFrame:
                 if t.path is None:
                     return self.spark.read.parquet(
                         os.path.join(self.io.root, f"{stage}/tables/{t.name}")
                     )
-                # renames batched generic c0..cN storage back to real names
+                if t.storage_columns and "/t=" in t.path:
+                    # batched small table: partition-pruned filter +
+                    # rename on the shared batch-root read — the same
+                    # frame read_stored would produce
+                    base = batch_raw(t.path.rsplit("/t=", 1)[0])
+                    return base.where(F.col("t") == t.name).select(
+                        *[
+                            F.col(f"c{i}").alias(name)
+                            for i, name in enumerate(t.storage_columns)
+                        ]
+                    )
                 return vertical.read_stored(self.spark, self.io.root, t)
+
+            # fused multi-table scans (plans.sparql._fused_scan) need the
+            # RAW batch frame; expose it as a reader attribute so callers
+            # without a pipeline keep working (getattr default None)
+            read.batch_raw = batch_raw
 
         return read
 

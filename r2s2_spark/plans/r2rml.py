@@ -79,6 +79,75 @@ def _term_exprs(
     return lex, F.lit(None).cast("string"), dt
 
 
+def _flex_lexical(spec: ColumnSpec, col, vcol, lcol) -> "F.Column":
+    """:func:`_lexical` with per-ROW constants: ``vcol``/``lcol`` columns
+    replace the spec's literal ``virtual_value`` / ``lcp_prefix``. Used by
+    fused multi-table scans (plans.sparql) where ONE branch serves many
+    structurally-identical tables and the per-table constants arrive via a
+    broadcast-joined constants frame instead of per-branch literals. The
+    branching below must mirror :func:`_lexical` exactly — the fused and
+    per-table paths are interchangeable for any (spec, data)."""
+    if not spec.physical:
+        base = vcol
+    else:
+        base = col
+        if spec.encoding == "gyear":
+            base = F.when(
+                base < 0, F.concat(F.lit("-"), F.format_string("%04d", -base))
+            ).otherwise(F.format_string("%04d", base))
+        elif spec.sql_type.startswith("decimal"):
+            base = F.regexp_replace(
+                F.regexp_replace(base.cast("string"), r"(\.\d*?)0+$", "$1"),
+                r"\.$",
+                "",
+            )
+        else:
+            base = base.cast("string")
+    if spec.lcp_prefix:
+        base = F.when(base.isNotNull(), F.concat(lcol, base))
+    return base
+
+
+def _flex_term_exprs(
+    specs: list[ColumnSpec], kind: str, cols: Callable
+) -> tuple["F.Column", "F.Column", "F.Column"]:
+    """:func:`_term_exprs` with injected accessors: ``cols(spec) ->
+    (data_col, vcol, lcol)`` supplies the data column plus the per-row
+    constant columns a fused scan joins in (None where the spec needs
+    none). Must mirror :func:`_term_exprs` structurally."""
+    by_part = {s.part: s for s in specs}
+    if kind == "iri":
+        parts = {}
+        for key in PART_KEYS:
+            spec = by_part.get(key)
+            parts[key] = (
+                _flex_lexical(spec, *cols(spec))
+                if spec
+                else F.lit(None).cast("string")
+            )
+        return (
+            reassemble_iri(parts),
+            F.lit(None).cast("string"),
+            F.lit(None).cast("string"),
+        )
+    if kind == "bnode":
+        spec = by_part["bnode_id"]
+        col, vcol, _ = cols(spec)
+        base = col if spec.physical else vcol.cast("long")
+        return (
+            F.concat(F.lit("b"), base.cast("string")),
+            F.lit(None).cast("string"),
+            F.lit(None).cast("string"),
+        )
+    if "langvalue" in by_part:
+        lex = _flex_lexical(by_part["langvalue"], *cols(by_part["langvalue"]))
+        lang = _flex_lexical(by_part["lang"], *cols(by_part["lang"]))
+        return lex, lang, F.lit(None).cast("string")
+    lex = _flex_lexical(by_part["litvalue"], *cols(by_part["litvalue"]))
+    dt = _flex_lexical(by_part["datatype"], *cols(by_part["datatype"]))
+    return lex, F.lit(None).cast("string"), dt
+
+
 def _decode_encoded(df: DataFrame, specs: list[ColumnSpec], dicts: dict[str, DataFrame]) -> DataFrame:
     """Replace dictionary-encoded id columns with their string values
     (broadcast decode joins) so term expressions see strings."""
