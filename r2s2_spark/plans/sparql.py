@@ -407,6 +407,11 @@ META_PREFIXES = (META_LANG, META_DT, META_KIND)
 _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
+# A table whose >= _STACK_MIN predicate maps match one pattern scans ONCE
+# (array-of-structs + explode) instead of once per map; tests monkeypatch
+# this high to force the per-map path for result-parity comparison.
+_STACK_MIN = 2
+
 
 def _sorted_parts(specs):
     return sorted(specs, key=lambda c: c.part)
@@ -682,9 +687,104 @@ def _pattern_frame(
             return F.col(gc.name), True  # exploded in finish_piece
         return F.col(gc.name).cast("bigint"), False
 
+    def _stacked_piece(t, pms):
+        """ONE scan of a multi-predicate (merged) table serving ALL its
+        matched predicate maps: each map's term expressions pack into an
+        array-of-structs element and one explode unpacks — T predicate
+        maps cost one table scan and one analyzer pass instead of T
+        union branches. This is the merged-table twin of _fused_scan's
+        vocabulary-scale fix: a real KG merges overlapping-subject
+        predicate tables into wide rows (cf. the reference's merge
+        cascade), so a variable-predicate pattern over a 10^3-predicate
+        merged table would otherwise build 10^3 branches over the SAME
+        file."""
+        df = reader(t)
+        if dicts:
+            by_name = {cs.name: cs for cs in t.subject_columns}
+            for pm in pms:
+                by_name.update({cs.name: cs for cs in pm.columns})
+            df = _decode_encoded(df, list(by_name.values()), dicts)
+        s_lex, _, _ = _term_exprs(t.subject_columns, t.subject_kind)
+        structs = []
+        for pm in pms:
+            o_lex, o_lang, o_dt = _term_exprs(pm.columns, pm.obj_kind)
+            fields = [
+                F.lit(pm.predicate).alias("p"),
+                o_lex.alias("o"),
+                o_lang.alias("ol"),
+                o_dt.alias("od"),
+                F.lit(pm.obj_kind).alias("k"),
+            ]
+            if graph is not None:
+                gc = pm.graph_column
+                if gc is None:
+                    g_arr = F.array(F.lit(None).cast("bigint"))
+                elif not gc.physical:
+                    g_arr = F.array(
+                        F.lit(int(gc.virtual_value)).cast("bigint")
+                    )
+                elif gc.part == "graph_set":
+                    g_arr = F.col(gc.name).cast("array<bigint>")
+                else:
+                    g_arr = F.array(F.col(gc.name).cast("bigint"))
+                fields.append(g_arr.alias("g"))
+            st = F.struct(*fields)
+            if pm.merged:
+                # merged-map presence guard (_merged_presence_filter), as
+                # a NULL struct instead of a per-branch where: a
+                # non-matched row must not fabricate the map's virtual
+                # constants; NULL structs fall to the __o filter below
+                phys = [cs.name for cs in pm.columns if cs.physical]
+                gc = pm.graph_column
+                if gc is not None and gc.physical:
+                    phys.append(gc.name)
+                if phys:
+                    present = F.lit(False)
+                    for name in phys:
+                        present = present | F.col(name).isNotNull()
+                    st = F.when(present, st)
+            structs.append(st)
+        df = df.select(
+            s_lex.alias("__s"), F.explode(F.array(*structs)).alias("__x")
+        ).where(F.col("__s").isNotNull() & F.col("__x.o").isNotNull())
+        sel = [
+            F.col("__s"),
+            F.col("__x.p").alias("__p"),
+            F.col("__x.o").alias("__o"),
+            F.col("__x.ol").alias("__ol"),
+            F.col("__x.od").alias("__od"),
+        ]
+        if _is_var(o) and o in term_meta:
+            # per-map object kind travels as the struct's k field
+            is_lit = F.col("__x.k") == "literal"
+            lang_c = F.when(is_lit, F.coalesce(F.col("__x.ol"), F.lit("")))
+            dt_c = F.when(
+                is_lit,
+                F.when(
+                    F.col("__x.ol").isNotNull(), F.lit(_RDF_LANGSTRING)
+                ).otherwise(F.coalesce(F.col("__x.od"), F.lit(_XSD_STRING))),
+            )
+            sel.append(lang_c.alias(META_LANG + o[1:]))
+            sel.append(dt_c.alias(META_DT + o[1:]))
+            sel.append(F.col("__x.k").alias(META_KIND + o[1:]))
+        if _is_var(s) and s in term_meta and s != o:
+            sel.append(F.lit(None).cast("string").alias(META_LANG + s[1:]))
+            sel.append(F.lit(None).cast("string").alias(META_DT + s[1:]))
+            sel.append(F.lit(t.subject_kind).alias(META_KIND + s[1:]))
+        if graph is not None:
+            sel.append(F.col("__x.g").alias("__gid"))
+        out = df.select(*sel)
+        if graph is not None:
+            out = out.withColumn("__gid", F.explode("__gid")).withColumn(
+                "__gid", F.col("__gid").cast("bigint")
+            )
+        return out
+
     pieces = []
     singles: list = []
     fuse_groups: dict = {}
+    table_pms: dict[int, list] = {}
+    table_by_id: dict = {}
     raw_fn = getattr(reader, "batch_raw", None)
     for t in (() if compound else catalog.tables):
         for pm in t.predicates:
@@ -696,6 +796,15 @@ def _pattern_frame(
                     continue
             elif not p_is_var and pm.predicate != p_match:
                 continue
+            table_pms.setdefault(id(t), []).append(pm)
+            table_by_id[id(t)] = t
+    for tid, pms in table_pms.items():
+        t = table_by_id[tid]
+        if len(pms) >= _STACK_MIN:
+            # merged table with several matched maps: one stacked scan
+            pieces.append(_stacked_piece(t, pms))
+            continue
+        for pm in pms:
             sig = _fuse_sig(t, pm, graph is not None) if raw_fn else None
             if sig is None:
                 singles.append((t, pm))
