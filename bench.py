@@ -211,6 +211,14 @@ def run_many_tables_layout(spark) -> dict:
             "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p",
         ).collect()
         t_q = time.time() - t0
+        # Full triples reconstruction (pipe.triples: DESCRIBE/CONSTRUCT/
+        # the registered `triples` view) over the same wide catalog —
+        # round-5 made its branch count structure-bounded (stacked scans
+        # per merged table + fused scans across batched single-map
+        # tables), so compile time tracks structures, not vocabulary.
+        t0 = time.time()
+        n_triples = pipe.triples().count()
+        t_r = time.time() - t0
         return {
             "stage_o_64tables_sec": round(t_o, 3),
             "stage_m_64tables_sec": round(t_m, 3),
@@ -218,6 +226,8 @@ def run_many_tables_layout(spark) -> dict:
             "stage_m_64tables_jobs": jobs_m,
             "sparql_varpred_64tables_sec": round(t_q, 3),
             "sparql_varpred_64tables_preds": len(per_pred),
+            "triples_reconstruct_64tables_sec": round(t_r, 3),
+            "triples_reconstruct_64tables_rows": n_triples,
             # per-pass attribution (pipeline.TIMINGS): which pass moved
             # when a stage total drifts between rounds
             "stage_passes_64tables_sec": {
@@ -316,6 +326,7 @@ def _delta_vs_prev(out: dict) -> dict:
     for key in (
         "value", "kg_edv_sec", "kg_total_min", "kg_triples_per_sec",
         "stage_o_64tables_sec", "stage_m_64tables_sec",
+        "sparql_varpred_64tables_sec", "triples_reconstruct_64tables_sec",
         "parse_ntriples_stmts_per_sec",
     ):
         if key in out and key in prev:
@@ -464,6 +475,8 @@ def main() -> None:
         "stage_m_64tables_jobs": r["stage_m_64tables_jobs"],
         "sparql_varpred_64tables_sec": r["sparql_varpred_64tables_sec"],
         "sparql_varpred_64tables_preds": r["sparql_varpred_64tables_preds"],
+        "triples_reconstruct_64tables_sec": r["triples_reconstruct_64tables_sec"],
+        "triples_reconstruct_64tables_rows": r["triples_reconstruct_64tables_rows"],
         "stage_passes_64tables_sec": r["stage_passes_64tables_sec"],
         "dedup_clusters_sf1_sec": r["dedup_clusters_sf1_sec"],
         "dedup_clusters_sf1_docs": r["dedup_clusters_sf1_docs"],

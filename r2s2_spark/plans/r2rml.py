@@ -26,6 +26,24 @@ from ..plans.catalog import Catalog, ColumnSpec, PredicateMapSpec, TableSpec
 
 TRIPLE_COLUMNS = ["s_kind", "s", "p", "o_kind", "o_lex", "o_lang", "o_datatype", "g_id"]
 
+# A table whose >= _STACK_MIN predicate maps are being reconstructed scans
+# ONCE (array-of-structs + explode) instead of once per map; tests
+# monkeypatch this high to force the per-map path for parity comparison.
+_STACK_MIN = 2
+
+
+def balanced_union(frames: list) -> DataFrame:
+    """unionByName as a balanced tree: a left-deep chain re-analyzes the
+    growing plan on every union — O(T^2) analyzer work at vocabulary-scale
+    predicate-map counts (10^4+ branches for a full reconstruction);
+    pairing halves keeps it O(T log T)."""
+    while len(frames) > 1:
+        frames = [
+            frames[i].unionByName(frames[i + 1]) if i + 1 < len(frames) else frames[i]
+            for i in range(0, len(frames), 2)
+        ]
+    return frames[0]
+
 
 def _lexical(spec: ColumnSpec, col) -> "F.Column":
     """Physical/virtual column -> its lexical (string) form, undoing
@@ -233,18 +251,149 @@ def table_triples(
     return out.where(F.col("o_lex").isNotNull() & F.col("s").isNotNull())
 
 
+def _stacked_table_triples(
+    df: DataFrame,
+    table: TableSpec,
+    pms: list[PredicateMapSpec],
+    dicts: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """ONE scan of a multi-predicate (merged) table reconstructing ALL its
+    predicate maps: each map's term expressions pack into an
+    array-of-structs element and one explode unpacks — T maps cost one
+    table scan and one analyzer pass instead of T union branches over the
+    SAME file (the merged-table twin of plans.sparql._stacked_piece)."""
+    if dicts:
+        by_name = {cs.name: cs for cs in table.subject_columns}
+        for pm in pms:
+            by_name.update({cs.name: cs for cs in pm.columns})
+        df = _decode_encoded(df, list(by_name.values()), dicts)
+    s_lex, _, _ = _term_exprs(table.subject_columns, table.subject_kind)
+    structs = []
+    for pm in pms:
+        o_lex, o_lang, o_dt = _term_exprs(pm.columns, pm.obj_kind)
+        gc = pm.graph_column
+        if gc is None:
+            g_arr = F.array(F.lit(None).cast("bigint"))
+        elif not gc.physical:
+            g_arr = F.array(F.lit(int(gc.virtual_value)).cast("bigint"))
+        elif gc.part == "graph_set":
+            g_arr = F.col(gc.name).cast("array<bigint>")
+        else:
+            g_arr = F.array(F.col(gc.name).cast("bigint"))
+        st = F.struct(
+            F.lit(pm.predicate).alias("p"),
+            F.lit(pm.obj_kind).alias("k"),
+            o_lex.alias("o"),
+            o_lang.alias("ol"),
+            o_dt.alias("od"),
+            g_arr.alias("g"),
+        )
+        if pm.merged:
+            # merged-map presence guard (_merged_presence_filter) as a
+            # NULL struct instead of a per-branch where: a non-matched row
+            # must not fabricate the map's virtual constants; NULL structs
+            # fall to the o_lex filter below
+            phys = [cs.name for cs in pm.columns if cs.physical]
+            if gc is not None and gc.physical:
+                phys.append(gc.name)
+            if phys:
+                present = F.lit(False)
+                for name in phys:
+                    present = present | F.col(name).isNotNull()
+                st = F.when(present, st)
+        structs.append(st)
+    out = (
+        df.select(
+            F.lit(table.subject_kind).alias("s_kind"),
+            s_lex.alias("s"),
+            F.explode(F.array(*structs)).alias("__x"),
+        )
+        .where(F.col("s").isNotNull() & F.col("__x.o").isNotNull())
+        .select(
+            "s_kind",
+            "s",
+            F.col("__x.p").alias("p"),
+            F.col("__x.k").alias("o_kind"),
+            F.col("__x.o").alias("o_lex"),
+            F.col("__x.ol").alias("o_lang"),
+            F.col("__x.od").alias("o_datatype"),
+            F.col("__x.g").alias("g_id"),
+        )
+    )
+    return out.withColumn("g_id", F.explode("g_id")).withColumn(
+        "g_id", F.col("g_id").cast("bigint")
+    )
+
+
 def reconstruct_triples(
     catalog: Catalog,
     reader: Callable[[TableSpec], DataFrame],
     dicts: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Union of all tables' triples. ``reader`` supplies each table's
-    DataFrame (with reference-named columns)."""
+    DataFrame (with reference-named columns).
+
+    Branch count tracks STRUCTURES, not vocabulary (the same two
+    mechanisms as the variable-predicate SPARQL scan): a merged
+    multi-predicate table reconstructs in ONE stacked scan
+    (:func:`_stacked_table_triples`), and structurally-identical
+    single-map batched tables FUSE into one scan with a broadcast
+    constants join (plans.sparql._fused_scan, imported lazily — sparql
+    imports this module). A 10^4-table vocabulary reconstructs in a
+    handful of scans instead of 10^4 analyzer passes."""
     pieces = []
+    singles: list = []
+    fuse_groups: dict = {}
+    raw_fn = getattr(reader, "batch_raw", None)
+    if raw_fn is not None:
+        from .sparql import _fuse_sig, _fused_scan
     for t in catalog.tables:
-        df = reader(t)
+        if len(t.predicates) >= _STACK_MIN:
+            pieces.append(
+                _stacked_table_triples(reader(t), t, list(t.predicates), dicts)
+            )
+            continue
         for pm in t.predicates:
-            pieces.append(table_triples(df, t, pm, dicts))
+            sig = _fuse_sig(t, pm, True) if raw_fn else None
+            if sig is None:
+                singles.append((t, pm))
+            else:
+                fuse_groups.setdefault(sig, []).append((t, pm))
+    for sig in [k for k, v in fuse_groups.items() if len(v) == 1]:
+        # a lone member gains nothing from the constants join
+        singles.append(fuse_groups.pop(sig)[0])
+    for t, pm in singles:
+        pieces.append(table_triples(reader(t), t, pm, dicts))
+    for sig, members in fuse_groups.items():
+        df, (s_lex, o_lex, o_lang, o_dt), pm2, t0, pm0 = _fused_scan(
+            raw_fn(sig[0]), members, dicts, True
+        )
+        gc = pm2.graph_column
+        explode_graphs = False
+        if gc is None:
+            g_col = F.lit(None).cast("bigint")
+        elif not gc.physical:
+            g_col = F.col("__gv").cast("bigint")
+        elif gc.part == "graph_set":
+            g_col = F.col(gc.name)
+            explode_graphs = True
+        else:
+            g_col = F.col(gc.name).cast("bigint")
+        out = df.select(
+            F.lit(t0.subject_kind).alias("s_kind"),
+            s_lex.alias("s"),
+            F.col("__p").alias("p"),
+            F.lit(pm0.obj_kind).alias("o_kind"),
+            o_lex.alias("o_lex"),
+            o_lang.alias("o_lang"),
+            o_dt.alias("o_datatype"),
+            g_col.alias("g_id"),
+        ).where(F.col("o_lex").isNotNull() & F.col("s").isNotNull())
+        if explode_graphs:
+            out = out.withColumn("g_id", F.explode("g_id")).withColumn(
+                "g_id", F.col("g_id").cast("bigint")
+            )
+        pieces.append(out)
     if not pieces:
         # an empty KG (e.g. every source statement was a parse error) is a
         # valid KG with zero triples, not an error condition
@@ -255,10 +404,7 @@ def reconstruct_triples(
             "s_kind string, s string, p string, o_kind string, "
             "o_lex string, o_lang string, o_datatype string, g_id bigint",
         )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+    return balanced_union(pieces)
 
 
 def distinct_types(
@@ -281,10 +427,7 @@ def distinct_types(
                 pieces.append(df.select(o_lex.alias("type")).where(o_lex.isNotNull()))
     if not pieces:
         raise ValueError("no rdf:type tables in catalog")
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    return balanced_union(pieces).distinct()
 
 
 # -- mapping document --------------------------------------------------------

@@ -55,6 +55,8 @@ from .r2rml import (
     _flex_term_exprs,
     _merged_presence_filter,
     _term_exprs,
+    balanced_union as _balanced_union,
+    reconstruct_triples,
 )
 
 
@@ -210,19 +212,6 @@ def _transitive_plus(
         spark.conf.set(prop_key, prev)
 
 
-def _balanced_union(frames: list) -> DataFrame:
-    """unionByName as a balanced tree: a left-deep chain re-analyzes the
-    growing plan on every union — O(T^2) analyzer work at vocabulary-scale
-    predicate-map counts (10^4+ branches for a variable predicate);
-    pairing halves keeps it O(T log T)."""
-    while len(frames) > 1:
-        frames = [
-            frames[i].unionByName(frames[i + 1]) if i + 1 < len(frames) else frames[i]
-            for i in range(0, len(frames), 2)
-        ]
-    return frames[0]
-
-
 def _graph_restrict(df: DataFrame, dicts, graph, named) -> DataFrame:
     """FROM <iri> / GRAPH <iri>: semi-join ``df.__gid`` down to the
     constant graph — or to the MERGED dataset when ``graph`` is a
@@ -257,39 +246,14 @@ def _graph_terms(
     ``g_col="__giri"`` decodes the per-graph key to the graph IRI after
     the distinct (compound-path closures group on the decoded IRI), with
     ``named`` (FROM NAMED) applied at the decode — the ``__gid`` form
-    leaves the named narrowing to the caller's decode join."""
-    pieces = []
-    for t in catalog.tables:
-        for pm in t.predicates:
-            df = reader(t)
-            if dicts:
-                df = _decode_encoded(df, [*t.subject_columns, *pm.columns], dicts)
-            df = _merged_presence_filter(df, pm)
-            s_lex, _, _ = _term_exprs(t.subject_columns, t.subject_kind)
-            o_lex, _, _ = _term_exprs(pm.columns, pm.obj_kind)
-            sel = [s_lex.alias("__s"), o_lex.alias("__o")]
-            explode_graphs = False
-            if graph is not None:
-                gc = pm.graph_column
-                if gc is None:
-                    g_expr = F.lit(None).cast("bigint")
-                elif not gc.physical:
-                    g_expr = F.lit(int(gc.virtual_value)).cast("bigint")
-                elif gc.part == "graph_set":
-                    g_expr = F.col(gc.name)  # exploded below
-                    explode_graphs = True
-                else:
-                    g_expr = F.col(gc.name).cast("bigint")
-                sel.append(g_expr.alias("__gid"))
-            out = df.select(*sel).where(
-                F.col("__s").isNotNull() & F.col("__o").isNotNull()
-            )
-            if explode_graphs:
-                out = out.withColumn("__gid", F.explode("__gid")).withColumn(
-                    "__gid", F.col("__gid").cast("bigint")
-                )
-            pieces.append(out)
-    if not pieces:
+    leaves the named narrowing to the caller's decode join.
+
+    Derived from :func:`reconstruct_triples` (endpoints + graph id
+    projected out, the rest column-pruned by Catalyst), so the scan
+    inherits its structure-bounded branch count — one stacked scan per
+    merged table, fused scans across batched single-map tables — instead
+    of one branch per predicate map."""
+    if not catalog.tables:
         from pyspark.sql import SparkSession
 
         schema = "__s string, __o string" + (
@@ -297,7 +261,11 @@ def _graph_terms(
             ", __giri string" if g_is_var else ""
         )
         return SparkSession.getActiveSession().createDataFrame([], schema)
-    edges = _balanced_union(pieces)
+    tri = reconstruct_triples(catalog, reader, dicts)
+    sel = [F.col("s").alias("__s"), F.col("o_lex").alias("__o")]
+    if graph is not None:
+        sel.append(F.col("g_id").alias("__gid"))
+    edges = tri.select(*sel)
     if graph is not None and not g_is_var:
         edges = _graph_restrict(edges, dicts, graph, named)
     group = ("__gid",) if g_is_var else ()

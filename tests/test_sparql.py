@@ -742,3 +742,48 @@ def test_stacked_scan_reads_merged_table_once(spark, tmp_path):
     # one scan per table (plus bounded dictionary-decode relations),
     # strictly fewer than one branch per predicate map
     assert n_scans < n_pairs + 2
+
+
+def test_stacked_reconstruct_triples_matches_per_map(spark, tmp_path, monkeypatch):
+    """reconstruct_triples (pipe.triples / DESCRIBE / CONSTRUCT / the
+    registered `triples` view) over a merged multi-predicate table must
+    be identical whether it runs as ONE stacked scan (production), as
+    per-map branches over the fused batch scan, or as plain per-(table,
+    map) branches."""
+    from r2s2_spark.plans import r2rml as rr
+    from r2s2_spark.plans import sparql as sq
+
+    pipe = _merged_wide_kg(spark, tmp_path, "stackr")
+
+    def rows():
+        return sorted(
+            tuple(str(v) for v in r) for r in pipe.triples().collect()
+        )
+
+    stacked = rows()
+    assert len(stacked) == 44  # 8 subjects x 5 predicates + 4 partial
+    monkeypatch.setattr(rr, "_STACK_MIN", 10**9)
+    fused = rows()
+    monkeypatch.setattr(sq, "_fuse_sig", lambda *a, **k: None)
+    per_map = rows()
+    assert stacked == fused == per_map
+
+
+def test_graph_terms_via_reconstruct(spark, tmp_path):
+    """Zero-length both-variable paths enumerate the ACTIVE graph's node
+    set through the structure-bounded reconstruction — same semantics as
+    before the rewrite: every subject/object term, including terms only
+    incident to OTHER predicates."""
+    from r2s2_spark.plans.sparql_text import sparql_query
+
+    pipe = _merged_wide_kg(spark, tmp_path, "gterms")
+    out = sparql_query(
+        pipe, f"SELECT DISTINCT ?x WHERE {{ ?x <{EX}part>* ?x }}"
+    )
+    terms = {r.x for r in out.collect()}
+    # node set = every term of the graph: 8 subjects + 8 ref-objects +
+    # literals + graph-membership objects + the 4 part literals
+    assert f"{EX}s7" in terms          # subject with NO ex:part triple
+    assert f"{EX}o3" in terms          # object of another predicate
+    assert "hello 5" in terms          # lang literal as a term
+    assert "p2" in terms               # the part literal itself
