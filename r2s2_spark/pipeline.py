@@ -811,7 +811,20 @@ class KgPipeline:
         return self.io.read_catalog(stage)
 
     def last_catalog_stage(self) -> str:
-        for stage in ("M", "O", "V"):
+        # SPARQL Update stages (U1, U2, ...) supersede the load stages;
+        # the latest committed one carries the current catalog
+        import re as _re
+
+        us = sorted(
+            (
+                int(m.group(1))
+                for d in os.listdir(self.io.root)
+                for m in (_re.fullmatch(r"U(\d+)", d),)
+                if m and self.io.is_committed(d)
+            ),
+            reverse=True,
+        )
+        for stage in [f"U{i}" for i in us] + ["M", "O", "V"]:
             if self.io.is_committed(stage):
                 return stage
         raise RuntimeError("no committed catalog stage; run the pipeline first")
@@ -916,4 +929,14 @@ class KgPipeline:
         self.stage_v()
         self.stage_o()
         self.stage_m()
+        return self
+
+    def update(self, text: str) -> "KgPipeline":
+        """Run a SPARQL 1.1 Update request (INSERT/DELETE DATA, DELETE/
+        INSERT ... WHERE, CLEAR/DROP; ';'-separated sequences). Each
+        operation commits one ``U{k}`` stage whose catalog references
+        unchanged tables in place — see plans/sparql_update.py."""
+        from .plans.sparql_update import sparql_update
+
+        sparql_update(self, text)
         return self

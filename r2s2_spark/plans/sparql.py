@@ -1472,6 +1472,7 @@ def bgp_on_pipeline(
     having=None,
     term_meta: frozenset = frozenset(),
     named_graphs=None,
+    keep_meta: bool = False,
 ) -> DataFrame:
     stage = stage or pipe.last_catalog_stage()
     dicts = pipe.dicts(stage)
@@ -1510,6 +1511,7 @@ def bgp_on_pipeline(
         having,
         term_meta,
         named_graphs,
+        keep_meta,
     )
 
 

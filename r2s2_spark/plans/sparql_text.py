@@ -2538,11 +2538,16 @@ def _compile_select(pipe, q: dict, stage: str | None):
     return out
 
 
-def _where_solutions(pipe, q: dict, stage: str | None):
+def _where_solutions(pipe, q: dict, stage: str | None, keep_meta: bool = False):
     """Compile a parsed WHERE group (ASK/CONSTRUCT/DESCRIBE — the forms
     without projection) to its solution frame, sharing SELECT's UNION
     handling: a pure-UNION group concatenates branch solutions; a UNION
-    mixed with required patterns joins on shared variables."""
+    mixed with required patterns joins on shared variables.
+
+    ``keep_meta``: retain the hidden ``__kind_/__lang_/__dt_`` term
+    metadata columns of ``q["meta_vars"]`` in the output (SPARQL Update
+    template instantiation needs exact term identity per binding; the
+    pure-union fast path drops them, so it is skipped)."""
     from .sparql import bgp_on_pipeline, bgp_union_on_pipeline
 
     w = q["where"]
@@ -2551,7 +2556,7 @@ def _where_solutions(pipe, q: dict, stage: str | None):
         graph = w["graph"]
     unions = w["unions"]
     pure_union = bool(unions) and not w["patterns"]
-    if pure_union and len(unions) == 1 and not (
+    if pure_union and len(unions) == 1 and not keep_meta and not (
         w["filters"] or w["optional"] or w["minus"] or w["binds"]
         or w["exists"] or w["not_exists"] or w["values"] or w["subselects"]
         or w["services"]
@@ -2601,6 +2606,7 @@ def _where_solutions(pipe, q: dict, stage: str | None):
         values=w["values"] or None, frames=frames or None,
         term_meta=meta,
         named_graphs=named,
+        keep_meta=keep_meta,
     )
 
 

@@ -1,0 +1,729 @@
+"""SPARQL 1.1 Update over a loaded :class:`KgPipeline`.
+
+Reference counterpart: none — the reference engine is load-only (its query
+surface is Ontop, read-only; mutation happens by re-running the loader,
+LoadIntoTable.java append paths). This module is the engine-native
+extension a switching user needs for incremental KG maintenance: each
+update operation materializes a NEW checkpointed stage ``U{k}`` whose
+catalog references every unchanged table in place (TableSpec.path is
+snapshot-relative by design) and rewrites only what the operation touched.
+
+Supported operations (sequences separated by ``;``):
+
+- ``INSERT DATA { quads }`` / ``DELETE DATA { quads }`` (ground quads,
+  ``GRAPH <iri> { ... }`` blocks; bnodes in INSERT DATA mint fresh,
+  retry-stable ids ``xxhash64(stage, label)``)
+- ``DELETE WHERE { quads }`` (§3.1.3.1 shorthand)
+- ``[WITH <g>] DELETE {t} INSERT {t} WHERE { group }`` (either clause
+  optional, full WHERE grammar — the templates instantiate against the
+  PRE-update state, deletes apply before inserts)
+- ``CLEAR [SILENT] (GRAPH <iri> | DEFAULT | NAMED | ALL)`` and ``DROP``
+  (graphs exist implicitly here, so DROP ≡ CLEAR)
+
+Named unsupported: ``LOAD``, ``USING``, ``CREATE``, ``ADD/MOVE/COPY``,
+``GRAPH ?var`` in data blocks or templates, bnodes in DELETE templates
+(spec-forbidden) and in WHERE-form INSERT templates (fresh-per-solution
+bnodes would break the engine's retry-determinism invariant for stored
+data), and template variables whose term kind is not statically tracked
+(bound only by BIND/VALUES/paths — pattern-bound variables always are).
+
+Scale notes: deletions rebuild ONLY the affected tables (those whose
+predicate appears in the delete set) by routing their reconstructed
+triples minus the deletes back through the stage-V router — one shuffle
+over affected-table data, never a full-KG rewrite; insertions become
+fresh V-layout delta tables (the BGP compiler unions all tables per
+predicate, so a predicate split across an optimized table and a delta
+table queries correctly), anti-joined against the post-delete state so
+RDF set semantics hold. Dictionary domains only grow: new graph/predicate
+IRIs extend the dictionaries with offset ids, never re-assign.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.uri import PART_KEYS
+from ..naming import RDF, XSD
+from ..operators import vertical
+from .catalog import Catalog
+from .r2rml import reconstruct_triples
+from .sparql import Literal, META_KIND, META_LANG, META_DT
+from .sparql_text import (
+    _Parser,
+    SparqlSyntaxError,
+    SparqlUnsupported,
+    _where_solutions,
+)
+
+_XSD_STRING = XSD + "string"
+_SENT = "\x00"  # sentinel for NULL join keys (never a valid lexical form)
+
+#: lexical quad schema every delta flows through (graph as IRI; the
+#: router re-encodes through the graphs dictionary)
+QUAD_SCHEMA = (
+    "s_kind string, s string, p string, o_kind string, o_lex string, "
+    "o_lang string, o_datatype string, g_iri string"
+)
+
+
+# -- parsing -----------------------------------------------------------------
+
+
+class _UpdateParser(_Parser):
+    """SPARQL 1.1 Update grammar over the shared query tokenizer. Terms
+    in data blocks and templates are TAGGED tuples — ``("var", "?x")``,
+    ``("iri", abs)``, ``("bnode", label)``, ``("literal", Literal)`` —
+    because the query parser's untyped terms cannot distinguish a plain
+    string literal from an IRI, and updates need exact term identity."""
+
+    def parse_update(self) -> list[dict]:
+        self._prologue()
+        ops: list[dict] = []
+        while self.peek()[0] != "eof":
+            ops.append(self._operation())
+            if self.peek()[1] == ";":
+                self.next()
+                self._prologue()  # each operation may carry its own prologue
+            elif self.peek()[0] != "eof":
+                raise SparqlSyntaxError(
+                    f"expected ';' or end of update, got {self.peek()[1]!r}"
+                )
+        if not ops:
+            raise SparqlSyntaxError("empty update request")
+        return ops
+
+    def _operation(self) -> dict:
+        if self.at_word("LOAD", "CREATE", "ADD", "MOVE", "COPY"):
+            raise SparqlUnsupported(f"update operation {self.peek()[1].upper()}")
+        if self.at_word("CLEAR", "DROP"):
+            self.next()
+            if self.at_word("SILENT"):
+                self.next()
+            if self.at_word("GRAPH"):
+                self.next()
+                kind, val = self.next()
+                if kind == "var":
+                    raise SparqlUnsupported("CLEAR GRAPH ?var")
+                tgt = self._iri(val) if kind == "iri" else self._pname(val)
+            elif self.at_word("DEFAULT", "NAMED", "ALL"):
+                tgt = self.next()[1].upper()
+            else:
+                raise SparqlSyntaxError("CLEAR needs GRAPH <iri> | DEFAULT | NAMED | ALL")
+            return {"op": "clear", "target": tgt}
+        with_g = None
+        if self.at_word("WITH"):
+            self.next()
+            kind, val = self.next()
+            if kind not in ("iri", "pname"):
+                raise SparqlSyntaxError("WITH needs an IRI")
+            with_g = self._iri(val) if kind == "iri" else self._pname(val)
+        if self.at_word("INSERT"):
+            self.next()
+            if with_g is None and self.at_word("DATA"):
+                self.next()
+                return {"op": "insert_data",
+                        "quads": self._quad_block(ground=True, bnodes="mint")}
+            ins = self._quad_block(ground=False, bnodes="reject_insert")
+            return self._modify(with_g, delete=None, insert=ins)
+        if self.at_word("DELETE"):
+            self.next()
+            if with_g is None and self.at_word("DATA"):
+                self.next()
+                return {"op": "delete_data",
+                        "quads": self._quad_block(ground=True, bnodes="forbid")}
+            if self.at_word("WHERE"):
+                # DELETE WHERE shorthand: the quad pattern is template AND
+                # WHERE group at once (§3.1.3.1)
+                self.next()
+                tmpl = self._quad_block(ground=False, bnodes="forbid")
+                return {"op": "modify", "with": with_g, "delete": tmpl,
+                        "insert": None, "where": self._where_from_quads(tmpl)}
+            dele = self._quad_block(ground=False, bnodes="forbid")
+            ins = None
+            if self.at_word("INSERT"):
+                self.next()
+                ins = self._quad_block(ground=False, bnodes="reject_insert")
+            return self._modify(with_g, delete=dele, insert=ins)
+        raise SparqlSyntaxError(f"expected an update operation, got {self.peek()[1]!r}")
+
+    def _modify(self, with_g, delete, insert) -> dict:
+        if self.at_word("USING"):
+            raise SparqlUnsupported("USING clause in update")
+        self.eat_word("WHERE")
+        return {"op": "modify", "with": with_g, "delete": delete,
+                "insert": insert, "where": self.group()}
+
+    def _where_from_quads(self, tmpl) -> dict:
+        """DELETE WHERE: replay the tagged quads as a pattern group."""
+        g = {k: [] for k in ("patterns", "optional", "minus", "exists",
+                             "not_exists", "filters", "binds", "unions",
+                             "values", "subselects", "services")}
+        g["graph"] = None
+        for s, p, o, gt in tmpl:
+            g["patterns"].append(
+                (_untag(s), _untag(p), _untag(o), gt) if gt is not None
+                else (_untag(s), _untag(p), _untag(o))
+            )
+        return g
+
+    # -- tagged quad blocks -------------------------------------------------
+
+    def _quad_block(self, ground: bool, bnodes: str) -> list[tuple]:
+        """``{ triples (GRAPH <iri> { triples })* }`` -> tagged quads
+        ``(s, p, o, g_iri_or_None)``."""
+        self.eat_op("{")
+        quads: list[tuple] = []
+        while self.peek()[1] != "}":
+            if self.peek()[1] == ".":
+                self.next()
+                continue
+            if self.at_word("GRAPH"):
+                self.next()
+                kind, val = self.next()
+                if kind == "var":
+                    raise SparqlUnsupported("GRAPH ?var in update data/templates")
+                if kind not in ("iri", "pname"):
+                    raise SparqlSyntaxError("GRAPH needs an IRI here")
+                giri = self._iri(val) if kind == "iri" else self._pname(val)
+                self.eat_op("{")
+                while self.peek()[1] != "}":
+                    if self.peek()[1] == ".":
+                        self.next()
+                        continue
+                    self._u_triples(quads, giri, ground, bnodes)
+                self.next()
+            else:
+                self._u_triples(quads, None, ground, bnodes)
+        self.next()
+        return quads
+
+    def _u_triples(self, out: list, giri, ground: bool, bnodes: str) -> None:
+        s = self._u_term("s", ground, bnodes)
+        if s[0] == "literal":
+            raise SparqlSyntaxError("literal subject in update quads")
+        while True:
+            p = self._u_term("p", ground, bnodes)
+            if p[0] not in ("iri", "var"):
+                raise SparqlSyntaxError("update predicate must be an IRI or variable")
+            o = self._u_term("o", ground, bnodes)
+            out.append((s, p, o, giri))
+            while self.peek()[1] == ",":
+                self.next()
+                out.append((s, p, self._u_term("o", ground, bnodes), giri))
+            if self.peek()[1] != ";":
+                break
+            while self.peek()[1] == ";":
+                self.next()
+            if self.peek()[1] in (".", "}"):
+                break
+        if self.peek()[1] == ".":
+            self.next()
+
+    def _u_term(self, position: str, ground: bool, bnodes: str) -> tuple:
+        kind, val = self.peek()
+        if kind == "var":
+            if ground:
+                raise SparqlSyntaxError(f"variable {val} in ground quad data")
+            self.next()
+            return ("var", "?" + val[1:])
+        if kind == "iri":
+            self.next()
+            return ("iri", self._iri(val))
+        if kind == "pname":
+            self.next()
+            return ("iri", self._pname(val))
+        if kind == "word" and val == "a":
+            self.next()
+            return ("iri", RDF + "type")
+        if kind == "bnode" or val == "[":
+            if bnodes == "forbid":
+                raise SparqlSyntaxError("blank node in DELETE quads (spec-forbidden)")
+            if bnodes == "reject_insert":
+                raise SparqlUnsupported(
+                    "blank node in a WHERE-form INSERT template (fresh "
+                    "per-solution bnodes would break stored-data "
+                    "retry-determinism; use INSERT DATA)"
+                )
+            if val == "[":
+                self.next()
+                self.eat_op("]")
+                self.anon += 1
+                return ("bnode", f"__anon{self.anon}")
+            self.next()
+            return ("bnode", val[2:])
+        if kind == "string":
+            self.next()
+            lex = _unquote_local(val)
+            nk, nv = self.peek()
+            if nv == "@":
+                self.next()
+                tag = self.next()[1]
+                while self.peek()[1] == "-":
+                    self.next()
+                    tag += "-" + self.next()[1]
+                return ("literal", Literal(lex, lang=tag))
+            if nv == "^^":
+                self.next()
+                k2, v2 = self.next()
+                dt = self._iri(v2) if k2 == "iri" else self._pname(v2)
+                return ("literal", Literal(lex, datatype=dt))
+            return ("literal", Literal(lex, datatype=_XSD_STRING))
+        if kind == "number":
+            self.next()
+            if re.fullmatch(r"[+-]?\d+", val):
+                dt = XSD + "integer"
+            elif re.search(r"[eE]", val):
+                dt = XSD + "double"
+            else:
+                dt = XSD + "decimal"
+            return ("literal", Literal(val, datatype=dt))
+        raise SparqlSyntaxError(f"unexpected term {val!r} in update {position}")
+
+
+def _untag(t: tuple):
+    """Tagged term -> the query compiler's untyped representation."""
+    kind, val = t
+    if kind == "var":
+        return val
+    if kind == "iri":
+        return val
+    if kind == "bnode":
+        return "?__bn_" + val  # pattern position: bnode == scoped variable
+    return val  # Literal
+
+
+def _unquote_local(raw: str) -> str:
+    from .sparql_text import _unquote
+
+    return _unquote(raw)
+
+
+def parse_update(text: str) -> list[dict]:
+    return _UpdateParser(text).parse_update()
+
+
+# -- quad frames -------------------------------------------------------------
+
+
+def _mint_bnode_ids(spark: SparkSession, labels: list[str], stage: str) -> dict:
+    """INSERT DATA bnode labels -> fresh ids, deterministic per (stage,
+    label) so a retried/resumed operation mints identical ids."""
+    if not labels:
+        return {}
+    df = spark.createDataFrame([(l,) for l in sorted(labels)], "l string")
+    rows = df.select("l", F.xxhash64(F.lit(stage), F.col("l")).alias("id")).collect()
+    return {r.l: r.id for r in rows}
+
+
+def _data_quads(pipe, quads: list[tuple], stage: str) -> DataFrame:
+    """Ground tagged quads -> lexical quad frame (QUAD_SCHEMA)."""
+    labels = sorted({v for (s, p, o, g) in quads for (k, v) in (s, o) if k == "bnode"})
+    ids = _mint_bnode_ids(pipe.spark, labels, stage)
+
+    def lex(t):
+        kind, val = t
+        if kind == "iri":
+            return "iri", val, None, None
+        if kind == "bnode":
+            return "bnode", f"b{ids[val]}", None, None
+        lit = val
+        return "literal", lit.lex, lit.lang, (lit.datatype if lit.lang is None else None)
+
+    rows = []
+    for s, p, o, g in quads:
+        sk, sl, _, _ = lex(s)
+        ok, ol, olang, odt = lex(o)
+        rows.append((sk, sl, p[1], ok, ol, olang, odt, g or pipe.default_graph))
+    return pipe.spark.createDataFrame(rows, QUAD_SCHEMA).distinct()
+
+
+def _template_quads(pipe, templates: list[tuple], sol: DataFrame, with_g) -> DataFrame:
+    """Instantiate tagged quad templates against a solution frame ->
+    lexical quad frame. Variable term kinds come from the hidden
+    ``__kind_/__lang_/__dt_`` metadata columns the WHERE compile carried
+    (every template variable is registered in ``meta_vars``); rows with
+    an unbound template variable are skipped (§3.1.3), as are rows that
+    would form an RDF-invalid triple (literal subject, non-IRI
+    predicate)."""
+    cols = set(sol.columns)
+
+    def term_cols(t, pos):
+        kind, val = t
+        if kind == "iri":
+            return (F.lit("iri"), F.lit(val), F.lit(None).cast("string"),
+                    F.lit(None).cast("string"))
+        if kind == "literal":
+            lit = val
+            dt = lit.datatype if lit.lang is None else None
+            return (F.lit("literal"), F.lit(lit.lex),
+                    F.lit(lit.lang).cast("string"), F.lit(dt).cast("string"))
+        n = val[1:]
+        if n not in cols:
+            # unbound everywhere: NULL per solution, rows filtered below
+            null = F.lit(None).cast("string")
+            return null, null, null, null
+        if META_KIND + n in cols:
+            kc = F.col(META_KIND + n)
+            lang_raw = F.col(META_LANG + n)
+            lang = F.when(
+                (kc == "literal") & lang_raw.isNotNull() & (lang_raw != ""),
+                lang_raw,
+            )
+            dt = F.when(
+                (kc == "literal") & ((lang_raw == "") | lang_raw.isNull()),
+                F.col(META_DT + n),
+            )
+            return kc, F.col(n), lang, dt
+        if pos == "p":
+            # predicate-position bindings are IRIs by construction
+            null = F.lit(None).cast("string")
+            return F.lit("iri"), F.col(n), null, null
+        raise SparqlUnsupported(
+            f"update template variable {val} has no statically-tracked "
+            "term kind (bound only by BIND/VALUES/paths?)"
+        )
+
+    pieces = []
+    for s, p, o, g in templates:
+        sk, sl, _, _ = term_cols(s, "s")
+        pk, pl, _, _ = term_cols(p, "p")
+        ok, ol, olang, odt = term_cols(o, "o")
+        row = sol.select(
+            sk.alias("s_kind"),
+            sl.alias("s"),
+            pl.alias("p"),
+            ok.alias("o_kind"),
+            ol.alias("o_lex"),
+            olang.alias("o_lang"),
+            odt.alias("o_datatype"),
+            F.lit(g or with_g or pipe.default_graph).alias("g_iri"),
+            pk.alias("__pk"),
+        ).where(
+            F.col("s").isNotNull()
+            & F.col("p").isNotNull()
+            & F.col("o_lex").isNotNull()
+            & (F.col("s_kind") != "literal")
+            & (F.col("__pk") == "iri")
+        ).drop("__pk")
+        pieces.append(row)
+    out = pieces[0]
+    for p_ in pieces[1:]:
+        out = out.unionByName(p_)
+    return out.distinct()
+
+
+def _template_vars(templates) -> set:
+    return {val for quad in templates for (kind, val) in quad[:3] if kind == "var"}
+
+
+# -- application -------------------------------------------------------------
+
+
+def _qkeyed(df: DataFrame) -> DataFrame:
+    return df.withColumns({
+        "__kl": F.coalesce(F.col("o_lang"), F.lit(_SENT)),
+        "__kd": F.coalesce(F.col("o_datatype"), F.lit(_SENT)),
+        "__kg": F.coalesce(F.col("g_iri"), F.lit(_SENT)),
+    })
+
+
+_QKEYS = ["s_kind", "s", "p", "o_kind", "o_lex", "__kl", "__kd", "__kg"]
+
+
+def _minus_quads(base: DataFrame, deletes: DataFrame) -> DataFrame:
+    """base \\ deletes under null-safe 8-key quad identity."""
+    dk = _qkeyed(deletes).select(*_QKEYS).distinct()
+    return (
+        _qkeyed(base).join(dk, _QKEYS, "left_anti").drop("__kl", "__kd", "__kg")
+    )
+
+
+def _tri_with_graph_iri(pipe, tables, reader, dicts) -> DataFrame:
+    """Reconstructed triples of ``tables`` with the graph id decoded back
+    to its IRI (plain join — the graphs domain is unbounded; AQE
+    broadcasts when small), in QUAD_SCHEMA column names."""
+    cat = Catalog(tables=tables)
+    tri = reconstruct_triples(cat, reader, dicts)
+    g = dicts["graphs"].select(F.col("id").alias("g_id"), F.col("iri").alias("g_iri"))
+    return tri.join(g, "g_id", "left").select(
+        "s_kind", "s", "p", "o_kind", "o_lex", "o_lang", "o_datatype", "g_iri"
+    )
+
+
+def _extend_dict(spark, old: DataFrame, values: DataFrame, out_path: str) -> DataFrame:
+    """Append unseen values to a dictionary with offset ids (ids only
+    grow, existing assignments never change) and write the union."""
+    new = (
+        values.select(F.col("v").alias("iri"))
+        .where(F.col("iri").isNotNull())
+        .distinct()
+        .join(old.select("iri"), "iri", "left_anti")
+    )
+    base = old.select("id", "iri")
+    max_id = base.agg(F.max("id")).first()[0] or 0
+    from pyspark.sql.window import Window
+
+    # the unseen set is delta-sized (bounded by the update request /
+    # its solution count), so a single-partition row_number is fine here
+    added = new.select(
+        (F.row_number().over(Window.orderBy("iri")) + F.lit(max_id)).alias("id"),
+        "iri",
+    )
+    union = base.unionByName(added)
+    union.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)
+
+
+def _quads_to_statements(quads: DataFrame, stage: str) -> DataFrame:
+    """Lexical quad frame -> the router's statement schema: IRI parts
+    decomposed in the SAME Arrow path stage E uses (the Catalyst 9-part
+    expression tree exceeds janino's 64 KB codegen limit and OOMs in
+    interpreted fallback — the documented engineering finding), bnode ids
+    recovered from the ``b<id>`` lexical form, synthetic provenance
+    (updates have no source file; ``file_id``/``line_no`` only feed the
+    router's salt and must be deterministic)."""
+    from ..functions.uri_pandas import decompose_series
+
+    passthrough = [f.name for f in quads.schema.fields]
+    schema = ", ".join(
+        [f"`{n}` string" for n in passthrough]
+        + [f"s_{k} string" for k in PART_KEYS]
+        + [f"o_{k} string" for k in PART_KEYS]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            s_parts = decompose_series(pdf["s"].where(pdf["s_kind"] == "iri"))
+            o_parts = decompose_series(pdf["o_lex"].where(pdf["o_kind"] == "iri"))
+            for key in PART_KEYS:
+                out[f"s_{key}"] = s_parts[key]
+                out[f"o_{key}"] = o_parts[key]
+            yield out
+
+    parts = quads.mapInPandas(gen, schema)
+    return parts.select(
+        F.col("s_kind"),
+        F.col("o_kind"),
+        F.col("p").alias("p_iri"),
+        F.col("o_lex"),
+        F.col("o_lang"),
+        F.col("o_datatype"),
+        F.col("g_iri"),
+        *[F.col(f"s_{k}") for k in PART_KEYS],
+        *[F.col(f"o_{k}") for k in PART_KEYS],
+        F.when(
+            F.col("s_kind") == "bnode",
+            F.expr("cast(substring(s, 2) as bigint)"),
+        ).alias("s_bnode_id"),
+        F.when(
+            F.col("o_kind") == "bnode",
+            F.expr("cast(substring(o_lex, 2) as bigint)"),
+        ).alias("o_bnode_id"),
+        F.xxhash64(F.lit(stage)).alias("file_id"),
+        F.xxhash64("s", "p", "o_lex", "g_iri").alias("line_no"),
+    )
+
+
+def _next_update_index(pipe) -> int:
+    mx = 0
+    root = pipe.io.root
+    for d in os.listdir(root):
+        m = re.fullmatch(r"U(\d+)", d)
+        if m and pipe.io.is_committed(d):
+            mx = max(mx, int(m.group(1)))
+    return mx + 1
+
+
+def apply_update(pipe, deletes, inserts, clear=None) -> str:
+    """Apply one update operation: write stage ``U{k}`` with rebuilt /
+    delta tables + extended dictionaries, catalog referencing everything
+    else in place. ``deletes``/``inserts`` are lexical quad frames (may
+    be None); ``clear`` is a keep-predicate config instead. Returns the
+    new stage name."""
+    from ..pipeline import _write_batched
+
+    spark = pipe.spark
+    prev = pipe.last_catalog_stage()
+    k = _next_update_index(pipe)
+    stage = f"U{k}"
+
+    def fn(io):
+        cat = Catalog.from_json(pipe.catalog(prev).to_json())
+        reader = pipe.reader(prev)
+        dicts = pipe.dicts(prev)
+
+        if clear is not None and clear.get("all"):
+            cat.tables = []
+            io.write_catalog(stage, cat)
+            return {"tables": 0, "rows": 0, "op": "clear_all"}
+
+        del_preds: set = set()
+        if deletes is not None:
+            del_preds = {r.p for r in deletes.select("p").distinct().collect()}
+        if clear is not None:
+            affected = list(cat.tables)
+        else:
+            affected = [
+                t for t in cat.tables
+                if any(pm.predicate in del_preds for pm in t.predicates)
+            ]
+        ins_preds: set = set()
+        if inserts is not None:
+            ins_preds = {r.p for r in inserts.select("p").distinct().collect()}
+
+        # -- surviving triples of rebuilt tables ------------------------
+        keep = None
+        if affected:
+            base = _tri_with_graph_iri(pipe, affected, reader, dicts)
+            if clear is not None:
+                keep = base.where(clear["keep"])
+            else:
+                keep = _minus_quads(base, deletes)
+
+        # -- inserts minus post-delete current state --------------------
+        ins_new = None
+        if inserts is not None:
+            affected_names = {t.name for t in affected}
+            ins_only = [
+                t for t in cat.tables
+                if t.name not in affected_names
+                and any(pm.predicate in ins_preds for pm in t.predicates)
+            ]
+            current = keep
+            if ins_only:
+                other = _tri_with_graph_iri(pipe, ins_only, reader, dicts)
+                current = other if current is None else current.unionByName(other)
+            ins_new = (
+                _minus_quads(inserts, current) if current is not None else inserts
+            )
+
+        new_stmts = keep
+        if ins_new is not None:
+            new_stmts = ins_new if new_stmts is None else new_stmts.unionByName(ins_new)
+        if new_stmts is None:
+            io.write_catalog(stage, cat)
+            return {"tables": len(cat.tables), "rows": 0, "op": "noop"}
+        new_stmts = new_stmts.persist()
+        try:
+            # -- extend dictionaries (domains only grow) ----------------
+            os.makedirs(io.path(stage, "dicts"), exist_ok=True)
+            graphs = _extend_dict(
+                spark, dicts["graphs"],
+                new_stmts.select(F.col("g_iri").alias("v")),
+                io.path(stage, "dicts", "graphs"),
+            )
+            cat.dictionaries = dict(cat.dictionaries)
+            cat.dictionaries["graphs"] = f"{stage}/dicts/graphs"
+            if "predicates" in dicts:
+                _extend_dict(
+                    spark, dicts["predicates"],
+                    new_stmts.select(F.col("p").alias("v")),
+                    io.path(stage, "dicts", "predicates"),
+                )
+                cat.dictionaries["predicates"] = f"{stage}/dicts/predicates"
+
+            # -- route into fresh V-layout tables -----------------------
+            keys = sorted(
+                {
+                    (r.p, r.s_kind, r.o_kind, r.o_lang, r.o_datatype)
+                    for r in new_stmts.select(
+                        "p", "s_kind", "o_kind", "o_lang", "o_datatype"
+                    ).distinct().collect()
+                },
+                key=lambda t: tuple("" if x is None else x for x in t),
+            )
+            delta = vertical.build_catalog(keys, cat.namespaces, cat.default_graph)
+            for t in delta.tables:
+                t.name = f"u{k}_{t.name}"
+            stmts = _quads_to_statements(new_stmts, stage)
+            routed = vertical.route_statements(spark, stmts, delta, graphs).persist()
+            try:
+                pairs = [
+                    (t, vertical.rename_generic(routed.where(F.col("t") == t.name), t))
+                    for t in delta.tables
+                ]
+                counts = _write_batched(
+                    spark, pairs, io.path(stage, "tables"), f"{stage}/tables"
+                )
+            finally:
+                routed.unpersist()
+            for t in delta.tables:
+                t.row_count = counts.get(t.name, 0)
+            delta.tables = [t for t in delta.tables if t.row_count]
+
+            affected_names = {t.name for t in affected}
+            cat.tables = [
+                t for t in cat.tables if t.name not in affected_names
+            ] + delta.tables
+            io.write_catalog(stage, cat)
+            return {
+                "tables": len(cat.tables),
+                "rows": sum(t.row_count or 0 for t in delta.tables),
+                "rebuilt": len(affected),
+            }
+        finally:
+            new_stmts.unpersist()
+
+    pipe.runner.run(stage, fn)
+    return stage
+
+
+# -- driver ------------------------------------------------------------------
+
+
+def sparql_update(pipe, text: str) -> list[str]:
+    """Run a textual SPARQL 1.1 Update request; each operation commits
+    one ``U{k}`` stage (atomic per operation — a failed op leaves the
+    previous stage current). Returns the new stage names."""
+    ops = parse_update(text)
+    stages = []
+    for op in ops:
+        stages.append(_run_op(pipe, op))
+    return stages
+
+
+def _run_op(pipe, op: dict) -> str:
+    if op["op"] == "clear":
+        tgt = op["target"]
+        dg = pipe.default_graph
+        if tgt == "ALL":
+            return apply_update(pipe, None, None, clear={"all": True})
+        if tgt == "DEFAULT":
+            keep = F.col("g_iri").isNotNull() & (F.col("g_iri") != dg)
+        elif tgt == "NAMED":
+            keep = F.col("g_iri").isNull() | (F.col("g_iri") == dg)
+        else:
+            keep = F.col("g_iri").isNull() | (F.col("g_iri") != tgt)
+        return apply_update(pipe, None, None, clear={"keep": keep})
+    if op["op"] == "insert_data":
+        k = _next_update_index(pipe)
+        return apply_update(pipe, None, _data_quads(pipe, op["quads"], f"U{k}"))
+    if op["op"] == "delete_data":
+        k = _next_update_index(pipe)
+        return apply_update(pipe, _data_quads(pipe, op["quads"], f"U{k}"), None)
+    # modify
+    tmpl_vars = set()
+    if op["delete"]:
+        tmpl_vars |= _template_vars(op["delete"])
+    if op["insert"]:
+        tmpl_vars |= _template_vars(op["insert"])
+    q = {
+        "form": "update",
+        "where": op["where"],
+        "graph": op["with"],
+        "named": None,
+        "meta_vars": set(tmpl_vars),  # "?x" form, as the query parser records
+    }
+    sol = _where_solutions(pipe, q, None, keep_meta=True)
+    deletes = (
+        _template_quads(pipe, op["delete"], sol, op["with"]) if op["delete"] else None
+    )
+    inserts = (
+        _template_quads(pipe, op["insert"], sol, op["with"]) if op["insert"] else None
+    )
+    return apply_update(pipe, deletes, inserts)

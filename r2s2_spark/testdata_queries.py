@@ -1469,6 +1469,53 @@ def _sparql_kg(spark: SparkSession, sf_dir: str):
     return pipe
 
 
+_UPDATE_KG: dict = {}
+
+
+def _update_kg(spark: SparkSession, sf_dir: str):
+    """Memoized KgPipeline over REGION rendered as N-Triples, then
+    mutated by ONE SPARQL Update request covering all three mutation
+    families (INSERT DATA incl. a brand-new predicate, DELETE DATA, and
+    a DELETE/INSERT WHERE predicate rename) — the driver-gated update
+    surface. Memoized AFTER the update so every consumer sees one stable
+    post-update snapshot. Kept SEPARATE from :func:`_sparql_kg` — that
+    pipe is shared by many read-only probes and must never mutate."""
+    import tempfile
+
+    from .naming import RDF_TYPE
+    from .pipeline import KgPipeline
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _UPDATE_KG:
+        return _UPDATE_KG[key]
+    region = t(spark, sf_dir, "region")
+    rk = F.col("r_regionkey").cast("string")
+    content = F.concat(
+        F.lit(f"<{EX}region/"), rk,
+        F.lit(f"> <{RDF_TYPE}> <{EX}Region> .\n"),
+        F.lit(f"<{EX}region/"), rk,
+        F.lit(f'> <{EX}name> "'), F.col("r_name"), F.lit('" .'),
+    )
+    src = region.select(
+        F.lit("kg").alias("repo"),
+        F.concat(F.lit("u"), rk).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("ntriples").alias("lang"),
+        content.alias("content"),
+    )
+    pipe = KgPipeline(spark, tempfile.mkdtemp(prefix="r2s2_updkg_"))
+    pipe.load(src)
+    pipe.update(
+        f'INSERT DATA {{ <{EX}region/99> <{EX}name> "NOVA" . '
+        f'<{EX}region/0> <{EX}flag> "x" }} ; '
+        f"DELETE DATA {{ <{EX}region/1> <{RDF_TYPE}> <{EX}Region> }} ; "
+        f"DELETE {{ ?s <{EX}name> ?n }} INSERT {{ ?s <{EX}label> ?n }} "
+        f"WHERE {{ ?s <{EX}name> ?n }}"
+    )
+    _UPDATE_KG[key] = pipe
+    return pipe
+
+
 @q(
     "sparql_from_graph",
     f"SELECT '{EX}nation/' || n_nationkey AS s FROM nation WHERE n_regionkey = 0",
@@ -2068,7 +2115,20 @@ def sparql_paths(spark, sf_dir):
     " UNION ALL "
     f"SELECT 'term_shape', '{EX}region/' || r_regionkey, "
     "'en-GB|http://www.w3.org/2001/XMLSchema#decimal|fr|"
-    "http://www.w3.org/2001/XMLSchema#token|PT5H30M|none' FROM region",
+    "http://www.w3.org/2001/XMLSchema#token|PT5H30M|none' FROM region"
+    " UNION ALL "
+    # post-update state of the _update_kg snapshot: every ex:name became
+    # ex:label (rename), plus the inserted NOVA label; rdf:type survives
+    # everywhere except the DELETE DATA target region/1; the brand-new
+    # ex:flag predicate exists as a delta table
+    f"SELECT 'update_label', '{EX}region/' || r_regionkey, r_name FROM region"
+    " UNION ALL "
+    f"SELECT 'update_label', '{EX}region/99', 'NOVA'"
+    " UNION ALL "
+    f"SELECT 'update_type', '{EX}region/' || r_regionkey, '{EX}Region' "
+    "FROM region WHERE r_regionkey <> 1"
+    " UNION ALL "
+    f"SELECT 'update_flag', '{EX}region/0', 'x'",
 )
 def sparql_text_values_union(spark, sf_dir):
     """Textual SPARQL inline-data + aggregate + round-4b surface, tagged:
@@ -2242,6 +2302,14 @@ def sparql_text_values_union(spark, sf_dir):
                  !ISIRI("x") && ISLITERAL("x"))
         }}""",
     )
+    upd = _update_kg(spark, sf_dir)
+    upd_label = sparql_query(
+        upd, f"PREFIX ex: <{EX}> SELECT ?s ?n WHERE {{ ?s ex:label ?n }}"
+    )
+    upd_type = sparql_query(upd, "SELECT ?s ?t WHERE { ?s a ?t }")
+    upd_flag = sparql_query(
+        upd, f"PREFIX ex: <{EX}> SELECT ?s ?f WHERE {{ ?s ex:flag ?f }}"
+    )
     return _union_all([
         sparql_text_values(spark, sf_dir).select(_tag("values"), "s", "r"),
         sparql_text_union_mixed(spark, sf_dir).select(_tag("union_mixed"), "s", "r"),
@@ -2277,6 +2345,9 @@ def sparql_text_values_union(spark, sf_dir):
         term_shape.select(
             _tag("term_shape"), F.col("r").alias("s"), F.col("v").alias("r")
         ),
+        upd_label.select(_tag("update_label"), "s", F.col("n").alias("r")),
+        upd_type.select(_tag("update_type"), "s", F.col("t").alias("r")),
+        upd_flag.select(_tag("update_flag"), "s", F.col("f").alias("r")),
     ])
 
 

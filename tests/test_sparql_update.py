@@ -1,0 +1,267 @@
+"""SPARQL 1.1 Update over the loaded KG (plans/sparql_update.py).
+
+The reference engine is load-only (Ontop is read-only; mutation = re-run
+the loader), so updates are an engine-native extension: each operation
+commits a ``U{k}`` snapshot stage whose catalog references unchanged
+tables in place and rewrites only what the operation touched."""
+
+import pytest
+
+from r2s2_spark.naming import EX, XSD
+from r2s2_spark.pipeline import KgPipeline
+from r2s2_spark.plans.sparql_text import SparqlSyntaxError, SparqlUnsupported, sparql_query
+from r2s2_spark.plans.sparql_update import parse_update
+from r2s2_spark.sources import fixtures as fx
+
+
+def _kg(spark, tmp_path, wd="wd"):
+    lines = [
+        f'<{EX}s1> <{EX}name> "anna" .',
+        f'<{EX}s1> <{EX}age> "7"^^<{XSD}integer> .',
+        f'<{EX}s2> <{EX}name> "bob" .',
+        f'<{EX}s2> <{EX}in> <{EX}g1> <{EX}graph1> .',
+    ]
+    pipe = KgPipeline(spark, str(tmp_path / wd))
+    pipe.load(fx.source_files_df(spark, [fx._row("r", "m.nq", "\n".join(lines))]))
+    return pipe
+
+
+def _quads(pipe):
+    return sorted(
+        (r.s, r.p, r.o_lex, r.o_lang, r.o_datatype, r.g)
+        for r in pipe.triples_with_graph_iri().collect()
+    )
+
+
+# -- parsing ------------------------------------------------------------------
+
+
+def test_parse_update_forms():
+    ops = parse_update(
+        "PREFIX ex: <https://example.org/> "
+        'INSERT DATA { ex:s ex:p "v" } ; '
+        "DELETE DATA { ex:s ex:p ex:o } ; "
+        "DELETE { ?s ex:old ?o } INSERT { ?s ex:new ?o } WHERE { ?s ex:old ?o } ; "
+        "DELETE WHERE { ?s ex:gone ?o } ; "
+        "WITH ex:g DELETE { ?s ex:p ?o } WHERE { ?s ex:p ?o } ; "
+        "CLEAR SILENT GRAPH ex:g ; CLEAR ALL ; DROP DEFAULT"
+    )
+    assert [o["op"] for o in ops] == [
+        "insert_data", "delete_data", "modify", "modify", "modify",
+        "clear", "clear", "clear",
+    ]
+    assert ops[4]["with"] == EX + "g"
+    assert ops[5]["target"] == EX + "g"
+    # DELETE WHERE: template doubles as the pattern group
+    assert len(ops[3]["where"]["patterns"]) == 1
+
+
+def test_parse_update_named_narrowings():
+    with pytest.raises(SparqlUnsupported):
+        parse_update("LOAD <http://x/>")
+    with pytest.raises(SparqlUnsupported):
+        parse_update(f"INSERT {{ ?s <{EX}p> _:b }} WHERE {{ ?s <{EX}q> ?o }}")
+    with pytest.raises(SparqlSyntaxError):
+        parse_update(f"DELETE DATA {{ _:b <{EX}p> <{EX}o> }}")  # spec-forbidden
+    with pytest.raises(SparqlSyntaxError):
+        parse_update(f"INSERT DATA {{ <{EX}s> <{EX}p> ?v }}")  # non-ground
+    with pytest.raises(SparqlUnsupported):
+        parse_update(
+            f"DELETE {{ GRAPH ?g {{ ?s <{EX}p> ?o }} }} WHERE {{ ?s <{EX}p> ?o }}"
+        )
+    with pytest.raises(SparqlUnsupported):
+        parse_update(
+            f"DELETE {{ ?s <{EX}p> ?o }} USING <{EX}g> WHERE {{ ?s <{EX}p> ?o }}"
+        )
+
+
+# -- data operations ----------------------------------------------------------
+
+
+def test_insert_data_new_and_existing_predicates(spark, tmp_path):
+    pipe = _kg(spark, tmp_path)
+    pipe.update(
+        f'INSERT DATA {{ <{EX}s3> <{EX}name> "carol" . '
+        f'<{EX}s1> <{EX}nick> "an" . '
+        f'GRAPH <{EX}graph2> {{ <{EX}s3> <{EX}in> <{EX}g2> }} }}'
+    )
+    assert pipe.triples().count() == 7
+    names = {
+        (r.s, r.n)
+        for r in sparql_query(
+            pipe, f"SELECT ?s ?n WHERE {{ ?s <{EX}name> ?n }}"
+        ).collect()
+    }
+    assert (EX + "s3", "carol") in names and len(names) == 3
+    # the new graph entered the dictionary and decodes back
+    gq = sparql_query(
+        pipe, f"SELECT ?s WHERE {{ GRAPH <{EX}graph2> {{ ?s <{EX}in> ?o }} }}"
+    )
+    assert [r.s for r in gq.collect()] == [EX + "s3"]
+
+
+def test_insert_is_set_semantics(spark, tmp_path):
+    pipe = _kg(spark, tmp_path)
+    before = _quads(pipe)
+    pipe.update(f'INSERT DATA {{ <{EX}s1> <{EX}name> "anna" }}')
+    assert _quads(pipe) == before  # re-inserting an existing triple: no-op
+
+
+def test_delete_data_exact_term_identity(spark, tmp_path):
+    pipe = _kg(spark, tmp_path)
+    # wrong datatype must NOT match the stored xsd:integer literal
+    pipe.update(f'DELETE DATA {{ <{EX}s1> <{EX}age> "7" }}')
+    assert pipe.triples().count() == 4
+    pipe.update(f'DELETE DATA {{ <{EX}s1> <{EX}age> "7"^^<{XSD}integer> }}')
+    assert pipe.triples().count() == 3
+    # deleting twice is idempotent
+    pipe.update(f'DELETE DATA {{ <{EX}s1> <{EX}age> "7"^^<{XSD}integer> }}')
+    assert pipe.triples().count() == 3
+
+
+def test_insert_data_bnodes_fresh_and_deterministic(spark, tmp_path):
+    pipe = _kg(spark, tmp_path)
+    pipe.update(f"INSERT DATA {{ _:x <{EX}knows> _:y . _:x a <{EX}Agent> }}")
+    tri = pipe.triples().collect()
+    knows = [r for r in tri if r.p == EX + "knows"]
+    typed = [r for r in tri if r.p.endswith("#type")]
+    assert len(knows) == 1 and knows[0].s_kind == "bnode"
+    assert knows[0].o_kind == "bnode" and knows[0].s != knows[0].o_lex
+    # the same _:x label in one operation denotes ONE bnode
+    assert typed and typed[0].s == knows[0].s
+
+
+# -- template operations ------------------------------------------------------
+
+
+def test_modify_rename_predicate(spark, tmp_path):
+    pipe = _kg(spark, tmp_path)
+    pipe.update(
+        f"DELETE {{ ?s <{EX}name> ?n }} INSERT {{ ?s <{EX}label> ?n }} "
+        f"WHERE {{ ?s <{EX}name> ?n }}"
+    )
+    assert sparql_query(pipe, f"SELECT ?n WHERE {{ ?s <{EX}name> ?n }}").count() == 0
+    labs = {
+        (r.s, r.n)
+        for r in sparql_query(
+            pipe, f"SELECT ?s ?n WHERE {{ ?s <{EX}label> ?n }}"
+        ).collect()
+    }
+    assert labs == {(EX + "s1", "anna"), (EX + "s2", "bob")}
+    assert pipe.triples().count() == 4  # conserved
+
+
+def test_modify_preserves_term_identity(spark, tmp_path):
+    """Template variables carry exact term kind/lang/datatype through the
+    rewrite — a typed literal moves graphs with its datatype intact."""
+    pipe = _kg(spark, tmp_path)
+    pipe.update(
+        f"DELETE {{ ?s <{EX}age> ?a }} "
+        f"INSERT {{ GRAPH <{EX}ages> {{ ?s <{EX}age> ?a }} }} "
+        f"WHERE {{ ?s <{EX}age> ?a }}"
+    )
+    rows = [r for r in pipe.triples().collect() if r.p == EX + "age"]
+    assert len(rows) == 1
+    assert rows[0].o_lex == "7" and rows[0].o_datatype == XSD + "integer"
+    ag = sparql_query(
+        pipe, f"SELECT ?s WHERE {{ GRAPH <{EX}ages> {{ ?s <{EX}age> ?a }} }}"
+    )
+    assert [r.s for r in ag.collect()] == [EX + "s1"]
+
+
+def test_delete_where_shorthand(spark, tmp_path):
+    pipe = _kg(spark, tmp_path)
+    pipe.update(f"DELETE WHERE {{ ?s <{EX}name> ?n }}")
+    assert sparql_query(pipe, f"SELECT ?n WHERE {{ ?s <{EX}name> ?n }}").count() == 0
+    assert pipe.triples().count() == 2
+
+
+def test_modify_with_graph(spark, tmp_path):
+    """WITH <g> scopes both the WHERE match and the delete template."""
+    pipe = _kg(spark, tmp_path)
+    pipe.update(
+        f"WITH <{EX}graph1> DELETE {{ ?s <{EX}in> ?o }} WHERE {{ ?s <{EX}in> ?o }}"
+    )
+    assert pipe.triples().count() == 3
+    # the same delete against the default graph would have matched nothing
+    pipe2 = _kg(spark, tmp_path, "wd2")
+    pipe2.update(
+        f"WITH <{EX}nosuch> DELETE {{ ?s <{EX}in> ?o }} WHERE {{ ?s <{EX}in> ?o }}"
+    )
+    assert pipe2.triples().count() == 4
+
+
+def test_clear_forms(spark, tmp_path):
+    pipe = _kg(spark, tmp_path)
+    pipe.update(f"CLEAR GRAPH <{EX}graph1>")
+    assert pipe.triples().count() == 3
+    pipe.update("CLEAR DEFAULT")
+    assert pipe.triples().count() == 0
+    pipe2 = _kg(spark, tmp_path, "wd2")
+    pipe2.update("CLEAR NAMED")
+    assert pipe2.triples().count() == 3  # default-graph triples survive
+    pipe2.update("CLEAR ALL")
+    assert pipe2.triples().count() == 0
+    assert pipe2.catalog().tables == []
+
+
+def test_update_sequence_and_stages(spark, tmp_path):
+    """';'-separated operations apply in order, one committed stage each;
+    the catalog chain stays readable (JSON roundtrip per stage)."""
+    pipe = _kg(spark, tmp_path)
+    pipe.update(
+        f'INSERT DATA {{ <{EX}s9> <{EX}name> "zoe" }} ; '
+        f'DELETE DATA {{ <{EX}s9> <{EX}name> "zoe" }}'
+    )
+    assert pipe.last_catalog_stage() == "U2"
+    assert pipe.triples().count() == 4  # net no-op, through two snapshots
+    # earlier snapshots remain queryable (time travel)
+    assert len(pipe.catalog("U1").tables) > len(pipe.catalog("U2").tables) - 1
+    prev = sparql_query(
+        pipe, f'SELECT ?n WHERE {{ <{EX}s9> <{EX}name> ?n }}', stage="U1"
+    )
+    assert [r.n for r in prev.collect()] == ["zoe"]
+
+
+def test_update_rebuilds_only_affected_tables(spark, tmp_path):
+    """Deletion rewrites ONLY tables whose predicate is touched: every
+    other TableSpec keeps its previous snapshot path. The fixture needs a
+    DISJOINT-subject predicate — shared subjects merge into one wide
+    table, and a merged table containing the deleted predicate is
+    legitimately affected."""
+    lines = [
+        f'<{EX}s1> <{EX}name> "anna" .',
+        f'<{EX}s2> <{EX}name> "bob" .',
+        f'<{EX}t1> <{EX}color> "red" .',  # disjoint subject: own table
+    ]
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    pipe.load(fx.source_files_df(spark, [fx._row("r", "m.nt", "\n".join(lines))]))
+    before = {t.name: t.path for t in pipe.catalog().tables}
+    pipe.update(f'DELETE DATA {{ <{EX}s2> <{EX}name> "bob" }}')
+    after = pipe.catalog()
+    untouched = [
+        t for t in after.tables
+        if all(pm.predicate != EX + "name" for pm in t.predicates)
+    ]
+    assert untouched and all(t.path == before.get(t.name) for t in untouched)
+    assert all(
+        not t.path.startswith("U1") for t in untouched
+    )
+
+
+def test_update_then_sparql_surface(spark, tmp_path):
+    """The updated KG stays a first-class query target: BGP joins,
+    variable predicates, GRAPH, and reconstruction all read the mixed
+    old-table/delta-table catalog."""
+    pipe = _kg(spark, tmp_path)
+    pipe.update(
+        f'INSERT DATA {{ <{EX}s1> <{EX}likes> <{EX}s2> . '
+        f'<{EX}s2> <{EX}age> "9"^^<{XSD}integer> }}'
+    )
+    out = sparql_query(
+        pipe,
+        f"SELECT ?a ?b WHERE {{ ?a <{EX}likes> ?b . ?b <{EX}age> ?n }}",
+    )
+    assert [(r.a, r.b) for r in out.collect()] == [(EX + "s1", EX + "s2")]
+    allp = sparql_query(pipe, "SELECT DISTINCT ?p WHERE { ?s ?p ?o }")
+    assert EX + "likes" in {r.p for r in allp.collect()}
