@@ -19,8 +19,14 @@ Supported operations (sequences separated by ``;``):
   PRE-update state, deletes apply before inserts)
 - ``CLEAR [SILENT] (GRAPH <iri> | DEFAULT | NAMED | ALL)`` and ``DROP``
   (graphs exist implicitly here, so DROP ≡ CLEAR)
+- graph management §3.2: ``ADD/COPY/MOVE [SILENT] (DEFAULT | [GRAPH]
+  <iri>) TO (DEFAULT | [GRAPH] <iri>)`` (graph-sized quad-frame ops over
+  the same apply machinery; same-graph is the spec's no-op), and
+  ``CREATE [SILENT] GRAPH <iri>`` (a no-op under implicit graphs, except
+  the spec's already-exists error when the graph is non-empty and not
+  SILENT)
 
-Named unsupported: ``LOAD``, ``USING``, ``CREATE``, ``ADD/MOVE/COPY``,
+Named unsupported: ``LOAD``, ``USING``,
 ``GRAPH ?var`` in data blocks or templates, bnodes in DELETE templates
 (spec-forbidden) and in WHERE-form INSERT templates (fresh-per-solution
 bnodes would break the engine's retry-determinism invariant for stored
@@ -97,8 +103,31 @@ class _UpdateParser(_Parser):
         return ops
 
     def _operation(self) -> dict:
-        if self.at_word("LOAD", "CREATE", "ADD", "MOVE", "COPY"):
-            raise SparqlUnsupported(f"update operation {self.peek()[1].upper()}")
+        if self.at_word("LOAD"):
+            raise SparqlUnsupported("update operation LOAD (no network IO)")
+        if self.at_word("CREATE"):
+            # graphs exist implicitly here (a graph IS its triples), so
+            # CREATE is a no-op — except that creating an EXISTING
+            # (non-empty) graph is the spec's error unless SILENT
+            self.next()
+            silent = False
+            if self.at_word("SILENT"):
+                self.next()
+                silent = True
+            self.eat_word("GRAPH")
+            kind, val = self.next()
+            if kind not in ("iri", "pname"):
+                raise SparqlSyntaxError("CREATE GRAPH needs an IRI")
+            tgt = self._iri(val) if kind == "iri" else self._pname(val)
+            return {"op": "create", "target": tgt, "silent": silent}
+        if self.at_word("ADD", "MOVE", "COPY"):
+            word = self.next()[1].upper()
+            if self.at_word("SILENT"):
+                self.next()
+            src = self._graph_ref()
+            self.eat_word("TO")
+            dst = self._graph_ref()
+            return {"op": word.lower(), "src": src, "dst": dst}
         if self.at_word("CLEAR", "DROP"):
             self.next()
             if self.at_word("SILENT"):
@@ -149,6 +178,18 @@ class _UpdateParser(_Parser):
                 ins = self._quad_block(ground=False, bnodes="reject_insert")
             return self._modify(with_g, delete=dele, insert=ins)
         raise SparqlSyntaxError(f"expected an update operation, got {self.peek()[1]!r}")
+
+    def _graph_ref(self) -> str | None:
+        """GraphOrDefault: 'DEFAULT' -> None, '[GRAPH] <iri>' -> the IRI."""
+        if self.at_word("DEFAULT"):
+            self.next()
+            return None
+        if self.at_word("GRAPH"):
+            self.next()
+        kind, val = self.next()
+        if kind not in ("iri", "pname"):
+            raise SparqlSyntaxError("expected DEFAULT or [GRAPH] <iri>")
+        return self._iri(val) if kind == "iri" else self._pname(val)
 
     def _modify(self, with_g, delete, insert) -> dict:
         if self.at_word("USING"):
@@ -676,6 +717,34 @@ def apply_update(pipe, deletes, inserts, clear=None) -> str:
 # -- driver ------------------------------------------------------------------
 
 
+class SparqlUpdateError(ValueError):
+    """A spec-defined update failure (e.g. CREATE of an existing graph)."""
+
+
+def _graph_quads(pipe, g_iri: str) -> DataFrame:
+    """All triples of one named graph (or the default graph's IRI) as a
+    lexical quad frame — the source side of ADD/COPY/MOVE."""
+    stage = pipe.last_catalog_stage()
+    cat = pipe.catalog(stage)
+    tri = _tri_with_graph_iri(
+        pipe, list(cat.tables), pipe.reader(stage), pipe.dicts(stage)
+    )
+    return tri.where(F.col("g_iri") == g_iri)
+
+
+def _graph_nonempty(pipe, g_iri: str) -> bool:
+    """Does the graph hold >= 1 triple NOW? The graphs dictionary is the
+    cheap necessary condition (an IRI never seen as a graph cannot have
+    triples — no scan); only a dictionary hit pays the limit(1) probe.
+    Guards CLEAR/COPY/MOVE from rebuilding the whole catalog to clear a
+    graph that is already empty."""
+    dicts = pipe.dicts(pipe.last_catalog_stage())
+    g = dicts.get("graphs")
+    if g is not None and not g.where(F.col("iri") == g_iri).limit(1).count():
+        return False
+    return bool(_graph_quads(pipe, g_iri).limit(1).count())
+
+
 def sparql_update(pipe, text: str) -> list[str]:
     """Run a textual SPARQL 1.1 Update request; each operation commits
     one ``U{k}`` stage (atomic per operation — a failed op leaves the
@@ -698,8 +767,39 @@ def _run_op(pipe, op: dict) -> str:
         elif tgt == "NAMED":
             keep = F.col("g_iri").isNull() | (F.col("g_iri") == dg)
         else:
+            if not _graph_nonempty(pipe, tgt):
+                return pipe.last_catalog_stage()  # already empty: no-op
             keep = F.col("g_iri").isNull() | (F.col("g_iri") != tgt)
         return apply_update(pipe, None, None, clear={"keep": keep})
+    if op["op"] == "create":
+        # graphs exist implicitly: CREATE is a no-op, but creating an
+        # EXISTING (non-empty) graph is the spec's error unless SILENT
+        if not op["silent"] and _graph_nonempty(pipe, op["target"]):
+            raise SparqlUpdateError(
+                f"CREATE GRAPH <{op['target']}>: graph already exists"
+            )
+        return pipe.last_catalog_stage()
+    if op["op"] in ("add", "copy", "move"):
+        # §3.2.5-3.2.7 over our default-graph convention (the loader
+        # fills graph-less triples with pipe.default_graph)
+        dg = pipe.default_graph
+        src = op["src"] or dg
+        dst = op["dst"] or dg
+        if src == dst:
+            return pipe.last_catalog_stage()  # spec: same-graph is a no-op
+        stage = pipe.last_catalog_stage()
+        if op["op"] in ("copy", "move") and _graph_nonempty(pipe, dst):
+            # dst := src, so the destination graph drops first (skipped
+            # when dst is already empty — no full-catalog rebuild)
+            keep = F.col("g_iri").isNull() | (F.col("g_iri") != dst)
+            stage = apply_update(pipe, None, None, clear={"keep": keep})
+        if _graph_nonempty(pipe, src):
+            quads = _graph_quads(pipe, src).withColumn("g_iri", F.lit(dst))
+            stage = apply_update(pipe, None, quads)
+            if op["op"] == "move":
+                keep = F.col("g_iri").isNull() | (F.col("g_iri") != src)
+                stage = apply_update(pipe, None, None, clear={"keep": keep})
+        return stage
     if op["op"] == "insert_data":
         k = _next_update_index(pipe)
         return apply_update(pipe, None, _data_quads(pipe, op["quads"], f"U{k}"))

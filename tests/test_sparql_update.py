@@ -265,3 +265,48 @@ def test_update_then_sparql_surface(spark, tmp_path):
     assert [(r.a, r.b) for r in out.collect()] == [(EX + "s1", EX + "s2")]
     allp = sparql_query(pipe, "SELECT DISTINCT ?p WHERE { ?s ?p ?o }")
     assert EX + "likes" in {r.p for r in allp.collect()}
+
+
+def test_graph_management_add_copy_move(spark, tmp_path):
+    """ADD / COPY / MOVE (§3.2.5-3.2.7): dst := dst ∪ src / dst := src /
+    dst := src with src dropped; DEFAULT names the loader-filled default
+    graph."""
+    pipe = _kg(spark, tmp_path)
+    # ADD the default graph into a fresh named graph
+    pipe.update(f"ADD DEFAULT TO GRAPH <{EX}arch>")
+    arch = sparql_query(
+        pipe, f"SELECT ?s ?p WHERE {{ GRAPH <{EX}arch> {{ ?s ?p ?o }} }}"
+    )
+    assert arch.count() == 3  # the 3 default-graph triples, copied
+    assert pipe.triples().count() == 7  # originals survive
+    # COPY graph1 over arch: arch is REPLACED by graph1's single triple
+    pipe.update(f"COPY GRAPH <{EX}graph1> TO GRAPH <{EX}arch>")
+    arch2 = sparql_query(
+        pipe, f"SELECT ?s WHERE {{ GRAPH <{EX}arch> {{ ?s ?p ?o }} }}"
+    )
+    assert [r.s for r in arch2.collect()] == [EX + "s2"]
+    # MOVE arch to graph9: arch empties, graph9 holds the triple
+    pipe.update(f"MOVE GRAPH <{EX}arch> TO GRAPH <{EX}graph9>")
+    assert sparql_query(
+        pipe, f"SELECT ?s WHERE {{ GRAPH <{EX}arch> {{ ?s ?p ?o }} }}"
+    ).count() == 0
+    assert sparql_query(
+        pipe, f"SELECT ?s WHERE {{ GRAPH <{EX}graph9> {{ ?s ?p ?o }} }}"
+    ).count() == 1
+    # same-graph is the spec's no-op (no new stage)
+    before = pipe.last_catalog_stage()
+    pipe.update(f"MOVE GRAPH <{EX}graph9> TO GRAPH <{EX}graph9>")
+    assert pipe.last_catalog_stage() == before
+
+
+def test_create_graph(spark, tmp_path):
+    from r2s2_spark.plans.sparql_update import SparqlUpdateError
+
+    pipe = _kg(spark, tmp_path)
+    before = pipe.last_catalog_stage()
+    pipe.update(f"CREATE GRAPH <{EX}fresh>")  # unknown graph: no-op
+    assert pipe.last_catalog_stage() == before
+    with pytest.raises(SparqlUpdateError):
+        pipe.update(f"CREATE GRAPH <{EX}graph1>")  # non-empty: spec error
+    pipe.update(f"CREATE SILENT GRAPH <{EX}graph1>")  # SILENT: no-op
+    assert pipe.last_catalog_stage() == before
