@@ -751,7 +751,50 @@ class KgPipeline:
                 sh.rmtree(d)
                 stats["orphans_removed"] += 1
 
-        if expire_superseded and stage == "M":
+        if expire_superseded and stage.startswith("U"):
+            # update-chain expiry: table dirs of OLDER update snapshots
+            # (and of M) that the CURRENT catalog no longer references —
+            # rebuilt/delta tables superseded by newer updates. Catalogs,
+            # manifests and dictionaries stay (metadata, like Iceberg
+            # expire_snapshots); M's own sweep below also runs since the
+            # live set is path-based.
+            import re as _re
+
+            live_u = {t.path for t in catalog.tables}
+
+            def sweep_batch_root(stage_name: str, sub: str) -> None:
+                root_dir = self.io.path(stage_name, sub)
+                if not os.path.isdir(root_dir):
+                    return
+                for g in os.listdir(root_dir):
+                    gdir = os.path.join(root_dir, g)
+                    if not os.path.isdir(gdir):
+                        continue
+                    for part in os.listdir(gdir):
+                        if (
+                            part.startswith("t=")
+                            and f"{stage_name}/{sub}/{g}/{part}" not in live_u
+                        ):
+                            sh.rmtree(os.path.join(gdir, part))
+                            stats["superseded_removed"] += 1
+
+            for entry in sorted(os.listdir(self.io.root)):
+                if entry == stage or not self.io.is_committed(entry):
+                    continue
+                if _re.fullmatch(r"U\d+", entry):
+                    sweep_batch_root(entry, "tables")
+            sweep_batch_root("M", "batch")
+            m_tables = self.io.path("M", "tables")
+            if os.path.isdir(m_tables):
+                for name in os.listdir(m_tables):
+                    if f"M/tables/{name}" not in live_u:
+                        sh.rmtree(os.path.join(m_tables, name))
+                        stats["superseded_removed"] += 1
+
+        if expire_superseded and (
+            stage == "M"
+            or (stage.startswith("U") and self.io.is_committed("M"))
+        ):
             live = {t.path for t in catalog.tables}
             v_data = self.io.path("V", "data")
             if os.path.exists(v_data):
@@ -933,10 +976,44 @@ class KgPipeline:
 
     def update(self, text: str) -> "KgPipeline":
         """Run a SPARQL 1.1 Update request (INSERT/DELETE DATA, DELETE/
-        INSERT ... WHERE, CLEAR/DROP; ';'-separated sequences). Each
-        operation commits one ``U{k}`` stage whose catalog references
-        unchanged tables in place — see plans/sparql_update.py."""
+        INSERT ... WHERE, CLEAR/DROP, ADD/COPY/MOVE; ';'-separated
+        sequences). Each operation commits one ``U{k}`` stage whose
+        catalog references unchanged tables in place — see
+        plans/sparql_update.py."""
         from .plans.sparql_update import sparql_update
 
         sparql_update(self, text)
+        return self
+
+    def append(self, source_files: DataFrame) -> "KgPipeline":
+        """Incrementally load MORE source files into an already-loaded KG
+        (the reference's bulk-append workflow, LoadIntoTable.java append
+        paths — realized as one update snapshot instead of a full
+        reload): parse the new files to lexical quads and apply them as
+        a set-semantics insert. Cost is delta-bounded — only the new
+        files parse, only their predicates' tables anti-join, existing
+        tables are referenced in place. Re-appending identical content
+        is a no-op (RDF set semantics). Bnode labels mint ids from the
+        file sha256, exactly like the initial load — the same file
+        appends the same bnodes."""
+        from .operators.extract import parse_statements
+        from .plans.sparql_update import apply_update
+
+        raw = parse_statements(source_files, self.default_graph)
+        good = raw.where(F.col("parse_error").isNull())
+        b = lambda kind, lex: F.when(  # noqa: E731
+            F.col(kind) == "bnode",
+            F.concat(F.lit("b"), F.xxhash64("file_sha256", lex).cast("string")),
+        ).otherwise(F.col(lex))
+        quads = good.select(
+            F.col("s_kind"),
+            b("s_kind", "s_lex").alias("s"),
+            F.col("p_iri").alias("p"),
+            F.col("o_kind"),
+            b("o_kind", "o_lex").alias("o_lex"),
+            F.col("o_lang"),
+            F.col("o_datatype"),
+            F.col("g_iri"),
+        ).distinct()
+        apply_update(self, None, quads)
         return self

@@ -310,3 +310,82 @@ def test_create_graph(spark, tmp_path):
         pipe.update(f"CREATE GRAPH <{EX}graph1>")  # non-empty: spec error
     pipe.update(f"CREATE SILENT GRAPH <{EX}graph1>")  # SILENT: no-op
     assert pipe.last_catalog_stage() == before
+
+
+# -- incremental load ---------------------------------------------------------
+
+
+def test_append_incremental_load(spark, tmp_path):
+    """pipe.append(source_files): new files load as one delta snapshot —
+    new predicates become delta tables, overlapping triples dedupe (set
+    semantics), existing tables stay referenced in place."""
+    pipe = _kg(spark, tmp_path)
+    extra = [
+        f'<{EX}s1> <{EX}name> "anna" .',       # already present: dedupes
+        f'<{EX}s5> <{EX}name> "eve" .',        # existing predicate, new row
+        f'<{EX}s5> <{EX}born> "1990"^^<{XSD}integer> .',  # new predicate
+        f'<{EX}s5> <{EX}in> <{EX}g2> <{EX}graph2> .',     # new graph
+    ]
+    pipe.append(
+        fx.source_files_df(spark, [fx._row("r", "more.nq", "\n".join(extra))])
+    )
+    assert pipe.triples().count() == 7  # 4 + 3 new (one deduped)
+    names = {
+        r.n
+        for r in sparql_query(
+            pipe, f"SELECT ?n WHERE {{ ?s <{EX}name> ?n }}"
+        ).collect()
+    }
+    assert names == {"anna", "bob", "eve"}
+    born = sparql_query(pipe, f"SELECT ?b WHERE {{ ?s <{EX}born> ?b }}")
+    assert [r.b for r in born.collect()] == ["1990"]
+    g2 = sparql_query(
+        pipe, f"SELECT ?s WHERE {{ GRAPH <{EX}graph2> {{ ?s ?p ?o }} }}"
+    )
+    assert g2.count() == 1
+    # idempotence: appending the same content again is a full no-op
+    pipe.append(
+        fx.source_files_df(spark, [fx._row("r", "more2.nq", "\n".join(extra))])
+    )
+    assert pipe.triples().count() == 7
+
+
+def test_append_bnodes_stable_per_file(spark, tmp_path):
+    """Appended bnode ids mint from the file sha256 + label, exactly like
+    the initial load: the same content appends the same bnodes (retry/
+    re-append stable), and joins across the bnode work."""
+    pipe = _kg(spark, tmp_path)
+    nt = f'_:a <{EX}knows> _:b .\n_:a <{EX}name> "ghost" .'
+    pipe.append(fx.source_files_df(spark, [fx._row("r", "b.nt", nt)]))
+    out = sparql_query(
+        pipe, f'SELECT ?x WHERE {{ ?s <{EX}knows> ?x . ?s <{EX}name> "ghost" }}'
+    )
+    assert out.count() == 1  # _:a joins across the two appended triples
+    n = pipe.triples().count()
+    pipe.append(fx.source_files_df(spark, [fx._row("r", "b2.nt", nt)]))
+    assert pipe.triples().count() == n  # same sha -> same bnodes -> no-op
+
+
+def test_vacuum_expires_superseded_update_snapshots(spark, tmp_path):
+    """vacuum(expire_superseded=True) on an update chain removes table
+    dirs of OLDER snapshots the current catalog no longer references —
+    and every query still answers from what remains."""
+    import os
+
+    pipe = _kg(spark, tmp_path)
+    pipe.update(f'INSERT DATA {{ <{EX}s7> <{EX}name> "gus" }}')   # U1
+    pipe.update(f'DELETE DATA {{ <{EX}s7> <{EX}name> "gus" }}')   # U2 (rebuild)
+    stats = pipe.vacuum(expire_superseded=True)
+    assert stats["superseded_removed"] >= 1  # U1's name delta superseded
+    # current snapshot still fully queryable
+    assert pipe.triples().count() == 4
+    names = {
+        r.n
+        for r in sparql_query(
+            pipe, f"SELECT ?n WHERE {{ ?s <{EX}name> ?n }}"
+        ).collect()
+    }
+    assert names == {"anna", "bob"}
+    # live table dirs survived
+    for t in pipe.catalog().tables:
+        assert os.path.isdir(os.path.join(pipe.io.root, t.path)), t.path
