@@ -14,9 +14,16 @@ Supported operations (sequences separated by ``;``):
   ``GRAPH <iri> { ... }`` blocks; bnodes in INSERT DATA mint fresh,
   retry-stable ids ``xxhash64(stage, label)``)
 - ``DELETE WHERE { quads }`` (§3.1.3.1 shorthand)
-- ``[WITH <g>] DELETE {t} INSERT {t} WHERE { group }`` (either clause
-  optional, full WHERE grammar — the templates instantiate against the
-  PRE-update state, deletes apply before inserts)
+- ``[WITH <g>] DELETE {t} INSERT {t} [USING [NAMED] <g>]* WHERE
+  { group }`` (either template clause optional, full WHERE grammar — the
+  templates instantiate against the PRE-update state, deletes apply
+  before inserts; USING/USING NAMED define the WHERE dataset exactly
+  like FROM/FROM NAMED §13.2, and any USING clause makes WITH
+  template-only per §3.1.3.3; ``GRAPH ?var { ... }`` template blocks
+  instantiate the graph per solution)
+- ``LOAD [SILENT] <file:...> [INTO GRAPH <g>]`` through the engine's own
+  decompression + multi-syntax parsers (network IRIs stay a named
+  unsupported — SILENT makes them the spec's no-op)
 - ``CLEAR [SILENT] (GRAPH <iri> | DEFAULT | NAMED | ALL)`` and ``DROP``
   (graphs exist implicitly here, so DROP ≡ CLEAR)
 - graph management §3.2: ``ADD/COPY/MOVE [SILENT] (DEFAULT | [GRAPH]
@@ -26,12 +33,18 @@ Supported operations (sequences separated by ``;``):
   the spec's already-exists error when the graph is non-empty and not
   SILENT)
 
-Named unsupported: ``LOAD``, ``USING``,
-``GRAPH ?var`` in data blocks or templates, bnodes in DELETE templates
-(spec-forbidden) and in WHERE-form INSERT templates (fresh-per-solution
-bnodes would break the engine's retry-determinism invariant for stored
-data), and template variables whose term kind is not statically tracked
-(bound only by BIND/VALUES/paths — pattern-bound variables always are).
+Bnodes in WHERE-form INSERT templates mint FRESH per solution (§3.1.3)
+yet stay retry-deterministic: the id is ``xxhash64(stage, label,
+solution-fingerprint, duplicate-rank)`` where the fingerprint hashes
+every solution column and the rank is a row_number window PARTITIONED BY
+the fingerprint (no global sort) — duplicate solutions get distinct
+consecutive ranks, so the minted id SET is a pure function of the
+solution multiset and the stage.
+
+Named unsupported: ``LOAD`` over network IRIs, bnodes in DELETE templates
+(spec-forbidden), and template variables whose term kind is not
+statically tracked (bound only by BIND/VALUES/paths — pattern-bound
+variables always are).
 
 Scale notes: deletions rebuild ONLY the affected tables (those whose
 predicate appears in the delete set) by routing their reconstructed
@@ -104,7 +117,30 @@ class _UpdateParser(_Parser):
 
     def _operation(self) -> dict:
         if self.at_word("LOAD"):
-            raise SparqlUnsupported("update operation LOAD (no network IO)")
+            # §3.1.4: LOAD [SILENT] <doc> [INTO GRAPH <g>] — file: IRIs
+            # only (this engine does no network IO; a non-file scheme is
+            # a named unsupported, or the spec's silent failure under
+            # SILENT). The document parses through the engine's own
+            # multi-syntax sources (files.read_rdf_files → extract
+            # parser), so every syntax/codec the loader accepts LOADs.
+            self.next()
+            silent = False
+            if self.at_word("SILENT"):
+                self.next()
+                silent = True
+            kind, val = self.next()
+            if kind not in ("iri", "pname"):
+                raise SparqlSyntaxError("LOAD needs an IRI")
+            src = self._iri(val) if kind == "iri" else self._pname(val)
+            into = None
+            if self.at_word("INTO"):
+                self.next()
+                self.eat_word("GRAPH")
+                kind, val = self.next()
+                if kind not in ("iri", "pname"):
+                    raise SparqlSyntaxError("INTO GRAPH needs an IRI")
+                into = self._iri(val) if kind == "iri" else self._pname(val)
+            return {"op": "load", "src": src, "into": into, "silent": silent}
         if self.at_word("CREATE"):
             # graphs exist implicitly here (a graph IS its triples), so
             # CREATE is a no-op — except that creating an EXISTING
@@ -156,7 +192,7 @@ class _UpdateParser(_Parser):
                 self.next()
                 return {"op": "insert_data",
                         "quads": self._quad_block(ground=True, bnodes="mint")}
-            ins = self._quad_block(ground=False, bnodes="reject_insert")
+            ins = self._quad_block(ground=False, bnodes="fresh")
             return self._modify(with_g, delete=None, insert=ins)
         if self.at_word("DELETE"):
             self.next()
@@ -175,7 +211,7 @@ class _UpdateParser(_Parser):
             ins = None
             if self.at_word("INSERT"):
                 self.next()
-                ins = self._quad_block(ground=False, bnodes="reject_insert")
+                ins = self._quad_block(ground=False, bnodes="fresh")
             return self._modify(with_g, delete=dele, insert=ins)
         raise SparqlSyntaxError(f"expected an update operation, got {self.peek()[1]!r}")
 
@@ -192,11 +228,30 @@ class _UpdateParser(_Parser):
         return self._iri(val) if kind == "iri" else self._pname(val)
 
     def _modify(self, with_g, delete, insert) -> dict:
-        if self.at_word("USING"):
-            raise SparqlUnsupported("USING clause in update")
+        # §3.1.3.3: USING / USING NAMED define the WHERE clause's dataset
+        # exactly like FROM / FROM NAMED define a query's (§13.2) — and
+        # when ANY using clause is present, WITH is ignored for the WHERE
+        # evaluation (it still names the templates' destination graph).
+        using, unamed = [], []
+        saw_using = False
+        while self.at_word("USING"):
+            self.next()
+            saw_using = True
+            if self.at_word("NAMED"):
+                self.next()
+                kind, val = self.next()
+                if kind not in ("iri", "pname"):
+                    raise SparqlSyntaxError("USING NAMED needs an IRI")
+                unamed.append(self._iri(val) if kind == "iri" else self._pname(val))
+            else:
+                kind, val = self.next()
+                if kind not in ("iri", "pname"):
+                    raise SparqlSyntaxError("USING needs an IRI")
+                using.append(self._iri(val) if kind == "iri" else self._pname(val))
         self.eat_word("WHERE")
         return {"op": "modify", "with": with_g, "delete": delete,
-                "insert": insert, "where": self.group()}
+                "insert": insert, "where": self.group(),
+                "using": (tuple(using), tuple(unamed)) if saw_using else None}
 
     def _where_from_quads(self, tmpl) -> dict:
         """DELETE WHERE: replay the tagged quads as a pattern group."""
@@ -226,10 +281,17 @@ class _UpdateParser(_Parser):
                 self.next()
                 kind, val = self.next()
                 if kind == "var":
-                    raise SparqlUnsupported("GRAPH ?var in update data/templates")
-                if kind not in ("iri", "pname"):
+                    # legal in DELETE/INSERT templates (the WHERE binds
+                    # the graph, §3.1.3) — never in ground data blocks
+                    if ground:
+                        raise SparqlSyntaxError(
+                            "variable graph in ground quad data"
+                        )
+                    giri = "?" + val[1:]
+                elif kind not in ("iri", "pname"):
                     raise SparqlSyntaxError("GRAPH needs an IRI here")
-                giri = self._iri(val) if kind == "iri" else self._pname(val)
+                else:
+                    giri = self._iri(val) if kind == "iri" else self._pname(val)
                 self.eat_op("{")
                 while self.peek()[1] != "}":
                     if self.peek()[1] == ".":
@@ -283,12 +345,8 @@ class _UpdateParser(_Parser):
         if kind == "bnode" or val == "[":
             if bnodes == "forbid":
                 raise SparqlSyntaxError("blank node in DELETE quads (spec-forbidden)")
-            if bnodes == "reject_insert":
-                raise SparqlUnsupported(
-                    "blank node in a WHERE-form INSERT template (fresh "
-                    "per-solution bnodes would break stored-data "
-                    "retry-determinism; use INSERT DATA)"
-                )
+            # bnodes == "fresh": WHERE-form INSERT template — minted
+            # fresh per solution in _template_quads (§3.1.3)
             if val == "[":
                 self.next()
                 self.eat_op("]")
@@ -382,18 +440,56 @@ def _data_quads(pipe, quads: list[tuple], stage: str) -> DataFrame:
     return pipe.spark.createDataFrame(rows, QUAD_SCHEMA).distinct()
 
 
-def _template_quads(pipe, templates: list[tuple], sol: DataFrame, with_g) -> DataFrame:
+def _template_quads(
+    pipe, templates: list[tuple], sol: DataFrame, with_g, stage: str | None = None
+) -> DataFrame:
     """Instantiate tagged quad templates against a solution frame ->
     lexical quad frame. Variable term kinds come from the hidden
     ``__kind_/__lang_/__dt_`` metadata columns the WHERE compile carried
     (every template variable is registered in ``meta_vars``); rows with
     an unbound template variable are skipped (§3.1.3), as are rows that
     would form an RDF-invalid triple (literal subject, non-IRI
-    predicate)."""
+    predicate).
+
+    ``("bnode", label)`` template terms (INSERT only — ``stage`` is the
+    update stage name) mint one fresh bnode per (label, solution): the
+    per-solution id is a fingerprint hash of every solution column plus
+    a duplicate-rank row_number PARTITIONED BY that fingerprint, so the
+    window never needs a global sort and duplicate solutions (a WHERE is
+    a multiset) still get distinct bnodes, while the minted id SET stays
+    a pure function of (stage, solution multiset) — retry-stable."""
     cols = set(sol.columns)
+    need_bnodes = any(
+        kind == "bnode" for quad in templates for (kind, _) in quad[:3]
+    )
+    if need_bnodes:
+        from pyspark.sql import Window
+
+        if stage is None:
+            raise SparqlSyntaxError("blank node in DELETE quads (spec-forbidden)")
+        fp = (
+            F.xxhash64(*[F.col(c) for c in sorted(cols)])
+            if cols else F.lit(0).cast("bigint")
+        )
+        rank = F.row_number().over(
+            Window.partitionBy(fp).orderBy(F.lit(1))
+        )
+        sol = sol.withColumn(
+            "__solid", F.concat_ws("_", fp.cast("string"), rank.cast("string"))
+        )
+
+    def bnode_cols(label):
+        lex = F.concat(
+            F.lit("b"),
+            F.xxhash64(F.lit(stage), F.lit(label), F.col("__solid")).cast("string"),
+        )
+        null = F.lit(None).cast("string")
+        return F.lit("bnode"), lex, null, null
 
     def term_cols(t, pos):
         kind, val = t
+        if kind == "bnode":
+            return bnode_cols(val)
         if kind == "iri":
             return (F.lit("iri"), F.lit(val), F.lit(None).cast("string"),
                     F.lit(None).cast("string"))
@@ -428,11 +524,28 @@ def _template_quads(pipe, templates: list[tuple], sol: DataFrame, with_g) -> Dat
             "term kind (bound only by BIND/VALUES/paths?)"
         )
 
+    def graph_cols(g):
+        """-> (g_iri column, g_kind column). A variable graph instantiates
+        per solution: graph-SCOPE-bound variables carry no hidden metadata
+        but are IRIs by construction (the graphs dictionary holds IRIs
+        only); term-position-bound variables use their tracked kind so a
+        literal binding skips the row (RDF-invalid graph name)."""
+        if isinstance(g, str) and g.startswith("?"):
+            n = g[1:]
+            if n not in cols:
+                null = F.lit(None).cast("string")
+                return null, null
+            if META_KIND + n in cols:
+                return F.col(n), F.col(META_KIND + n)
+            return F.col(n), F.lit("iri")
+        return F.lit(g or with_g or pipe.default_graph), F.lit("iri")
+
     pieces = []
     for s, p, o, g in templates:
         sk, sl, _, _ = term_cols(s, "s")
         pk, pl, _, _ = term_cols(p, "p")
         ok, ol, olang, odt = term_cols(o, "o")
+        gl, gk = graph_cols(g)
         row = sol.select(
             sk.alias("s_kind"),
             sl.alias("s"),
@@ -441,15 +554,18 @@ def _template_quads(pipe, templates: list[tuple], sol: DataFrame, with_g) -> Dat
             ol.alias("o_lex"),
             olang.alias("o_lang"),
             odt.alias("o_datatype"),
-            F.lit(g or with_g or pipe.default_graph).alias("g_iri"),
+            gl.alias("g_iri"),
             pk.alias("__pk"),
+            gk.alias("__gk"),
         ).where(
             F.col("s").isNotNull()
             & F.col("p").isNotNull()
             & F.col("o_lex").isNotNull()
+            & F.col("g_iri").isNotNull()
             & (F.col("s_kind") != "literal")
             & (F.col("__pk") == "iri")
-        ).drop("__pk")
+            & (F.col("__gk") == "iri")
+        ).drop("__pk", "__gk")
         pieces.append(row)
     out = pieces[0]
     for p_ in pieces[1:]:
@@ -458,7 +574,12 @@ def _template_quads(pipe, templates: list[tuple], sol: DataFrame, with_g) -> Dat
 
 
 def _template_vars(templates) -> set:
-    return {val for quad in templates for (kind, val) in quad[:3] if kind == "var"}
+    term_vars = {val for quad in templates for (kind, val) in quad[:3] if kind == "var"}
+    graph_vars = {
+        quad[3] for quad in templates
+        if isinstance(quad[3], str) and quad[3].startswith("?")
+    }
+    return term_vars | graph_vars
 
 
 # -- application -------------------------------------------------------------
@@ -745,6 +866,86 @@ def _graph_nonempty(pipe, g_iri: str) -> bool:
     return bool(_graph_quads(pipe, g_iri).limit(1).count())
 
 
+def _file_iri_path(iri: str) -> str | None:
+    """``file:`` IRI -> local path (RFC 8089 forms: ``file:///p``,
+    ``file:/p``, ``file:p``); None for any other scheme."""
+    if iri.startswith("file://"):
+        rest = iri[len("file://"):]
+        # file://host/p is out of scope; accept only an empty authority
+        return rest if rest.startswith("/") else None
+    if iri.startswith("file:"):
+        return iri[len("file:"):]
+    return None
+
+
+def _load_op(pipe, op: dict) -> str:
+    """LOAD [SILENT] <file:...> [INTO GRAPH <g>]: parse the document
+    through the engine's own source machinery (decompression + syntax by
+    extension + the vectorized parsers — files.read_rdf_files/
+    extract.parse_statements) and insert the triples with RDF set
+    semantics via the same delta path as INSERT. INTO GRAPH overrides the
+    document's graphs (a LOADed document is a graph, §3.1.4); without it,
+    quad syntaxes keep their graphs and triples land in the default
+    graph. SILENT turns every load failure (bad scheme, missing file,
+    undecodable bytes, parse errors) into the spec's success no-op."""
+    from ..operators.extract import parse_statements
+    from ..sources.files import read_rdf_files
+
+    last = pipe.last_catalog_stage()
+    silent = op["silent"]
+    path = _file_iri_path(op["src"])
+    if path is None:
+        if silent:
+            return last
+        raise SparqlUnsupported(
+            f"LOAD <{op['src']}> (no network IO; file: IRIs only)"
+        )
+    if not os.path.isfile(path):
+        if silent:
+            return last
+        raise SparqlUpdateError(f"LOAD <{op['src']}>: no such file")
+    src = read_rdf_files(pipe.spark, path)
+    raw = parse_statements(
+        src.where(F.col("decode_error").isNull()), pipe.default_graph
+    ).persist()
+    try:
+        failed = bool(
+            src.where(F.col("decode_error").isNotNull()).limit(1).count()
+            or raw.where(F.col("parse_error").isNotNull()).limit(1).count()
+        )
+        if failed and not silent:
+            raise SparqlUpdateError(
+                f"LOAD <{op['src']}>: undecodable or unparsable content"
+            )
+        good = raw.where(F.col("parse_error").isNull())
+        # bnode labels -> the quad frame's b<id> lexical form, minted the
+        # same way stage E does (xxhash64(file_sha256, label)) so
+        # re-LOADing identical content is idempotent under the insert
+        # path's anti-join
+        def lex(kind_col, lex_col):
+            return F.when(
+                F.col(kind_col) == "bnode",
+                F.concat(
+                    F.lit("b"),
+                    F.xxhash64(F.col("file_sha256"), F.col(lex_col)).cast("string"),
+                ),
+            ).otherwise(F.col(lex_col))
+
+        quads = good.select(
+            F.col("s_kind"),
+            lex("s_kind", "s_lex").alias("s"),
+            F.col("p_iri").alias("p"),
+            F.col("o_kind"),
+            lex("o_kind", "o_lex").alias("o_lex"),
+            F.col("o_lang"),
+            F.col("o_datatype"),
+            (F.lit(op["into"]) if op["into"] else F.col("g_iri")).alias("g_iri"),
+        )
+        return apply_update(pipe, None, quads)
+    finally:
+        raw.unpersist()
+
+
 def sparql_update(pipe, text: str) -> list[str]:
     """Run a textual SPARQL 1.1 Update request; each operation commits
     one ``U{k}`` stage (atomic per operation — a failed op leaves the
@@ -800,6 +1001,8 @@ def _run_op(pipe, op: dict) -> str:
                 keep = F.col("g_iri").isNull() | (F.col("g_iri") != src)
                 stage = apply_update(pipe, None, None, clear={"keep": keep})
         return stage
+    if op["op"] == "load":
+        return _load_op(pipe, op)
     if op["op"] == "insert_data":
         k = _next_update_index(pipe)
         return apply_update(pipe, None, _data_quads(pipe, op["quads"], f"U{k}"))
@@ -819,11 +1022,26 @@ def _run_op(pipe, op: dict) -> str:
         "named": None,
         "meta_vars": set(tmpl_vars),  # "?x" form, as the query parser records
     }
+    if op.get("using") is not None:
+        # §3.1.3.3: the USING clauses ARE the WHERE dataset (WITH is
+        # ignored for WHERE but still names the templates' target graph).
+        # Encoding mirrors the query parser's FROM/FROM NAMED slots: a
+        # lone USING leaves GRAPH blocks an empty named set; a lone
+        # USING NAMED leaves the default graph empty (graph None + named
+        # non-None -> () in _dataset).
+        froms, named = op["using"]
+        q["graph"] = (froms[0] if len(froms) == 1 else tuple(froms)) if froms else None
+        q["named"] = named
     sol = _where_solutions(pipe, q, None, keep_meta=True)
+    # the stage index is fixed BEFORE minting so template bnode ids are a
+    # pure function of (stage, solutions) — apply_update recomputes the
+    # same k (nothing commits in between), keeping retries identical
+    k = _next_update_index(pipe)
     deletes = (
         _template_quads(pipe, op["delete"], sol, op["with"]) if op["delete"] else None
     )
     inserts = (
-        _template_quads(pipe, op["insert"], sol, op["with"]) if op["insert"] else None
+        _template_quads(pipe, op["insert"], sol, op["with"], stage=f"U{k}")
+        if op["insert"] else None
     )
     return apply_update(pipe, deletes, inserts)

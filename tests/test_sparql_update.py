@@ -57,22 +57,34 @@ def test_parse_update_forms():
 
 
 def test_parse_update_named_narrowings():
-    with pytest.raises(SparqlUnsupported):
-        parse_update("LOAD <http://x/>")
-    with pytest.raises(SparqlUnsupported):
-        parse_update(f"INSERT {{ ?s <{EX}p> _:b }} WHERE {{ ?s <{EX}q> ?o }}")
+    # WHERE-form INSERT template bnodes parse (minted per solution)
+    ops = parse_update(f"INSERT {{ ?s <{EX}p> _:b }} WHERE {{ ?s <{EX}q> ?o }}")
+    assert ops[0]["insert"][0][2] == ("bnode", "b")
+    with pytest.raises(SparqlSyntaxError):
+        # bnode in predicate position is grammar-invalid
+        parse_update(f"INSERT {{ ?s _:b ?o }} WHERE {{ ?s <{EX}q> ?o }}")
     with pytest.raises(SparqlSyntaxError):
         parse_update(f"DELETE DATA {{ _:b <{EX}p> <{EX}o> }}")  # spec-forbidden
     with pytest.raises(SparqlSyntaxError):
         parse_update(f"INSERT DATA {{ <{EX}s> <{EX}p> ?v }}")  # non-ground
-    with pytest.raises(SparqlUnsupported):
-        parse_update(
-            f"DELETE {{ GRAPH ?g {{ ?s <{EX}p> ?o }} }} WHERE {{ ?s <{EX}p> ?o }}"
-        )
-    with pytest.raises(SparqlUnsupported):
-        parse_update(
-            f"DELETE {{ ?s <{EX}p> ?o }} USING <{EX}g> WHERE {{ ?s <{EX}p> ?o }}"
-        )
+    with pytest.raises(SparqlSyntaxError):
+        # ground data blocks never take a variable graph
+        parse_update(f"INSERT DATA {{ GRAPH ?g {{ <{EX}s> <{EX}p> <{EX}o> }} }}")
+
+
+def test_parse_load_using_graphvar_forms():
+    ops = parse_update(
+        "PREFIX ex: <https://example.org/> "
+        "LOAD SILENT <file:///tmp/x.nt> INTO GRAPH ex:g ; "
+        "DELETE { GRAPH ?g { ?s ex:p ?o } } "
+        "USING ex:a USING NAMED ex:b WHERE { GRAPH ?g { ?s ex:p ?o } }"
+    )
+    assert ops[0] == {
+        "op": "load", "src": "file:///tmp/x.nt", "into": EX + "g", "silent": True,
+    }
+    assert ops[1]["using"] == ((EX + "a",), (EX + "b",))
+    # the template's graph slot carries the variable
+    assert ops[1]["delete"][0][3] == "?g"
 
 
 # -- data operations ----------------------------------------------------------
@@ -389,3 +401,186 @@ def test_vacuum_expires_superseded_update_snapshots(spark, tmp_path):
     # live table dirs survived
     for t in pipe.catalog().tables:
         assert os.path.isdir(os.path.join(pipe.io.root, t.path)), t.path
+
+
+# -- LOAD / USING / GRAPH ?var templates (round 5) ----------------------------
+
+
+def test_load_file_into_graph(spark, tmp_path):
+    """LOAD <file:...> INTO GRAPH routes the whole document into the
+    target graph through the engine's own parser; re-LOADing identical
+    content is a set-semantics no-op (stable bnode ids)."""
+    pipe = _kg(spark, tmp_path)
+    doc = tmp_path / "extra.nt"
+    doc.write_text(
+        f'<{EX}s5> <{EX}name> "dora" .\n'
+        f'_:b <{EX}knows> <{EX}s5> .\n'
+    )
+    pipe.update(f"LOAD <file://{doc}> INTO GRAPH <{EX}loaded>")
+    assert pipe.triples().count() == 6
+    got = sparql_query(
+        pipe,
+        f"SELECT ?s ?n WHERE {{ GRAPH <{EX}loaded> {{ ?s <{EX}name> ?n }} }}",
+    ).collect()
+    assert [(r.s, r.n) for r in got] == [(EX + "s5", "dora")]
+    # bnode survived as a bnode in the loaded graph
+    k = [r for r in pipe.triples().collect() if r.p == EX + "knows"]
+    assert len(k) == 1 and k[0].s_kind == "bnode"
+    # idempotent re-load (same sha256 -> same bnode ids -> anti-joined)
+    pipe.update(f"LOAD <file://{doc}> INTO GRAPH <{EX}loaded>")
+    assert pipe.triples().count() == 6
+
+
+def test_load_defaults_and_failures(spark, tmp_path):
+    from r2s2_spark.plans.sparql_update import SparqlUpdateError
+
+    pipe = _kg(spark, tmp_path)
+    ttl = tmp_path / "doc.ttl"
+    ttl.write_text(f'@prefix ex: <{EX}> . ex:s6 ex:name "eli" .')
+    # no INTO GRAPH: triples land in the default graph
+    pipe.update(f"LOAD <file://{ttl}>")
+    rows = sparql_query(
+        pipe, f'SELECT ?g WHERE {{ GRAPH ?g {{ ?s <{EX}name> "eli" }} }}'
+    ).collect()
+    assert [r.g for r in rows] == [pipe.default_graph]
+    n = pipe.triples().count()
+    # failures: named errors without SILENT, spec no-ops with it
+    with pytest.raises(SparqlUnsupported):
+        pipe.update("LOAD <http://remote/doc.nt>")
+    with pytest.raises(SparqlUpdateError):
+        pipe.update(f"LOAD <file://{tmp_path}/missing.nt>")
+    with pytest.raises(SparqlUpdateError):
+        bad = tmp_path / "bad.nt"
+        bad.write_text("this is not ntriples\n")
+        pipe.update(f"LOAD <file://{bad}>")
+    pipe.update(
+        f"LOAD SILENT <http://remote/doc.nt> ; "
+        f"LOAD SILENT <file://{tmp_path}/missing.nt> ; "
+        f"LOAD SILENT <file://{tmp_path}/bad.nt>"
+    )
+    assert pipe.triples().count() == n
+
+
+def test_modify_using_dataset(spark, tmp_path):
+    """USING picks the WHERE dataset like FROM (§3.1.3.3): the same
+    template deletes or not depending on the USING graph; USING NAMED
+    restricts GRAPH ?g blocks."""
+    pipe = _kg(spark, tmp_path)
+    # WHERE runs against <graph1> as its default graph; template targets
+    # <graph1> explicitly -> the quad goes
+    pipe.update(
+        f"DELETE {{ GRAPH <{EX}graph1> {{ ?s <{EX}in> ?o }} }} "
+        f"USING <{EX}graph1> WHERE {{ ?s <{EX}in> ?o }}"
+    )
+    assert pipe.triples().count() == 3
+    # a USING graph where the pattern matches nothing: no-op
+    pipe2 = _kg(spark, tmp_path, "wd2")
+    pipe2.update(
+        f"DELETE {{ GRAPH <{EX}graph1> {{ ?s <{EX}in> ?o }} }} "
+        f"USING <{EX}nosuch> WHERE {{ ?s <{EX}in> ?o }}"
+    )
+    assert pipe2.triples().count() == 4
+    # USING NAMED <nosuch> leaves GRAPH ?g nothing to match
+    pipe2.update(
+        f"DELETE {{ GRAPH ?g {{ ?s <{EX}in> ?o }} }} "
+        f"USING NAMED <{EX}nosuch> WHERE {{ GRAPH ?g {{ ?s <{EX}in> ?o }} }}"
+    )
+    assert pipe2.triples().count() == 4
+    pipe2.update(
+        f"DELETE {{ GRAPH ?g {{ ?s <{EX}in> ?o }} }} "
+        f"USING NAMED <{EX}graph1> WHERE {{ GRAPH ?g {{ ?s <{EX}in> ?o }} }}"
+    )
+    assert pipe2.triples().count() == 3
+
+
+def test_graph_var_template_cross_graph_move(spark, tmp_path):
+    """GRAPH ?var templates instantiate the graph per solution: archive
+    every named-graph triple of a predicate into <archive>, deleting it
+    from whichever graph held it."""
+    pipe = _kg(spark, tmp_path)
+    pipe.update(
+        f'INSERT DATA {{ GRAPH <{EX}graph2> {{ <{EX}s3> <{EX}in> <{EX}g3> }} }}'
+    )
+    pipe.update(
+        f"DELETE {{ GRAPH ?g {{ ?s <{EX}in> ?o }} }} "
+        f"INSERT {{ GRAPH <{EX}archive> {{ ?s <{EX}in> ?o }} }} "
+        f"WHERE {{ GRAPH ?g {{ ?s <{EX}in> ?o }} . "
+        f"FILTER(?g != <{EX}archive>) }}"
+    )
+    rows = sparql_query(
+        pipe,
+        f"SELECT ?g ?s WHERE {{ GRAPH ?g {{ ?s <{EX}in> ?o }} }} ORDER BY ?s",
+    ).collect()
+    assert [(r.g, r.s) for r in rows] == [
+        (EX + "archive", EX + "s2"),
+        (EX + "archive", EX + "s3"),
+    ]
+
+
+def test_delete_where_graph_var_shorthand(spark, tmp_path):
+    """DELETE WHERE { GRAPH ?g { ... } }: the shorthand's quad doubles as
+    pattern (scope ?g) and template (per-solution graph)."""
+    pipe = _kg(spark, tmp_path)
+    pipe.update(f"DELETE WHERE {{ GRAPH ?g {{ ?s <{EX}in> ?o }} }}")
+    assert pipe.triples().count() == 3
+    assert sparql_query(
+        pipe, f"SELECT ?s WHERE {{ GRAPH ?g {{ ?s <{EX}in> ?o }} }}"
+    ).count() == 0
+
+
+# -- WHERE-form INSERT template bnodes (round 5) -------------------------------
+
+
+def test_insert_template_bnode_fresh_per_solution(spark, tmp_path):
+    """_:n in a WHERE-form INSERT mints ONE fresh bnode per solution
+    (§3.1.3): shared across the solution's template quads, distinct
+    between solutions."""
+    pipe = _kg(spark, tmp_path)
+    pipe.update(
+        f"INSERT {{ ?s <{EX}note> _:n . _:n <{EX}text> ?v }} "
+        f"WHERE {{ ?s <{EX}name> ?v }}"
+    )
+    notes = [r for r in pipe.triples().collect() if r.p == EX + "note"]
+    texts = [r for r in pipe.triples().collect() if r.p == EX + "text"]
+    assert len(notes) == 2 and len(texts) == 2
+    assert all(r.o_kind == "bnode" for r in notes)
+    assert all(r.s_kind == "bnode" for r in texts)
+    # distinct bnode per solution...
+    assert len({r.o_lex for r in notes}) == 2
+    # ...and the SAME bnode links the pair within one solution
+    link = {r.s: r.o_lex for r in notes}
+    text_of = {r.s: r.o_lex for r in texts}
+    names = {r.s: r.o_lex for r in pipe.triples().collect() if r.p == EX + "name"}
+    for subj, b in link.items():
+        assert text_of[b] == names[subj]
+
+
+def test_insert_template_bnode_retry_deterministic(spark, tmp_path):
+    """Identically-built pipelines mint identical template bnode ids
+    (pure function of stage + solution multiset), so a retried/resumed
+    operation writes the same bytes."""
+    quads = []
+    for wd in ("wda", "wdb"):
+        pipe = _kg(spark, tmp_path, wd)
+        pipe.update(
+            f"INSERT {{ ?s <{EX}note> _:n }} WHERE {{ ?s <{EX}name> ?v }}"
+        )
+        quads.append(_quads(pipe))
+    assert quads[0] == quads[1]
+
+
+def test_insert_template_bnode_duplicate_solutions_distinct(spark, tmp_path):
+    """A WHERE is a multiset: two solutions with identical bindings still
+    mint DISTINCT bnodes (duplicate-rank row_number under the
+    fingerprint window)."""
+    pipe = _kg(spark, tmp_path)
+    # ?v binds "anna"/"bob"; projecting a constant via the template-only
+    # bnode means both template rows are driven by distinct solutions —
+    # force true duplicates with a UNION of the same pattern
+    pipe.update(
+        f"INSERT {{ <{EX}s9> <{EX}mark> _:m }} WHERE {{ "
+        f"{{ <{EX}s1> <{EX}name> ?v }} UNION {{ <{EX}s1> <{EX}name> ?v }} }}"
+    )
+    marks = [r for r in pipe.triples().collect() if r.p == EX + "mark"]
+    assert len(marks) == 2
+    assert len({r.o_lex for r in marks}) == 2
