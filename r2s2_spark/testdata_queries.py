@@ -1480,6 +1480,7 @@ def _update_kg(spark: SparkSession, sf_dir: str):
     surface. Memoized AFTER the update so every consumer sees one stable
     post-update snapshot. Kept SEPARATE from :func:`_sparql_kg` — that
     pipe is shared by many read-only probes and must never mutate."""
+    import os
     import tempfile
 
     from .naming import RDF_TYPE
@@ -1511,6 +1512,22 @@ def _update_kg(spark: SparkSession, sf_dir: str):
         f"DELETE DATA {{ <{EX}region/1> <{RDF_TYPE}> <{EX}Region> }} ; "
         f"DELETE {{ ?s <{EX}name> ?n }} INSERT {{ ?s <{EX}label> ?n }} "
         f"WHERE {{ ?s <{EX}name> ?n }}"
+    )
+    # LOAD through the engine's own parser (region always has exactly 5
+    # rows, every SF — the document is deterministic) ...
+    keys = sorted(r.r_regionkey for r in region.select("r_regionkey").collect())
+    load_path = os.path.join(pipe.io.root, "load_zones.nt")
+    with open(load_path, "w") as f:
+        f.write(
+            "\n".join(f'<{EX}region/{k}> <{EX}zone> "z{k}" .' for k in keys)
+        )
+    pipe.update(f"LOAD <file://{load_path}> INTO GRAPH <{EX}loaded>")
+    # ... and a WHERE-form INSERT template bnode: one fresh ex:note bnode
+    # per labeled subject, back-linked via ex:of (shared bnodes would
+    # cross-product the update_bnode probe's note/of join)
+    pipe.update(
+        f"INSERT {{ ?s <{EX}note> _:n . _:n <{EX}of> ?s }} "
+        f"WHERE {{ ?s <{EX}label> ?x }}"
     )
     _UPDATE_KG[key] = pipe
     return pipe
@@ -2128,7 +2145,20 @@ def sparql_paths(spark, sf_dir):
     f"SELECT 'update_type', '{EX}region/' || r_regionkey, '{EX}Region' "
     "FROM region WHERE r_regionkey <> 1"
     " UNION ALL "
-    f"SELECT 'update_flag', '{EX}region/0', 'x'",
+    f"SELECT 'update_flag', '{EX}region/0', 'x'"
+    " UNION ALL "
+    # LOAD <file:...> INTO GRAPH: the loaded document's zones, queried
+    # back out of the target graph
+    f"SELECT 'update_load', '{EX}region/' || r_regionkey, "
+    "'z' || r_regionkey FROM region"
+    " UNION ALL "
+    # WHERE-form INSERT template bnodes: fresh per solution, so the
+    # note/of join recovers exactly the identity pairs (shared bnodes
+    # would cross-product every labeled subject with every other)
+    f"SELECT 'update_bnode', '{EX}region/' || r_regionkey, "
+    f"'{EX}region/' || r_regionkey FROM region"
+    " UNION ALL "
+    f"SELECT 'update_bnode', '{EX}region/99', '{EX}region/99'",
 )
 def sparql_text_values_union(spark, sf_dir):
     """Textual SPARQL inline-data + aggregate + round-4b surface, tagged:
@@ -2310,6 +2340,16 @@ def sparql_text_values_union(spark, sf_dir):
     upd_flag = sparql_query(
         upd, f"PREFIX ex: <{EX}> SELECT ?s ?f WHERE {{ ?s ex:flag ?f }}"
     )
+    upd_load = sparql_query(
+        upd,
+        f"PREFIX ex: <{EX}> SELECT ?s ?z WHERE "
+        f"{{ GRAPH <{EX}loaded> {{ ?s ex:zone ?z }} }}",
+    )
+    upd_bnode = sparql_query(
+        upd,
+        f"PREFIX ex: <{EX}> SELECT ?s ?back WHERE "
+        f"{{ ?s ex:note ?n . ?n ex:of ?back }}",
+    )
     return _union_all([
         sparql_text_values(spark, sf_dir).select(_tag("values"), "s", "r"),
         sparql_text_union_mixed(spark, sf_dir).select(_tag("union_mixed"), "s", "r"),
@@ -2348,6 +2388,8 @@ def sparql_text_values_union(spark, sf_dir):
         upd_label.select(_tag("update_label"), "s", F.col("n").alias("r")),
         upd_type.select(_tag("update_type"), "s", F.col("t").alias("r")),
         upd_flag.select(_tag("update_flag"), "s", F.col("f").alias("r")),
+        upd_load.select(_tag("update_load"), "s", F.col("z").alias("r")),
+        upd_bnode.select(_tag("update_bnode"), "s", F.col("back").alias("r")),
     ])
 
 

@@ -122,3 +122,43 @@ def test_sparql_parser_total_over_arbitrary_text(text):
         parse_sparql(text)
     except (SparqlSyntaxError, SparqlUnsupported):
         pass
+
+
+_UPDATE_FRAGMENTS = st.lists(
+    st.sampled_from([
+        "INSERT", "DELETE", "DATA", "WHERE", "WITH", "USING", "NAMED",
+        "LOAD", "SILENT", "INTO", "CLEAR", "DROP", "CREATE", "ADD",
+        "MOVE", "COPY", "TO", "GRAPH", "DEFAULT", "ALL", "{", "}", ";",
+        ".", ",", "?x", "?g", "<http://e/p>", "<file:///tmp/x.nt>",
+        "ex:p", "PREFIX", "ex:", "a", "_:b", "[", "]", '"lit"', "42",
+        "FILTER", "OPTIONAL", "(", ")", "=",
+    ]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_UPDATE_FRAGMENTS)
+@settings(max_examples=300, deadline=None)
+def test_update_parser_total_over_token_soup(frags):
+    """The update parser must be total like the query parser: any token
+    soup either parses or raises a documented exception type."""
+    from r2s2_spark.plans.sparql_text import SparqlSyntaxError, SparqlUnsupported
+    from r2s2_spark.plans.sparql_update import parse_update
+
+    try:
+        parse_update(" ".join(frags))
+    except (SparqlSyntaxError, SparqlUnsupported):
+        pass
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_update_parser_total_over_arbitrary_text(text):
+    from r2s2_spark.plans.sparql_text import SparqlSyntaxError, SparqlUnsupported
+    from r2s2_spark.plans.sparql_update import parse_update
+
+    try:
+        parse_update(text)
+    except (SparqlSyntaxError, SparqlUnsupported):
+        pass
