@@ -838,7 +838,20 @@ class KgPipeline:
         return self.spark.read.parquet(self.io.path("D", "predicates"))
 
     def graphs(self) -> DataFrame:
-        return self.spark.read.parquet(self.io.path("D", "graphs"))
+        """The graphs dictionary of the CURRENT catalog — SPARQL Update
+        stages EXTEND it (new graph IRIs from INSERT/COPY/LOAD get offset
+        ids), so reading stage D unconditionally would decode post-update
+        graphs to NULL. Falls back to the stage-D dictionary while the
+        initial load is still building (stage D/V run before any catalog
+        commits)."""
+        try:
+            stage = self.last_catalog_stage()
+            rel = self.io.read_catalog(stage).dictionaries.get("graphs")
+        except RuntimeError:
+            rel = None
+        if rel is None:
+            return self.spark.read.parquet(self.io.path("D", "graphs"))
+        return self.spark.read.parquet(os.path.join(self.io.root, rel))
 
     def dicts(self, stage: str | None = None) -> dict:
         """Dictionary DataFrames referenced by the stage's catalog."""

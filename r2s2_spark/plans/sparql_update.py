@@ -604,6 +604,72 @@ def _minus_quads(base: DataFrame, deletes: DataFrame) -> DataFrame:
     )
 
 
+def _map_graph_domain(pm) -> tuple | None:
+    """Static graph domain of one predicate map from the stage-O layout:
+    ``("null",)`` when its rows carry no graph id (decodes to NULL g_iri),
+    ``("const", id)`` when the graph column is virtual (single-graph table
+    — the common case at real-KG scale), ``None`` when physical (scalar
+    multi-graph or graph_set: unknown without a scan)."""
+    g = pm.graph_column
+    if g is None:
+        return ("null",)
+    if not g.physical:
+        if g.virtual_value is None:
+            return ("null",)
+        return ("const", int(g.virtual_value))
+    return None
+
+
+def _clear_may_affect(table, mode: tuple, ids: dict) -> bool:
+    """May ANY row of ``table`` fail the clear's keep predicate? False
+    only when every predicate map's static graph domain PROVES all its
+    rows survive — those tables skip the rebuild entirely (a CLEAR GRAPH
+    of one small graph must not rewrite a 100 TB KG). Physical graph
+    columns stay conservative. ``ids`` maps the clear's target / default
+    IRIs to dictionary ids (None = never seen as a graph, so no stored
+    constant can match)."""
+    for pm in table.predicates:
+        dom = _map_graph_domain(pm)
+        if dom is None:
+            return True
+        if mode[0] == "graph":
+            # keep = g_iri IS NULL OR g_iri != target
+            if (
+                dom[0] == "const"
+                and ids["target"] is not None
+                and dom[1] == ids["target"]
+            ):
+                return True
+        elif mode[0] == "default":
+            # keep = g_iri IS NOT NULL AND g_iri != default
+            if dom[0] == "null":
+                return True
+            if ids["default"] is not None and dom[1] == ids["default"]:
+                return True
+        else:  # named: keep = g_iri IS NULL OR g_iri == default
+            if dom[0] == "const" and (
+                ids["default"] is None or dom[1] != ids["default"]
+            ):
+                return True
+    return False
+
+
+def _clear_graph_ids(pipe, dicts, mode: tuple) -> dict:
+    """Resolve the (at most two) graph IRIs a clear's static test needs to
+    dictionary ids — one tiny isin scan of the graphs dictionary."""
+    want = {pipe.default_graph}
+    if mode[0] == "graph":
+        want.add(mode[1])
+    rows = (
+        dicts["graphs"].where(F.col("iri").isin([w for w in want if w])).collect()
+    )
+    by_iri = {r.iri: r.id for r in rows}
+    return {
+        "default": by_iri.get(pipe.default_graph),
+        "target": by_iri.get(mode[1]) if mode[0] == "graph" else None,
+    }
+
+
 def _tri_with_graph_iri(pipe, tables, reader, dicts) -> DataFrame:
     """Reconstructed triples of ``tables`` with the graph id decoded back
     to its IRI (plain join — the graphs domain is unbounded; AQE
@@ -728,7 +794,15 @@ def apply_update(pipe, deletes, inserts, clear=None) -> str:
         if deletes is not None:
             del_preds = {r.p for r in deletes.select("p").distinct().collect()}
         if clear is not None:
-            affected = list(cat.tables)
+            # static exclusion: a table whose every predicate map carries a
+            # provable graph domain (stage-O virtual constants / no graph
+            # column) that cannot fail the keep predicate is referenced in
+            # place — CLEAR GRAPH of one graph never rewrites the whole KG
+            ids = _clear_graph_ids(pipe, dicts, clear["mode"])
+            affected = [
+                t for t in cat.tables
+                if _clear_may_affect(t, clear["mode"], ids)
+            ]
         else:
             affected = [
                 t for t in cat.tables
@@ -844,12 +918,20 @@ class SparqlUpdateError(ValueError):
 
 def _graph_quads(pipe, g_iri: str) -> DataFrame:
     """All triples of one named graph (or the default graph's IRI) as a
-    lexical quad frame — the source side of ADD/COPY/MOVE."""
+    lexical quad frame — the source side of ADD/COPY/MOVE. Tables whose
+    static graph domain (stage-O virtual constants) proves they cannot
+    hold the graph are pruned before reconstruction, so copying a small
+    graph never scans the whole KG."""
     stage = pipe.last_catalog_stage()
     cat = pipe.catalog(stage)
-    tri = _tri_with_graph_iri(
-        pipe, list(cat.tables), pipe.reader(stage), pipe.dicts(stage)
-    )
+    dicts = pipe.dicts(stage)
+    ids = _clear_graph_ids(pipe, dicts, ("graph", g_iri))
+    tables = [
+        t for t in cat.tables if _clear_may_affect(t, ("graph", g_iri), ids)
+    ]
+    if not tables:
+        return pipe.spark.createDataFrame([], QUAD_SCHEMA)
+    tri = _tri_with_graph_iri(pipe, tables, pipe.reader(stage), dicts)
     return tri.where(F.col("g_iri") == g_iri)
 
 
@@ -965,13 +1047,16 @@ def _run_op(pipe, op: dict) -> str:
             return apply_update(pipe, None, None, clear={"all": True})
         if tgt == "DEFAULT":
             keep = F.col("g_iri").isNotNull() & (F.col("g_iri") != dg)
+            mode = ("default",)
         elif tgt == "NAMED":
             keep = F.col("g_iri").isNull() | (F.col("g_iri") == dg)
+            mode = ("named",)
         else:
             if not _graph_nonempty(pipe, tgt):
                 return pipe.last_catalog_stage()  # already empty: no-op
             keep = F.col("g_iri").isNull() | (F.col("g_iri") != tgt)
-        return apply_update(pipe, None, None, clear={"keep": keep})
+            mode = ("graph", tgt)
+        return apply_update(pipe, None, None, clear={"keep": keep, "mode": mode})
     if op["op"] == "create":
         # graphs exist implicitly: CREATE is a no-op, but creating an
         # EXISTING (non-empty) graph is the spec's error unless SILENT
@@ -993,13 +1078,17 @@ def _run_op(pipe, op: dict) -> str:
             # dst := src, so the destination graph drops first (skipped
             # when dst is already empty — no full-catalog rebuild)
             keep = F.col("g_iri").isNull() | (F.col("g_iri") != dst)
-            stage = apply_update(pipe, None, None, clear={"keep": keep})
+            stage = apply_update(
+                pipe, None, None, clear={"keep": keep, "mode": ("graph", dst)}
+            )
         if _graph_nonempty(pipe, src):
             quads = _graph_quads(pipe, src).withColumn("g_iri", F.lit(dst))
             stage = apply_update(pipe, None, quads)
             if op["op"] == "move":
                 keep = F.col("g_iri").isNull() | (F.col("g_iri") != src)
-                stage = apply_update(pipe, None, None, clear={"keep": keep})
+                stage = apply_update(
+                    pipe, None, None, clear={"keep": keep, "mode": ("graph", src)}
+                )
         return stage
     if op["op"] == "load":
         return _load_op(pipe, op)

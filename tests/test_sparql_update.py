@@ -217,6 +217,114 @@ def test_clear_forms(spark, tmp_path):
     assert pipe2.catalog().tables == []
 
 
+def _graph_kg(spark, tmp_path, wd="wdg"):
+    """Disjoint-subject predicates so each lands in its own table:
+    ``name`` default-graph only, ``color`` graph1 only (both single-graph
+    -> stage O virtualizes their graph columns to constants; each needs
+    TWO rows with distinct object values, else every other column is
+    constant too and the never-empty-the-table guard keeps the graph
+    column physical), ``in`` spanning graph1+graph2 (non-constant ->
+    physical, conservative)."""
+    lines = [
+        f'<{EX}s1> <{EX}name> "anna" .',
+        f'<{EX}s2> <{EX}name> "bob" .',
+        f'<{EX}t1> <{EX}color> "red" <{EX}graph1> .',
+        f'<{EX}t2> <{EX}color> "blue" <{EX}graph1> .',
+        f'<{EX}u1> <{EX}in> <{EX}g1> <{EX}graph1> .',
+        f'<{EX}u2> <{EX}in> <{EX}g2> <{EX}graph2> .',
+    ]
+    pipe = KgPipeline(spark, str(tmp_path / wd))
+    pipe.load(fx.source_files_df(spark, [fx._row("r", "m.nq", "\n".join(lines))]))
+    return pipe
+
+
+def _tables_by_pred(cat):
+    out = {}
+    for t in cat.tables:
+        for pm in t.predicates:
+            out.setdefault(pm.predicate, []).append(t)
+    return out
+
+
+def test_clear_graph_skips_statically_excluded_tables(spark, tmp_path):
+    """CLEAR GRAPH must not rewrite the whole KG: tables whose stage-O
+    virtual graph constant proves a different graph are referenced in
+    place; only tables that MAY hold the target rebuild."""
+    pipe = _graph_kg(spark, tmp_path)
+    before = {t.name: t.path for t in pipe.catalog().tables}
+    pipe.update(f"CLEAR GRAPH <{EX}graph1>")
+    by_pred = _tables_by_pred(pipe.catalog())
+    # default-graph-only table: provably unaffected, referenced in place
+    (name_t,) = by_pred[EX + "name"]
+    assert name_t.path == before[name_t.name]
+    assert not name_t.path.startswith("U1")
+    # graph1-only table: cleared away entirely
+    assert EX + "color" not in by_pred
+    # multi-graph table: conservative rebuild, graph2 rows survive
+    (in_t,) = by_pred[EX + "in"]
+    assert in_t.path.startswith("U1")
+    assert sorted(
+        (r.s, r.g) for r in pipe.triples_with_graph_iri().collect()
+    ) == [
+        (EX + "s1", pipe.default_graph),
+        (EX + "s2", pipe.default_graph),
+        (EX + "u2", EX + "graph2"),
+    ]
+
+
+def test_clear_default_and_named_static_exclusion(spark, tmp_path):
+    pipe = _graph_kg(spark, tmp_path)
+    before = {t.name: t.path for t in pipe.catalog().tables}
+    pipe.update("CLEAR DEFAULT")
+    by_pred = _tables_by_pred(pipe.catalog())
+    assert EX + "name" not in by_pred  # default-graph table cleared away
+    (color_t,) = by_pred[EX + "color"]  # graph1 constant: untouched
+    assert color_t.path == before[color_t.name]
+    assert pipe.triples().count() == 4
+
+    pipe2 = _graph_kg(spark, tmp_path, "wdg2")
+    before2 = {t.name: t.path for t in pipe2.catalog().tables}
+    pipe2.update("CLEAR NAMED")
+    by_pred2 = _tables_by_pred(pipe2.catalog())
+    (name_t,) = by_pred2[EX + "name"]  # default constant: untouched
+    assert name_t.path == before2[name_t.name]
+    assert EX + "color" not in by_pred2
+    assert pipe2.triples().count() == 2
+
+
+def test_copy_prunes_source_scan_statically(spark, tmp_path):
+    """COPY graph1 TO graph3: the source-side reconstruction prunes
+    tables that provably cannot hold graph1 (the default-graph name
+    table), and the copy is correct."""
+    from r2s2_spark.plans.sparql_update import _clear_graph_ids, _clear_may_affect
+
+    pipe = _graph_kg(spark, tmp_path)
+    cat = pipe.catalog()
+    ids = _clear_graph_ids(
+        pipe, pipe.dicts(pipe.last_catalog_stage()), ("graph", EX + "graph1")
+    )
+    may = {
+        t.name
+        for t in cat.tables
+        if _clear_may_affect(t, ("graph", EX + "graph1"), ids)
+    }
+    by_pred = _tables_by_pred(cat)
+    assert by_pred[EX + "name"][0].name not in may  # statically pruned
+    assert by_pred[EX + "color"][0].name in may
+    assert by_pred[EX + "in"][0].name in may  # physical: conservative
+    pipe.update(f"COPY GRAPH <{EX}graph1> TO GRAPH <{EX}graph3>")
+    got = sorted(
+        (r.s, r.o_lex)
+        for r in pipe.triples_with_graph_iri().collect()
+        if r.g == EX + "graph3"
+    )
+    assert got == [
+        (EX + "t1", "red"),
+        (EX + "t2", "blue"),
+        (EX + "u1", EX + "g1"),
+    ]
+
+
 def test_update_sequence_and_stages(spark, tmp_path):
     """';'-separated operations apply in order, one committed stage each;
     the catalog chain stays readable (JSON roundtrip per stage)."""
@@ -309,6 +417,24 @@ def test_graph_management_add_copy_move(spark, tmp_path):
     before = pipe.last_catalog_stage()
     pipe.update(f"MOVE GRAPH <{EX}graph9> TO GRAPH <{EX}graph9>")
     assert pipe.last_catalog_stage() == before
+
+
+def test_new_graph_decodes_in_triples_with_graph_iri(spark, tmp_path):
+    """Regression: graphs() must read the CURRENT catalog's (extended)
+    graphs dictionary — a graph IRI first introduced by an update used to
+    decode to NULL in triples_with_graph_iri (the stage-D dictionary
+    predates it), even though SPARQL GRAPH queries saw it."""
+    pipe = _kg(spark, tmp_path)
+    pipe.update(
+        f'INSERT DATA {{ GRAPH <{EX}brand_new> {{ <{EX}s7> <{EX}name> "gil" }} }}'
+    )
+    rows = [
+        (r.s, r.g)
+        for r in pipe.triples_with_graph_iri().collect()
+        if r.s == EX + "s7"
+    ]
+    assert rows == [(EX + "s7", EX + "brand_new")]
+    assert all(r.g is not None for r in pipe.triples_with_graph_iri().collect())
 
 
 def test_create_graph(spark, tmp_path):
