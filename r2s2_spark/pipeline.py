@@ -834,24 +834,27 @@ class KgPipeline:
         return rewrite_subjects(self.triples("M"), mapping)
 
     # -- accessors ---------------------------------------------------------
-    def predicates(self) -> DataFrame:
-        return self.spark.read.parquet(self.io.path("D", "predicates"))
-
-    def graphs(self) -> DataFrame:
-        """The graphs dictionary of the CURRENT catalog — SPARQL Update
-        stages EXTEND it (new graph IRIs from INSERT/COPY/LOAD get offset
+    def _current_dict(self, name: str) -> DataFrame:
+        """The named dictionary of the CURRENT catalog — SPARQL Update
+        stages EXTEND dictionaries (new graph/predicate IRIs get offset
         ids), so reading stage D unconditionally would decode post-update
-        graphs to NULL. Falls back to the stage-D dictionary while the
+        ids to NULL. Falls back to the stage-D dictionary while the
         initial load is still building (stage D/V run before any catalog
         commits)."""
         try:
             stage = self.last_catalog_stage()
-            rel = self.io.read_catalog(stage).dictionaries.get("graphs")
+            rel = self.io.read_catalog(stage).dictionaries.get(name)
         except RuntimeError:
             rel = None
         if rel is None:
-            return self.spark.read.parquet(self.io.path("D", "graphs"))
+            return self.spark.read.parquet(self.io.path("D", name))
         return self.spark.read.parquet(os.path.join(self.io.root, rel))
+
+    def predicates(self) -> DataFrame:
+        return self._current_dict("predicates")
+
+    def graphs(self) -> DataFrame:
+        return self._current_dict("graphs")
 
     def dicts(self, stage: str | None = None) -> dict:
         """Dictionary DataFrames referenced by the stage's catalog."""
