@@ -151,6 +151,11 @@ from .sparql import (
 
 _AGG_NAMES = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
 
+#: static-shape datatype marker for builtins whose result is NUMERIC but
+#: whose exact XSD type follows the argument (ABS/CEIL/FLOOR/ROUND/RAND):
+#: isNumeric() folds true-when-bound on it, DATATYPE() stays a named error
+_NUMERIC_UNKNOWN = "\x00numeric"
+
 #: the XSD numeric datatypes isNumeric() recognizes (SPARQL §17.4.2.4
 #: over the XPath atomic numeric types and their derived types)
 _NUMERIC_DTS = frozenset(
@@ -914,13 +919,26 @@ class _Parser:
                         "unknown term shape"
                     )
                 if name == "ISNUMERIC":
+                    if tdt == _NUMERIC_UNKNOWN:
+                        # ABS/CEIL/FLOOR/ROUND/RAND: the result is
+                        # numeric whenever the function returned at all
+                        # (§17.4.4) — numeric iff the inner didn't error
+                        return lambda df, e=expr: e(df).isNotNull()
                     ok = tdt is not None and tdt in _NUMERIC_DTS
-                    return lambda df, b=ok: F.lit(b)
-                want = {
-                    "ISIRI": "iri", "ISURI": "iri", "ISBLANK": "bnode",
-                    "ISLITERAL": "literal",
-                }[name]
-                return lambda df, b=(tkind == want): F.lit(b)
+                else:
+                    want = {
+                        "ISIRI": "iri", "ISURI": "iri", "ISBLANK": "bnode",
+                        "ISLITERAL": "literal",
+                    }[name]
+                    ok = tkind == want
+                if isinstance(expr, _Num) or (
+                    isinstance(expr, _Term) and expr.const is not None
+                ):
+                    return lambda df, b=ok: F.lit(b)  # constants never error
+                # an inner ERROR (NULL) must propagate, not fold away
+                return lambda df, b=ok, e=expr: F.when(
+                    e(df).isNotNull(), F.lit(b)
+                )
             k, v = self.next()
             self.eat_op(")")
             var = v[1:]
@@ -957,7 +975,9 @@ class _Parser:
                 if tkind in ("iri", "bnode"):
                     return lambda df: F.lit(None).cast("string")
                 want = tlang if name == "LANG" else tdt
-                if tkind != "literal" or want is None:
+                if tkind != "literal" or want is None or want == _NUMERIC_UNKNOWN:
+                    # _NUMERIC_UNKNOWN: ABS()-family results are numeric
+                    # but their exact XSD type follows the argument
                     raise SparqlUnsupported(
                         f"{name}() over an expression of statically "
                         "unknown term shape"
@@ -1608,9 +1628,9 @@ def _static_shape(name: str, args: list):
     if name == "NOW":
         return ("literal", "", XSD + "dateTime")
     if name in ("ABS", "CEIL", "FLOOR", "ROUND", "RAND"):
-        # numeric result — the exact XSD type follows the argument, so
-        # DATATYPE() stays unknown but isNumeric-style kind is known
-        return ("literal", "", None)
+        # numeric result — the exact XSD type follows the argument:
+        # isNumeric() folds on the marker, DATATYPE() stays a named error
+        return ("literal", "", _NUMERIC_UNKNOWN)
     return None
 
 
@@ -1912,7 +1932,10 @@ def _annotate_subselect_graph_var(sq: dict, gvar: str) -> None:
         uses.update(x for x in pat if isinstance(x, str))
     # a variable SERVICE endpoint is a use the pattern walk cannot see
     uses |= _service_endpoint_vars(sq["where"])
-    if gvar in uses:
+    # BIND targets / VALUES names rebind the name too — their READERS are
+    # opaque lambdas by now, so they cannot be alpha-renamed: named error
+    rebound = gvar in _bound_target_vars(sq["where"])
+    if gvar in uses or rebound:
         nested = any(
             sq2["star"] or name in sq2["select"] or any(
                 gvar in pat
@@ -1927,13 +1950,14 @@ def _annotate_subselect_graph_var(sq: dict, gvar: str) -> None:
         anchored = any(
             len(pat) == 3 for pat in sq["where"].get("patterns") or []
         )
-        if sq["star"] or nested or not anchored or (
+        if sq["star"] or nested or not anchored or rebound or (
             name in sq.get("expr_vars", ())
         ):
             raise SparqlUnsupported(
                 f"subquery inside GRAPH {gvar} already uses {gvar} "
-                "internally (in an expression, a nested sub-SELECT, "
-                "under SELECT *, or with no outer-scoped pattern)"
+                "internally (in an expression, a BIND/VALUES binding, "
+                "a nested sub-SELECT, under SELECT *, or with no "
+                "outer-scoped pattern)"
             )
         # pattern-only internal reuse: rename every occurrence (term and
         # scope positions) to a fresh variable — the §18.2.1 alpha-rename
@@ -1947,6 +1971,31 @@ def _annotate_subselect_graph_var(sq: dict, gvar: str) -> None:
             sq["group_by"] = [gvar]
         elif gvar not in sq["group_by"]:
             sq["group_by"] = [*sq["group_by"], gvar]
+
+
+def _bound_target_vars(g) -> set:
+    """Every BIND target and VALUES name bound anywhere in a parsed group
+    dict (nested modifier groups, union branches, sub-SELECTs, SERVICE
+    bodies included), as ``?name`` strings — bindings the pattern walk
+    cannot see."""
+    out = set()
+    if isinstance(g, dict):
+        out |= {v for _, v in g.get("binds") or []}
+        for names, _rows in g.get("values") or []:
+            out |= {"?" + n for n in names}
+        for sub in (
+            *(g.get("optional") or []), *(g.get("minus") or []),
+            *(g.get("exists") or []), *(g.get("not_exists") or []),
+        ):
+            out |= _bound_target_vars(sub)
+        for block in g.get("unions") or []:
+            for branch in block:
+                out |= _bound_target_vars(branch)
+        for sq in g.get("subselects") or []:
+            out |= _bound_target_vars(sq["where"])
+        for svc in g.get("services") or []:
+            out |= _bound_target_vars(svc["select"]["where"])
+    return out
 
 
 def _group_patterns_text(g) -> list:
@@ -2123,6 +2172,15 @@ def _service_frames(pipe, grp, stage):
     frames, mu0_vars, framed_vars = [], set(), set()
     for svc in grp.get("services") or []:
         ep = svc["endpoint"]
+        # outer term inspection (LANG/DATATYPE/is*/sameTerm) over a var
+        # this block binds: the endpoint-side compile must carry the
+        # hidden metadata columns out through its projection — without
+        # this the outer read falls back to the type-error NULL even for
+        # genuinely pattern-bound endpoint variables
+        need_meta = {
+            v[1:] for v in (svc["select"].get("meta_vars") or ())
+        } & svc_vars(svc)
+        svc["select"]["keep_meta"] = bool(need_meta)
         try:
             if ep.startswith("?"):
                 # SERVICE ?e: evaluate against EVERY registered endpoint,
@@ -2184,12 +2242,15 @@ def _variable_endpoint_frame(registry, svc, ename: str, stage):
     return out
 
 
-def _mu0_binds(grp, mu0_vars: set):
+def _mu0_binds(grp, mu0_vars: set, frames=()):
     """NULL-binds for the μ0 (SERVICE SILENT failure) variables that
     nothing else in the group binds — those columns must still exist
     for the projection, unbound per the spec. "Bound elsewhere" covers
     the group's patterns (modifier groups and union branches included),
-    BIND targets, and VALUES names."""
+    BIND targets, VALUES names, and every column a compiled frame
+    (sub-SELECT / successful SERVICE) provides — frame columns include
+    expression ALIASES (``(MAX(?o) AS ?m)``) that no pattern walk can
+    see; NULL-binding over one would blank a real joined column."""
     bound = {
         x[1:]
         for pat in _group_patterns_text({**grp, "services": []})
@@ -2199,6 +2260,8 @@ def _mu0_binds(grp, mu0_vars: set):
     bound |= {v[1:] for _, v in grp.get("binds") or []}
     for names, _rows in grp.get("values") or []:
         bound |= set(names)
+    for f in frames:
+        bound |= {c for c in f.columns if not c.startswith("__")}
     return [
         (lambda df: F.lit(None).cast("string"), "?" + v)
         for v in sorted(mu0_vars - bound)
@@ -2224,7 +2287,9 @@ def _resolve_subselects(pipe, grp, stage):
     out["services"] = []
     if mu0:
         # ahead of user binds, so a BIND may read the NULL column
-        out["binds"] = _mu0_binds(grp, mu0) + list(out.get("binds") or [])
+        out["binds"] = _mu0_binds(grp, mu0, out["frames"]) + list(
+            out.get("binds") or []
+        )
     for key in ("optional", "minus", "exists", "not_exists"):
         out[key] = [_resolve_subselects(pipe, x, stage) for x in out.get(key, [])]
     out["unions"] = [
@@ -2255,7 +2320,7 @@ def _compile_select(pipe, q: dict, stage: str | None):
 
     unions = w["unions"]
     pure_union = bool(unions) and not w["patterns"]
-    if pure_union and len(unions) == 1 and not (
+    if pure_union and len(unions) == 1 and not q.get("keep_meta") and not (
         q["agg"] or values or w["subselects"] or w["services"]
         or q["select_exprs"]
         or w["filters"] or w["optional"] or w["minus"] or w["binds"]
@@ -2346,7 +2411,7 @@ def _compile_select(pipe, q: dict, stage: str | None):
         frames += svc_frames
         if mu0:
             # ahead of user binds, so a BIND may read the NULL column
-            binds = _mu0_binds(w, mu0) + binds
+            binds = _mu0_binds(w, mu0, frames) + binds
         groups = {
             key: [_resolve_subselects(pipe, x, stage) for x in w[key]]
             for key in ("optional", "minus", "exists", "not_exists")
@@ -2386,6 +2451,10 @@ def _compile_select(pipe, q: dict, stage: str | None):
             having=q["having"],
             term_meta=frozenset(q.get("meta_vars") or ()),
             named_graphs=named,
+            # SERVICE-body compiles set keep_meta so the frame carries
+            # the hidden term-metadata columns OUT to the enclosing
+            # group (outer LANG()/DATATYPE() over service-bound vars)
+            keep_meta=bool(q.get("keep_meta")),
         )
         if keyonly_group:
             # HAVING over a no-aggregate grouping filters the grouped
@@ -2584,7 +2653,7 @@ def _where_solutions(pipe, q: dict, stage: str | None, keep_meta: bool = False):
     binds = list(w["binds"])
     if mu0:
         # ahead of user binds, so a BIND may read the NULL column
-        binds = _mu0_binds(w, mu0) + binds
+        binds = _mu0_binds(w, mu0, frames) + binds
     frames += [
         bgp_union_on_pipeline(
             pipe,

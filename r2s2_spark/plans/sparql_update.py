@@ -342,6 +342,10 @@ class _UpdateParser(_Parser):
         if kind == "word" and val == "a":
             self.next()
             return ("iri", RDF + "type")
+        if kind == "word" and val.lower() in ("true", "false"):
+            # BooleanLiteral is valid anywhere a literal is (§19.8)
+            self.next()
+            return ("literal", Literal(val.lower(), datatype=XSD + "boolean"))
         if kind == "bnode" or val == "[":
             if bnodes == "forbid":
                 raise SparqlSyntaxError("blank node in DELETE quads (spec-forbidden)")
@@ -632,13 +636,9 @@ def _clear_may_affect(table, mode: tuple, ids: dict) -> bool:
         dom = _map_graph_domain(pm)
         if dom is None:
             return True
-        if mode[0] == "graph":
-            # keep = g_iri IS NULL OR g_iri != target
-            if (
-                dom[0] == "const"
-                and ids["target"] is not None
-                and dom[1] == ids["target"]
-            ):
+        if mode[0] in ("graph", "graphs"):
+            # keep = g_iri IS NULL OR g_iri not in targets
+            if dom[0] == "const" and dom[1] in ids["targets"]:
                 return True
         elif mode[0] == "default":
             # keep = g_iri IS NOT NULL AND g_iri != default
@@ -655,18 +655,23 @@ def _clear_may_affect(table, mode: tuple, ids: dict) -> bool:
 
 
 def _clear_graph_ids(pipe, dicts, mode: tuple) -> dict:
-    """Resolve the (at most two) graph IRIs a clear's static test needs to
-    dictionary ids — one tiny isin scan of the graphs dictionary."""
-    want = {pipe.default_graph}
-    if mode[0] == "graph":
-        want.add(mode[1])
+    """Resolve the few graph IRIs a clear's static test needs to
+    dictionary ids — one tiny isin scan of the graphs dictionary. A
+    target IRI the dictionary has never seen resolves to nothing (no
+    stored constant can match it)."""
+    targets = (
+        (mode[1],) if mode[0] == "graph"
+        else tuple(mode[1]) if mode[0] == "graphs"
+        else ()
+    )
+    want = {pipe.default_graph, *targets}
     rows = (
         dicts["graphs"].where(F.col("iri").isin([w for w in want if w])).collect()
     )
     by_iri = {r.iri: r.id for r in rows}
     return {
         "default": by_iri.get(pipe.default_graph),
-        "target": by_iri.get(mode[1]) if mode[0] == "graph" else None,
+        "targets": {by_iri[t] for t in targets if t in by_iri},
     }
 
 
@@ -905,7 +910,17 @@ def apply_update(pipe, deletes, inserts, clear=None) -> str:
         finally:
             new_stmts.unpersist()
 
-    pipe.runner.run(stage, fn)
+    # the delete/insert frames are read several times (predicate-set
+    # collect, the keep anti-join / set-semantics anti-join, routing) and
+    # may sit on an expensive WHERE plan — compute that plan once
+    cached = [d for d in (deletes, inserts) if d is not None]
+    for d in cached:
+        d.persist()
+    try:
+        pipe.runner.run(stage, fn)
+    finally:
+        for d in cached:
+            d.unpersist()
     return stage
 
 
@@ -1067,29 +1082,40 @@ def _run_op(pipe, op: dict) -> str:
         return pipe.last_catalog_stage()
     if op["op"] in ("add", "copy", "move"):
         # §3.2.5-3.2.7 over our default-graph convention (the loader
-        # fills graph-less triples with pipe.default_graph)
+        # fills graph-less triples with pipe.default_graph). ONE atomic
+        # stage per operation: the destination drop (COPY/MOVE), the
+        # retargeted source insert, and the source drop (MOVE) all commit
+        # together — a failure mid-operation leaves the pre-operation
+        # catalog current, never a half-applied state (both the clear's
+        # keep filter and the insert quads read the same immutable
+        # previous snapshot).
         dg = pipe.default_graph
         src = op["src"] or dg
         dst = op["dst"] or dg
         if src == dst:
             return pipe.last_catalog_stage()  # spec: same-graph is a no-op
-        stage = pipe.last_catalog_stage()
+        drop = []
         if op["op"] in ("copy", "move") and _graph_nonempty(pipe, dst):
-            # dst := src, so the destination graph drops first (skipped
-            # when dst is already empty — no full-catalog rebuild)
-            keep = F.col("g_iri").isNull() | (F.col("g_iri") != dst)
-            stage = apply_update(
-                pipe, None, None, clear={"keep": keep, "mode": ("graph", dst)}
-            )
-        if _graph_nonempty(pipe, src):
-            quads = _graph_quads(pipe, src).withColumn("g_iri", F.lit(dst))
-            stage = apply_update(pipe, None, quads)
-            if op["op"] == "move":
-                keep = F.col("g_iri").isNull() | (F.col("g_iri") != src)
-                stage = apply_update(
-                    pipe, None, None, clear={"keep": keep, "mode": ("graph", src)}
-                )
-        return stage
+            drop.append(dst)  # dst := src (skipped when already empty)
+        src_nonempty = _graph_nonempty(pipe, src)
+        if op["op"] == "move" and src_nonempty:
+            drop.append(src)
+        quads = (
+            _graph_quads(pipe, src).withColumn("g_iri", F.lit(dst))
+            if src_nonempty else None
+        )
+        if not drop and quads is None:
+            return pipe.last_catalog_stage()  # both sides empty: no-op
+        clear = None
+        if drop:
+            cond = F.col("g_iri") != drop[0]
+            for g in drop[1:]:
+                cond = cond & (F.col("g_iri") != g)
+            clear = {
+                "keep": F.col("g_iri").isNull() | cond,
+                "mode": ("graphs", tuple(drop)),
+            }
+        return apply_update(pipe, None, quads, clear=clear)
     if op["op"] == "load":
         return _load_op(pipe, op)
     if op["op"] == "insert_data":
@@ -1104,6 +1130,25 @@ def _run_op(pipe, op: dict) -> str:
         tmpl_vars |= _template_vars(op["delete"])
     if op["insert"]:
         tmpl_vars |= _template_vars(op["insert"])
+    # a template variable bound by a PROPERTY PATH has no tracked term
+    # kind (closures carry NULL metadata — plans/sparql.py path_meta), so
+    # instantiation would silently drop every row instead of erroring:
+    # reject it by name, as the module contract promises
+    from .sparql_text import _group_patterns_text
+
+    path_vars = set()
+    for pat in _group_patterns_text(op["where"]):
+        if len(pat) >= 3 and not isinstance(pat[1], str):
+            path_vars |= {
+                x for x in (pat[0], pat[2])
+                if isinstance(x, str) and x.startswith("?")
+            }
+    bad = sorted(tmpl_vars & path_vars)
+    if bad:
+        raise SparqlUnsupported(
+            f"update template variable(s) {', '.join(bad)} bound by a "
+            "property path (term kind is not tracked through closures)"
+        )
     q = {
         "form": "update",
         "where": op["where"],

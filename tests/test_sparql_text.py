@@ -2491,3 +2491,113 @@ def test_timezone_from_lexical(spark, tmp_path):
         ("e4", None),
         ("e5", "PT0S"),
     ]
+
+
+# -- round-5 review fixes ----------------------------------------------------
+
+
+def test_isnumeric_over_abs_family(spark, tmp_path):
+    """isNumeric(ABS(?x)) must hold when ABS returned a value — the
+    ABS/CEIL/FLOOR/ROUND family's result is numeric by definition even
+    though its exact XSD type follows the argument (it used to
+    constant-fold to FALSE); DATATYPE over the same shape stays a named
+    error."""
+    nt = "\n".join(
+        [
+            f'<{EX}n1> <{EX}v> "-7"^^<{XSD}integer> .',
+            f'<{EX}n2> <{EX}v> "3"^^<{XSD}integer> .',
+        ]
+    )
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    pipe.load(fx.source_files_df(spark, [fx._row("r", "n.nt", nt)]))
+    out = sparql_query(
+        pipe,
+        f"SELECT ?s WHERE {{ ?s <{EX}v> ?x FILTER(isNumeric(ABS(?x))) }}"
+        " ORDER BY ?s",
+    )
+    assert [r.s for r in out.collect()] == [EX + "n1", EX + "n2"]
+    with pytest.raises(SparqlUnsupported, match="unknown term shape"):
+        sparql_query(
+            pipe,
+            f"SELECT ?s WHERE {{ ?s <{EX}v> ?x "
+            f'FILTER(DATATYPE(ABS(?x)) = <{XSD}integer>) }}',
+        )
+    # an inner error must propagate, not fold away: isLiteral(STRLANG(...))
+    # over an errored inner value is an error (no row), not TRUE
+    out2 = sparql_query(
+        pipe,
+        f"SELECT ?s WHERE {{ ?s <{EX}v> ?x "
+        'FILTER(isLiteral(STRLANG(?x, "en"))) }',
+    )
+    assert out2.count() == 2  # STRLANG succeeds here: still literal
+
+
+def test_service_vars_keep_term_metadata(fedpair):
+    """Outer LANG()/DATATYPE()/isLiteral() over a variable bound inside
+    a SERVICE block: the endpoint-side compile carries the hidden term
+    metadata out through its star projection (it used to drop it, so the
+    outer read fell back to the type-error NULL and filtered everything)."""
+    out = sparql_query(
+        fedpair,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?l WHERE {{
+          ?s a ex:T .
+          SERVICE <urn:svc:labels> {{ ?s <{RDFS}label> ?l }}
+          FILTER(LANG(?l) = "" && isLiteral(?l))
+        }} ORDER BY ?s""",
+    )
+    assert [(r.s, r.l) for r in out.collect()] == [
+        (EX + "s1", "one"),
+        (EX + "s2", "two"),
+    ]
+    out2 = sparql_query(
+        fedpair,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s WHERE {{
+          ?s a ex:T .
+          SERVICE <urn:svc:labels> {{ ?s <{RDFS}label> ?l }}
+          FILTER(DATATYPE(?l) = <{XSD}string>)
+        }} ORDER BY ?s""",
+    )
+    assert [r.s for r in out2.collect()] == [EX + "s1", EX + "s2"]
+
+
+def test_service_silent_mu0_skips_subquery_alias(fedpair):
+    """A failed SERVICE SILENT block must not NULL-bind over a variable a
+    sub-SELECT provides as an expression ALIAS (no pattern walk can see
+    it) — only the block's exclusive variables NULL-bind."""
+    out = sparql_query(
+        fedpair,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?s ?m ?x WHERE {{
+          {{ SELECT ?s (COUNT(?t) AS ?m) WHERE {{ ?s a ?t }} GROUP BY ?s }}
+          SERVICE SILENT <urn:svc:gone> {{ ?x <{EX}q> ?m }}
+        }} ORDER BY ?s""",
+    )
+    assert [(r.s, r.m, r.x) for r in out.collect()] == [
+        (EX + "s1", 1, None),
+        (EX + "s2", 1, None),
+        (EX + "s3", 1, None),
+    ]
+
+
+def test_subselect_graph_var_bind_values_rejected(twograph):
+    """BIND(... AS ?g) / VALUES ?g inside a sub-SELECT under GRAPH ?g
+    rebinds the name where readers are opaque lambdas — named error, not
+    a silent overwrite of the graph-scope column."""
+    with pytest.raises(SparqlUnsupported, match="BIND/VALUES"):
+        sparql_query(
+            twograph,
+            f"""SELECT ?g ?s WHERE {{ GRAPH ?g {{
+              {{ SELECT ?s WHERE {{
+                   ?s <{RDFS}label> ?o . BIND("oops" AS ?g) }} }}
+            }} }}""",
+        )
+    with pytest.raises(SparqlUnsupported, match="BIND/VALUES"):
+        sparql_query(
+            twograph,
+            f"""SELECT ?g ?s WHERE {{ GRAPH ?g {{
+              {{ SELECT ?s WHERE {{
+                   ?s <{RDFS}label> ?o . VALUES ?g {{ "v" }} }} }}
+            }} }}""",
+        )

@@ -710,3 +710,66 @@ def test_insert_template_bnode_duplicate_solutions_distinct(spark, tmp_path):
     marks = [r for r in pipe.triples().collect() if r.p == EX + "mark"]
     assert len(marks) == 2
     assert len({r.o_lex for r in marks}) == 2
+
+
+def test_update_template_path_bound_var_named_error(spark, tmp_path):
+    """A template variable bound by a PROPERTY PATH has no tracked term
+    kind — instantiation would silently drop every row; the module
+    contract promises a named error instead."""
+    pipe = _kg(spark, tmp_path)
+    with pytest.raises(SparqlUnsupported, match="property path"):
+        pipe.update(
+            f"DELETE {{ ?a <{EX}reach> ?b }} "
+            f"WHERE {{ ?a <{EX}in>+ ?b }}"
+        )
+    with pytest.raises(SparqlUnsupported, match="property path"):
+        # bound by a path AND a plain pattern: still rejected — metadata
+        # through the join is first-pattern-wins, i.e. order-dependent
+        pipe.update(
+            f"INSERT {{ ?s <{EX}tag> \"t\" }} "
+            f"WHERE {{ ?s <{EX}in>* ?x . ?s <{EX}name> ?n }}"
+        )
+    # a path used only for SELECTION (no template var touches it) is fine
+    pipe.update(
+        f"INSERT {{ <{EX}s1> <{EX}allnames> ?n }} "
+        f"WHERE {{ ?s <{EX}name> ?n . ?s <{EX}in>* ?x }}"
+    )
+    assert sparql_query(
+        pipe, f"SELECT ?n WHERE {{ <{EX}s1> <{EX}allnames> ?n }}"
+    ).count() == 2  # anna + bob, deduped across path solutions
+
+
+def test_update_boolean_literals(spark, tmp_path):
+    """true/false are valid literals in quad data and templates (§19.8)."""
+    pipe = _kg(spark, tmp_path)
+    pipe.update(f"INSERT DATA {{ <{EX}s1> <{EX}ok> true }}")
+    out = sparql_query(pipe, f"SELECT ?v WHERE {{ <{EX}s1> <{EX}ok> ?v }}")
+    assert [r.v for r in out.collect()] == ["true"]
+    pipe.update(f"DELETE DATA {{ <{EX}s1> <{EX}ok> true }}")
+    assert sparql_query(
+        pipe, f"SELECT ?v WHERE {{ <{EX}s1> <{EX}ok> ?v }}"
+    ).count() == 0
+
+
+def test_move_commits_one_atomic_stage(spark, tmp_path):
+    """MOVE (and COPY over a non-empty destination) commit ONE stage: the
+    destination drop, the retargeted insert, and the source drop are a
+    single snapshot — a failure mid-operation can never leave a
+    half-applied state (it used to be 2-3 independently committed
+    stages)."""
+    pipe = _graph_kg(spark, tmp_path)
+    pipe.update(f'INSERT DATA {{ GRAPH <{EX}dstg> {{ <{EX}d1> <{EX}color> "old" }} }}')
+    assert pipe.last_catalog_stage() == "U1"
+    pipe.update(f"MOVE GRAPH <{EX}graph1> TO GRAPH <{EX}dstg>")
+    assert pipe.last_catalog_stage() == "U2"  # exactly one new stage
+    rows = sorted(
+        (r.s, r.g) for r in pipe.triples_with_graph_iri().collect()
+    )
+    assert (EX + "d1", EX + "dstg") not in rows      # dst replaced
+    assert not [r for r in rows if r[1] == EX + "graph1"]  # src emptied
+    assert (EX + "t1", EX + "dstg") in rows and (EX + "u1", EX + "dstg") in rows
+    pipe.update(f"COPY GRAPH <{EX}graph2> TO GRAPH <{EX}dstg>")
+    assert pipe.last_catalog_stage() == "U3"
+    assert sparql_query(
+        pipe, f"SELECT ?s WHERE {{ GRAPH <{EX}dstg> {{ ?s ?p ?o }} }}"
+    ).count() == 1  # dst := graph2's single triple
