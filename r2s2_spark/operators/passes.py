@@ -46,6 +46,11 @@ from .dictionaries import UNBOUNDED_DICTS, build_dictionary
 
 INT_MAX = 2147483647
 
+#: target rows per shuffle task in the rdf:type split write — classes
+#: above this get a count-derived salt (capped 32) so the Zipf-head
+#: class never rides one straggler task
+SPLIT_ROWS_PER_TASK = 2_000_000
+
 
 # --------------------------------------------------------------------------
 # 1. rdf:type splitting ("class cracking")
@@ -76,15 +81,60 @@ def split_type_tables(
             continue
         df = spark.read.parquet(f"{v_data_path}/t={t.name}")
         o_cols = [f"o_{k}" for k in PART_KEYS]
-        classes = df.select(*o_cols).distinct().collect()
+        # one groupBy instead of a distinct: the per-class counts feed the
+        # children's row_count (stage O's big/small batching split would
+        # otherwise classify EVERY split child as small — a Zipf-head
+        # class like foaf:Person would ride a fused batch job) and size
+        # the write salt below
+        classes = df.groupBy(*o_cols).count().collect()
         # class IRI (for the table name) reassembled in Python — same
         # template as functions.uri.reassemble_iri
         split_dir = os.path.join(out_dir, t.name)
         key = F.md5(F.concat_ws("\x00", *[F.coalesce(F.col(c), F.lit("\x01")) for c in o_cols]))
-        df.withColumn("_cls", key).repartition("_cls").write.mode("overwrite").partitionBy(
-            "_cls"
-        ).parquet(split_dir)
-        for i, row in enumerate(sorted(classes, key=lambda r: str(tuple(r)))):
+
+        def cls_md5(row) -> str:
+            parts_key = "\x00".join(
+                (row[f"o_{k}"] if row[f"o_{k}"] is not None else "\x01")
+                for k in PART_KEYS
+            )
+            return hashlib.md5(parts_key.encode("utf-8")).hexdigest()
+
+        # rdf:type class frequency is Zipfian: repartition("_cls") alone
+        # puts the hottest class in ONE shuffle task (the skew stage V
+        # salts (t, salt) to avoid). Salt each class by a count-derived
+        # factor — 1 for small classes (no extra files), bounded for hot
+        # ones — so no task exceeds ~SPLIT_ROWS_PER_TASK rows
+        salt_df = spark.createDataFrame(
+            [
+                (
+                    cls_md5(r),
+                    max(1, min(32, -(-r["count"] // SPLIT_ROWS_PER_TASK))),
+                )
+                for r in classes
+            ],
+            "_cls string, _nsalt int",
+        )
+        (
+            df.withColumn("_cls", key)
+            .join(F.broadcast(salt_df), "_cls")
+            .withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.col("_nsalt")),
+            )
+            .repartition("_cls", "_salt")
+            .drop("_salt", "_nsalt")
+            .write.mode("overwrite")
+            .partitionBy("_cls")
+            .parquet(split_dir)
+        )
+        for i, row in enumerate(
+            # key on the class parts only (NOT the count) so the naming
+            # fallback index is stable against count changes
+            sorted(
+                classes,
+                key=lambda r: str(tuple(r[f"o_{k}"] for k in PART_KEYS)),
+            )
+        ):
             cls_iri = _reassemble_py({k: row[f"o_{k}"] for k in PART_KEYS})
             name = _type_table_name(cls_iri, catalog.namespaces, used, len(used))
             used.add(name)
@@ -99,27 +149,30 @@ def split_type_tables(
                         graph_column=replace(pm.graph_column),
                     )
                 ],
+                row_count=row["count"],
             )
             new_tables.append(child)
-            parts_key = "\x00".join(
-                (row[f"o_{k}"] if row[f"o_{k}"] is not None else "\x01") for k in PART_KEYS
-            )
-            md5 = hashlib.md5(parts_key.encode("utf-8")).hexdigest()
-            paths[name] = f"{split_dir}/_cls={md5}"
+            paths[name] = f"{split_dir}/_cls={cls_md5(row)}"
     catalog.tables = new_tables
     return catalog, paths
 
 
 def _reassemble_py(parts: dict[str, str | None]) -> str:
+    """Python twin of functions.uri.reassemble_iri — every presence test
+    is ``is not None`` (NOT truthiness) to match the Catalyst twin's
+    isNotNull semantics exactly: an empty-but-present user_info/host
+    (``http://@host/x``, ``file:///x``) must reassemble identically in
+    both, else two distinct class IRIs could collide into one table
+    name. Cross-checked by test_reassemble_py_matches_catalyst."""
     out = ""
-    if parts["scheme"]:
+    if parts["scheme"] is not None:
         out += parts["scheme"] + ":"
-    if parts["host"]:
+    if parts["host"] is not None:
         out += "//"
-        if parts["user_info"]:
+        if parts["user_info"] is not None:
             out += parts["user_info"] + "@"
         out += parts["host"]
-        if parts["port"]:
+        if parts["port"] is not None:
             out += ":" + parts["port"]
         out += parts["path"] or ""
         if parts["query"] is not None:
@@ -175,11 +228,11 @@ def _narrow_target(table_dt: str | None, cs: ColumnSpec) -> str | None:
 
 def _decimal_lexical(col):
     """decimal -> lexical string with trailing fraction zeros trimmed —
-    MUST stay identical to plans.r2rml._lexical's decimal rendering (the
-    reconstruction inverse the guard below verifies against)."""
-    return F.regexp_replace(
-        F.regexp_replace(col.cast("string"), r"(\.\d*?)0+$", "$1"), r"\.$", ""
-    )
+    the narrowing guard verifies against the reconstruction inverse, so
+    this IS plans.r2rml.decimal_lexical (one shared definition)."""
+    from ..plans.r2rml import decimal_lexical
+
+    return decimal_lexical(col)
 
 
 def _guard_expr(c, target: str):
@@ -465,12 +518,9 @@ def fused_reopt_probe(
                     *[F.col(c).alias(f"c{i}") for i, c in enumerate(df.columns)],
                 )
             )
-        # balanced-tree union (left-deep chains are O(T^2) analyzer work)
-        while len(parts) > 1:
-            parts = [
-                parts[i].unionByName(parts[i + 1]) if i + 1 < len(parts) else parts[i]
-                for i in range(0, len(parts), 2)
-            ]
+        from ..plans.r2rml import balanced_union
+
+        parts = [balanced_union(parts)]
         aggs = [F.count(F.lit(1)).alias("__n")]
         for i in range(len(key)):
             c = F.col(f"c{i}")

@@ -27,7 +27,12 @@ from .operators import vertical
 from .operators.dictionaries import build_dictionary
 from .operators.extract import extract
 from .plans.catalog import Catalog, TableSpec
-from .plans.r2rml import distinct_types, mapping_document, reconstruct_triples
+from .plans.r2rml import (
+    balanced_union,
+    distinct_types,
+    mapping_document,
+    reconstruct_triples,
+)
 from .plans.tableio import StageIO, StageRunner
 from .sources.fixtures import DEFAULT_GRAPH
 
@@ -169,13 +174,9 @@ def _write_batched(
             ob = Observation()
             obs.append((t.name, ob))
             parts.append(branch.observe(ob, F.count(F.lit(1)).alias("n")))
-        # balanced-tree union (left-deep chains are O(T^2) analyzer work)
-        while len(parts) > 1:
-            parts = [
-                parts[i].union(parts[i + 1]) if i + 1 < len(parts) else parts[i]
-                for i in range(0, len(parts), 2)
-            ]
-        u = parts[0]
+        # balanced-tree union via the one shared helper (branches share
+        # the generic (t, c0..cN) schema, so by-name == positional)
+        u = balanced_union(parts)
         dest = os.path.join(abs_dir, str(g))
         u.write.mode("overwrite").partitionBy("t").parquet(dest)
         return {name: int(ob.get["n"]) for name, ob in obs}
@@ -719,14 +720,27 @@ class KgPipeline:
             target = max(1, math.ceil(size / (compact_target_mb * 1024 * 1024)))
             if n_files <= target:
                 return 0, 0
-            tmp = d + ".vacuum"
+            # dot-prefixed temp/trash names: Spark partition discovery
+            # ignores hidden dirs, so a crashed compaction can never leave
+            # a phantom t=<name>.vacuum partition inside a batch root
+            base = os.path.dirname(d)
+            tmp = os.path.join(base, f".{os.path.basename(d)}.vacuum")
+            trash = os.path.join(base, f".{os.path.basename(d)}.trash")
+            import shutil as sh
+
+            for leftover in (tmp, trash):  # idempotent retry
+                if os.path.exists(leftover):
+                    sh.rmtree(leftover)
             self.spark.read.parquet(d).coalesce(target).write.mode(
                 "overwrite"
             ).parquet(tmp)
-            import shutil as sh
-
-            sh.rmtree(d)
+            # never delete committed data before its replacement is in
+            # place: d -> trash, tmp -> d, then drop trash. A crash
+            # between the renames leaves the full data in the hidden
+            # trash dir (recoverable), not destroyed.
+            os.rename(d, trash)
             os.rename(tmp, d)
+            sh.rmtree(trash)
             return n_files, dir_stats(d)[0]
 
         for before, after in _pooled_map(compact_one, catalog.tables):
@@ -741,10 +755,12 @@ class KgPipeline:
         # (ADVICE r2 — the previous sweep rmtree'd every non-committed dir).
         import shutil as sh
 
+        import re as _re_u
+
         for entry in os.listdir(self.io.root):
             d = os.path.join(self.io.root, entry)
             if (
-                entry in KNOWN_STAGES
+                (entry in KNOWN_STAGES or _re_u.fullmatch(r"U\d+", entry))
                 and os.path.isdir(d)
                 and not self.io.is_committed(entry)
             ):
@@ -856,10 +872,13 @@ class KgPipeline:
     def graphs(self) -> DataFrame:
         return self._current_dict("graphs")
 
-    def dicts(self, stage: str | None = None) -> dict:
-        """Dictionary DataFrames referenced by the stage's catalog."""
+    def dicts(self, stage: str | None = None, cat: Catalog | None = None) -> dict:
+        """Dictionary DataFrames referenced by the stage's catalog. Pass
+        an already-loaded ``cat`` to skip re-parsing catalog.json — at a
+        real-KG vocabulary (10^4-10^5 TableSpecs) the catalog is tens of
+        MB and every query entry point otherwise parses it twice."""
         stage = stage or self.last_catalog_stage()
-        cat = self.io.read_catalog(stage)
+        cat = cat or self.io.read_catalog(stage)
         out = {}
         for name, rel in cat.dictionaries.items():
             out[name] = self.spark.read.parquet(os.path.join(self.io.root, rel))
@@ -939,7 +958,8 @@ class KgPipeline:
     # -- products ------------------------------------------------------
     def triples(self, stage: str | None = None) -> DataFrame:
         stage = stage or self.last_catalog_stage()
-        return reconstruct_triples(self.catalog(stage), self.reader(stage), self.dicts(stage))
+        cat = self.catalog(stage)
+        return reconstruct_triples(cat, self.reader(stage), self.dicts(stage, cat))
 
     def triples_with_graph_iri(self, stage: str | None = None) -> DataFrame:
         # NO forced broadcast: the graph domain is unbounded by design
@@ -952,7 +972,8 @@ class KgPipeline:
 
     def distinct_types(self, stage: str | None = None) -> DataFrame:
         stage = stage or self.last_catalog_stage()
-        return distinct_types(self.catalog(stage), self.reader(stage), self.dicts(stage))
+        cat = self.catalog(stage)
+        return distinct_types(cat, self.reader(stage), self.dicts(stage, cat))
 
     def write_mapping(self, stage: str | None = None) -> str:
         stage = stage or self.last_catalog_stage()

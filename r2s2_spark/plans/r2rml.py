@@ -45,6 +45,17 @@ def balanced_union(frames: list) -> DataFrame:
     return frames[0]
 
 
+def decimal_lexical(col) -> "F.Column":
+    """decimal -> lexical string with trailing fraction zeros trimmed.
+    THE canonical rendering: the narrowing guard (operators.passes) and
+    both reconstruction paths (_lexical / _flex_lexical) must share this
+    exact form — a divergence silently breaks the guard's exact-inverse
+    contract for narrowed decimals."""
+    return F.regexp_replace(
+        F.regexp_replace(col.cast("string"), r"(\.\d*?)0+$", "$1"), r"\.$", ""
+    )
+
+
 def _lexical(spec: ColumnSpec, col) -> "F.Column":
     """Physical/virtual column -> its lexical (string) form, undoing
     narrowing (OptimizeForDatatype), LCP factoring and gYear encoding."""
@@ -58,11 +69,7 @@ def _lexical(spec: ColumnSpec, col) -> "F.Column":
                 base < 0, F.concat(F.lit("-"), F.format_string("%04d", -base))
             ).otherwise(F.format_string("%04d", base))
         elif spec.sql_type.startswith("decimal"):
-            base = F.regexp_replace(
-                F.regexp_replace(base.cast("string"), r"(\.\d*?)0+$", "$1"),
-                r"\.$",
-                "",
-            )
+            base = decimal_lexical(base)
         else:
             base = base.cast("string")
     if spec.lcp_prefix:
@@ -114,11 +121,7 @@ def _flex_lexical(spec: ColumnSpec, col, vcol, lcol) -> "F.Column":
                 base < 0, F.concat(F.lit("-"), F.format_string("%04d", -base))
             ).otherwise(F.format_string("%04d", base))
         elif spec.sql_type.startswith("decimal"):
-            base = F.regexp_replace(
-                F.regexp_replace(base.cast("string"), r"(\.\d*?)0+$", "$1"),
-                r"\.$",
-                "",
-            )
+            base = decimal_lexical(base)
         else:
             base = base.cast("string")
     if spec.lcp_prefix:
@@ -433,6 +436,19 @@ def distinct_types(
 # -- mapping document --------------------------------------------------------
 
 
+def _ttl_escape(s: str) -> str:
+    """Turtle string-literal escaping for the mapping document — data
+    constants (virtual values) may carry quotes/backslashes/newlines."""
+    return (
+        str(s)
+        .replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+
+
 def _template(specs: list[ColumnSpec], kind: str) -> str:
     """R2RML-ish template string: constants inlined, physical columns as
     {name} placeholders (R2RMLFromTables.java:139-217)."""
@@ -446,7 +462,14 @@ def _template(specs: list[ColumnSpec], kind: str) -> str:
         if s is None:
             return ""
         if not s.physical:
-            return f"{prefix}{s.virtual_value}" if s.virtual_value is not None else ""
+            # a column can be LCP-stripped FIRST and virtualized later
+            # (post-merge reopt): virtual_value holds the STRIPPED form,
+            # so the template must re-prepend the prefix exactly like
+            # _lexical does at reconstruction
+            return (
+                f"{prefix}{s.lcp_prefix}{s.virtual_value}"
+                if s.virtual_value is not None else ""
+            )
         return f"{prefix}{s.lcp_prefix}{{{s.name}}}"
 
     host = by_part.get("host")
@@ -472,7 +495,8 @@ def mapping_document(catalog: Catalog) -> str:
         lines.append(f"r2s2s:map_{t.name} a rr:TriplesMap ;")
         lines.append(f'  rr:logicalTable [ rr:tableName "{t.name}" ] ;')
         lines.append(
-            f'  rr:subjectMap [ rr:template "{_template(t.subject_columns, t.subject_kind)}" ] ;'
+            f"  rr:subjectMap [ rr:template "
+            f'"{_ttl_escape(_template(t.subject_columns, t.subject_kind))}" ] ;'
         )
         for pm in t.predicates:
             lines.append("  rr:predicateObjectMap [")
@@ -487,12 +511,13 @@ def mapping_document(catalog: Catalog) -> str:
                 ref = (
                     f'rr:column "{val.name}"'
                     if val.physical
-                    else f'rr:constant "{val.virtual_value}"'
+                    else f'rr:constant "{_ttl_escape(val.virtual_value)}"'
                 )
                 lines.append(f"    rr:objectMap [ {ref} ; {extra} ] ;")
             else:
                 lines.append(
-                    f'    rr:objectMap [ rr:template "{_template(pm.columns, pm.obj_kind)}" ] ;'
+                    f'    rr:objectMap [ rr:template '
+                    f'"{_ttl_escape(_template(pm.columns, pm.obj_kind))}" ] ;'
                 )
             lines.append("  ] ;")
         lines.append("  .")

@@ -197,3 +197,29 @@ def test_column_pruning_reaches_scan(spark):
     assert m, plan
     read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert read_cols == {"doc_id", "text"}, read_cols
+
+
+def test_vacuum_sweeps_uncommitted_update_stage(spark, tmp_path):
+    """A crash between an update's begin() and commit() leaves an
+    uncommitted U{k} dir; vacuum must sweep it like any other
+    uncommitted stage leftover (U names are not in KNOWN_STAGES)."""
+    import os
+
+    from r2s2_spark.naming import EX
+    from r2s2_spark.pipeline import KgPipeline
+    from r2s2_spark.sources import fixtures as fx
+
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    pipe.load(
+        fx.source_files_df(
+            spark, [fx._row("r", "m.nt", f'<{EX}s1> <{EX}name> "anna" .')]
+        )
+    )
+    orphan = os.path.join(pipe.io.root, "U7")
+    os.makedirs(os.path.join(orphan, "tables"))
+    with open(os.path.join(orphan, "tables", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    pipe.vacuum()
+    assert not os.path.exists(orphan)
+    # committed stages stay
+    assert pipe.triples().count() == 1

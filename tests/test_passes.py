@@ -223,3 +223,80 @@ def test_pooled_stage_jobs_deterministic(spark, tmp_path, monkeypatch):
         outs[pool] = (cat.to_json(), trips)
     assert outs[1][0] == outs[8][0]
     assert outs[1][1] == outs[8][1]
+
+
+def test_reassemble_py_matches_catalyst(spark):
+    """_reassemble_py (the rdf:type split's class-IRI naming) must agree
+    with functions.uri.reassemble_iri for every decomposable IRI — a
+    divergence (e.g. truthiness vs isNotNull on an empty-but-present
+    user_info/host) would let two distinct class IRIs collide into one
+    table name."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from r2s2_spark.functions.uri import PART_KEYS, reassemble_iri
+    from r2s2_spark.functions.uri_pandas import decompose_series
+    from r2s2_spark.operators.passes import _reassemble_py
+
+    iris = [
+        "http://example.org/a/B",
+        "http://@host/x",          # empty-but-present user_info
+        "file:///x",               # empty authority (host == "")
+        "http://host:8080/p?q=1#f",
+        "http://host/p?",          # empty-but-present query
+        "http://host/p#",          # empty-but-present fragment
+        "urn:uuid:abc",            # no authority: ssp branch
+        "mailto:a@b.example",
+        "http://u:pw@host:80/",
+    ]
+    parts_pdf = decompose_series(pd.Series(iris, dtype=object))
+    py_out = [
+        _reassemble_py(
+            {
+                k: (None if pd.isna(parts_pdf[k].iloc[i]) else parts_pdf[k].iloc[i])
+                for k in PART_KEYS
+            }
+        )
+        for i in range(len(iris))
+    ]
+    sdf = spark.createDataFrame(
+        parts_pdf[list(PART_KEYS)].astype(object).where(parts_pdf.notna(), None)
+    )
+    cat_out = [
+        r.out
+        for r in sdf.select(
+            reassemble_iri({k: F.col(k) for k in PART_KEYS}).alias("out")
+        ).collect()
+    ]
+    assert py_out == cat_out == iris
+
+
+def test_type_split_children_carry_row_counts(spark, tmp_path):
+    """Split children must carry their per-class row counts OUT of the
+    split — stage O's big/small batching decision reads them, and a
+    None count would route a Zipf-head class through the fused
+    small-table batch write."""
+    from r2s2_spark.operators import passes
+
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    lines = [f"<{EX}s{i}> <{RDF}type> <{EX}Big> ." for i in range(7)] + [
+        f"<{EX}t1> <{RDF}type> <{EX}Small> ."
+    ]
+    src = fx.source_files_df(spark, [fx._row("r", "t.nt", "\n".join(lines))])
+    pipe.stage_e(src)
+    pipe.stage_d()
+    pipe.stage_v()
+    cat = pipe.catalog("V")
+    cat2, paths = passes.split_type_tables(
+        spark, cat, pipe.io.path("V", "data"), str(tmp_path / "split")
+    )
+    counts = {
+        t.name: t.row_count
+        for t in cat2.tables
+        if t.predicates[0].predicate.endswith("#type")
+    }
+    assert sorted(counts.values()) == [1, 7]
+    # the written partition dirs agree with the counts
+    for name, path in paths.items():
+        n = spark.read.parquet(path).count()
+        assert n == counts[name]
