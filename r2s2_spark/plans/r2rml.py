@@ -56,6 +56,14 @@ def decimal_lexical(col) -> "F.Column":
     )
 
 
+def virtual_graph_id(gc) -> int | None:
+    """A virtual graph column's constant id — None when the column was
+    all-NULL at virtualization time (virtual_value None), a state the
+    update module's graph-domain classifier models; int() on it would
+    crash plan construction."""
+    return None if gc.virtual_value is None else int(gc.virtual_value)
+
+
 def _lexical(spec: ColumnSpec, col) -> "F.Column":
     """Physical/virtual column -> its lexical (string) form, undoing
     narrowing (OptimizeForDatatype), LCP factoring and gYear encoding."""
@@ -228,7 +236,7 @@ def table_triples(
     if g is None:
         g_col = F.lit(None).cast("bigint")
     elif not g.physical:
-        g_col = F.lit(int(g.virtual_value)).cast("bigint")
+        g_col = F.lit(virtual_graph_id(g)).cast("bigint")
     elif g.part == "graph_set":
         g_col = F.col(g.name)  # exploded below (generators can't nest)
         explode_graphs = True
@@ -278,7 +286,7 @@ def _stacked_table_triples(
         if gc is None:
             g_arr = F.array(F.lit(None).cast("bigint"))
         elif not gc.physical:
-            g_arr = F.array(F.lit(int(gc.virtual_value)).cast("bigint"))
+            g_arr = F.array(F.lit(virtual_graph_id(gc)).cast("bigint"))
         elif gc.part == "graph_set":
             g_arr = F.col(gc.name).cast("array<bigint>")
         else:

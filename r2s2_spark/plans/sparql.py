@@ -57,6 +57,7 @@ from .r2rml import (
     _term_exprs,
     balanced_union as _balanced_union,
     reconstruct_triples,
+    virtual_graph_id,
 )
 
 
@@ -479,7 +480,7 @@ def _fused_scan(raw, members, dicts, graph_needed: bool):
             if cs.lcp_prefix:
                 row.append(cs.lcp_prefix)
         if g_virtual:
-            row.append(int(pm.graph_column.virtual_value))
+            row.append(virtual_graph_id(pm.graph_column))
         rows.append(tuple(row))
     consts = spark.createDataFrame(rows, ", ".join(fields))
 
@@ -648,7 +649,7 @@ def _pattern_frame(
             return F.lit(None).cast("bigint"), False
         if not gc.physical:
             base = virtual_col if virtual_col is not None else F.lit(
-                int(gc.virtual_value)
+                virtual_graph_id(gc)
             )
             return base.cast("bigint"), False
         if gc.part == "graph_set":
@@ -689,7 +690,7 @@ def _pattern_frame(
                     g_arr = F.array(F.lit(None).cast("bigint"))
                 elif not gc.physical:
                     g_arr = F.array(
-                        F.lit(int(gc.virtual_value)).cast("bigint")
+                        F.lit(virtual_graph_id(gc)).cast("bigint")
                     )
                 elif gc.part == "graph_set":
                     g_arr = F.col(gc.name).cast("array<bigint>")
@@ -906,10 +907,16 @@ def _pattern_frame(
         bind(o, "__o")
     elif isinstance(o, Literal):
         df = df.where(F.col("__o") == o.lex)
-        if o.lang is not None:
-            df = df.where(F.col("__ol") == o.lang)
-        if o.datatype is not None:
-            df = df.where(F.col("__od") == o.datatype)
+        # path closures carry lexical forms only (__ol/__od are NULL by
+        # construction), so a lang/datatype-qualified endpoint compares
+        # on the lexical form — the same documented narrowing as
+        # _zero_length's constant endpoints; filtering NULL metadata
+        # would drop every legitimate match
+        if not is_path:
+            if o.lang is not None:
+                df = df.where(F.col("__ol") == o.lang)
+            if o.datatype is not None:
+                df = df.where(F.col("__od") == o.datatype)
     else:
         df = df.where(F.col("__o") == o)
     if g_is_var:
@@ -1283,6 +1290,40 @@ def bgp(
         out = out.join(sub, on=shared, how="inner") if shared else out.crossJoin(sub)
         bound |= sub_vars
     if values:
+        if optional:
+            # VALUES joins HERE (before the optional left-joins), but §18.2
+            # translates group elements in textual order — and the parser
+            # collapses positions. When a VALUES variable is bound ONLY
+            # inside an OPTIONAL group the two orders genuinely differ
+            # (VALUES-after-OPTIONAL must filter the optional's bindings;
+            # the early join cross-joins instead), so that combination is
+            # a named error rather than a silent wrong answer. A VALUES
+            # variable bound by the required part is order-insensitive.
+            opt_vars: set = set()
+            for grp_ in optional:
+                for pat in _group_patterns(grp_):
+                    opt_vars |= {
+                        x[1:] for x in pat
+                        if isinstance(x, str) and x.startswith("?")
+                    }
+                if isinstance(grp_, dict):
+                    opt_vars |= {
+                        v[1:] for _, v in grp_.get("binds") or []
+                    }
+            for var_names, _rows in values:
+                amb = sorted(
+                    {v[1:] if v.startswith("?") else v for v in var_names}
+                    & (opt_vars - bound)
+                )
+                if amb:
+                    raise SparqlCompileError(
+                        "VALUES over variable(s) bound only inside an "
+                        f"OPTIONAL group ({', '.join(amb)}): evaluation "
+                        "order is position-dependent (SPARQL §18.2.2.6) "
+                        "and the textual position is not preserved — "
+                        "bind the variable in the required part or move "
+                        "the constraint into a FILTER"
+                    )
         for var_names, rows in values:
             names = [v[1:] if v.startswith("?") else v for v in var_names]
             out, bound = join_values(out, names, rows, bound)

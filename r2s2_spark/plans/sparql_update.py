@@ -75,6 +75,7 @@ from .sparql_text import (
     _Parser,
     SparqlSyntaxError,
     SparqlUnsupported,
+    _unquote,
     _where_solutions,
 )
 
@@ -355,12 +356,14 @@ class _UpdateParser(_Parser):
                 self.next()
                 self.eat_op("]")
                 self.anon += 1
-                return ("bnode", f"__anon{self.anon}")
+                # NUL-prefixed label: no parseable user label can collide
+                # (a user-written _:__anon1 must stay a DISTINCT bnode)
+                return ("bnode", f"\x00anon{self.anon}")
             self.next()
             return ("bnode", val[2:])
         if kind == "string":
             self.next()
-            lex = _unquote_local(val)
+            lex = _unquote(val)
             nk, nv = self.peek()
             if nv == "@":
                 self.next()
@@ -397,12 +400,6 @@ def _untag(t: tuple):
     if kind == "bnode":
         return "?__bn_" + val  # pattern position: bnode == scoped variable
     return val  # Literal
-
-
-def _unquote_local(raw: str) -> str:
-    from .sparql_text import _unquote
-
-    return _unquote(raw)
 
 
 def parse_update(text: str) -> list[dict]:
@@ -445,7 +442,12 @@ def _data_quads(pipe, quads: list[tuple], stage: str) -> DataFrame:
 
 
 def _template_quads(
-    pipe, templates: list[tuple], sol: DataFrame, with_g, stage: str | None = None
+    pipe,
+    templates: list[tuple],
+    sol: DataFrame,
+    with_g,
+    stage: str | None = None,
+    pred_vars: frozenset = frozenset(),
 ) -> DataFrame:
     """Instantiate tagged quad templates against a solution frame ->
     lexical quad frame. Variable term kinds come from the hidden
@@ -519,8 +521,11 @@ def _template_quads(
                 F.col(META_DT + n),
             )
             return kc, F.col(n), lang, dt
-        if pos == "p":
-            # predicate-position bindings are IRIs by construction
+        if val in pred_vars:
+            # a var bound in PREDICATE POSITION of a WHERE pattern is an
+            # IRI by construction (in any template position); a
+            # BIND/VALUES-bound var is NOT — the raise below keeps
+            # arbitrary literal text out of the predicates dictionary
             null = F.lit(None).cast("string")
             return F.lit("iri"), F.col(n), null, null
         raise SparqlUnsupported(
@@ -613,7 +618,15 @@ def _map_graph_domain(pm) -> tuple | None:
     ``("null",)`` when its rows carry no graph id (decodes to NULL g_iri),
     ``("const", id)`` when the graph column is virtual (single-graph table
     — the common case at real-KG scale), ``None`` when physical (scalar
-    multi-graph or graph_set: unknown without a scan)."""
+    multi-graph or graph_set: unknown without a scan).
+
+    The ``("null",)`` state is defensive: no supported flow produces it
+    (the loader fills graph-less triples with the default-graph IRI and
+    every update quad frame filters NULL g_iri), so the classifier only
+    needs to be CONSERVATIVE about it — CLEAR DEFAULT treats such rows
+    as default-graph members (rebuilds), graph-targeted ops as
+    non-members (NULL never equals a target IRI), matching the keep
+    predicates they prune for."""
     g = pm.graph_column
     if g is None:
         return ("null",)
@@ -1037,7 +1050,7 @@ def _load_op(pipe, op: dict) -> str:
             F.col("o_lang"),
             F.col("o_datatype"),
             (F.lit(op["into"]) if op["into"] else F.col("g_iri")).alias("g_iri"),
-        )
+        ).distinct()  # an RDF document is a SET: a repeated line is one triple
         return apply_update(pipe, None, quads)
     finally:
         raw.unpersist()
@@ -1136,13 +1149,18 @@ def _run_op(pipe, op: dict) -> str:
     # reject it by name, as the module contract promises
     from .sparql_text import _group_patterns_text
 
-    path_vars = set()
+    path_vars, pred_vars = set(), set()
     for pat in _group_patterns_text(op["where"]):
-        if len(pat) >= 3 and not isinstance(pat[1], str):
+        if len(pat) < 3:
+            continue
+        if not isinstance(pat[1], str):
             path_vars |= {
                 x for x in (pat[0], pat[2])
                 if isinstance(x, str) and x.startswith("?")
             }
+        elif pat[1].startswith("?"):
+            # bound in predicate position: an IRI by construction
+            pred_vars.add(pat[1])
     bad = sorted(tmpl_vars & path_vars)
     if bad:
         raise SparqlUnsupported(
@@ -1166,16 +1184,28 @@ def _run_op(pipe, op: dict) -> str:
         froms, named = op["using"]
         q["graph"] = (froms[0] if len(froms) == 1 else tuple(froms)) if froms else None
         q["named"] = named
-    sol = _where_solutions(pipe, q, None, keep_meta=True)
-    # the stage index is fixed BEFORE minting so template bnode ids are a
-    # pure function of (stage, solutions) — apply_update recomputes the
-    # same k (nothing commits in between), keeping retries identical
-    k = _next_update_index(pipe)
-    deletes = (
-        _template_quads(pipe, op["delete"], sol, op["with"]) if op["delete"] else None
-    )
-    inserts = (
-        _template_quads(pipe, op["insert"], sol, op["with"], stage=f"U{k}")
-        if op["insert"] else None
-    )
-    return apply_update(pipe, deletes, inserts)
+    # persist the SHARED solution frame: with both templates present the
+    # (possibly expensive) WHERE plan would otherwise execute once per
+    # template materialization — the per-frame persists in apply_update
+    # cache each derived frame, not this common subtree
+    sol = _where_solutions(pipe, q, None, keep_meta=True).persist()
+    try:
+        # the stage index is fixed BEFORE minting so template bnode ids
+        # are a pure function of (stage, solutions) — apply_update
+        # recomputes the same k (nothing commits in between), keeping
+        # retries identical
+        k = _next_update_index(pipe)
+        deletes = (
+            _template_quads(pipe, op["delete"], sol, op["with"], pred_vars=frozenset(pred_vars))
+            if op["delete"] else None
+        )
+        inserts = (
+            _template_quads(
+                pipe, op["insert"], sol, op["with"], stage=f"U{k}",
+                pred_vars=frozenset(pred_vars),
+            )
+            if op["insert"] else None
+        )
+        return apply_update(pipe, deletes, inserts)
+    finally:
+        sol.unpersist()

@@ -2601,3 +2601,63 @@ def test_subselect_graph_var_bind_values_rejected(twograph):
                    ?s <{RDFS}label> ?o . VALUES ?g {{ "v" }} }} }}
             }} }}""",
         )
+
+
+def test_path_with_typed_literal_object(spark, tmp_path):
+    """A lang/datatype-qualified literal endpoint on a property path
+    matches on the LEXICAL form (the closure carries no term metadata —
+    same documented narrowing as zero-length constant endpoints); it
+    used to filter NULL metadata and return zero rows."""
+    nt = "\n".join(
+        [
+            f"<{EX}a> <{EX}next> <{EX}b> .",
+            f'<{EX}b> <{EX}next> "7"^^<{XSD}integer> .',
+            f'<{EX}c> <{EX}lab> "x"@en .',
+        ]
+    )
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    pipe.load(fx.source_files_df(spark, [fx._row("r", "p.nt", nt)]))
+    out = sparql_query(
+        pipe,
+        f'SELECT ?s WHERE {{ ?s <{EX}next>+ "7"^^<{XSD}integer> }} ORDER BY ?s',
+    )
+    assert [r.s for r in out.collect()] == [EX + "a", EX + "b"]
+    out2 = sparql_query(
+        pipe, f'SELECT ?s WHERE {{ ?s <{EX}lab>? "x"@en }} ORDER BY ?s'
+    )
+    # "x" is the §9.3 zero-length self-match (the constant endpoint
+    # matches itself); ex:c is the one-step match
+    assert [r.s for r in out2.collect()] == [EX + "c", "x"]
+
+
+def test_values_only_optional_bound_is_named_error(spark, tmp_path):
+    """VALUES over a variable bound ONLY inside an OPTIONAL group is
+    position-dependent per §18.2.2.6 and the textual position is lost —
+    named error instead of a silently wrong early join; a VALUES var
+    bound by the required part stays order-insensitive and works."""
+    from r2s2_spark.plans.sparql import SparqlCompileError
+
+    nt = "\n".join(
+        [
+            f"<{EX}a> <{EX}p> <{EX}b> .",
+            f'<{EX}b> <{EX}q> "2" .',
+        ]
+    )
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    pipe.load(fx.source_files_df(spark, [fx._row("r", "v.nt", nt)]))
+    with pytest.raises(SparqlCompileError, match="OPTIONAL"):
+        sparql_query(
+            pipe,
+            f"""SELECT ?s ?v WHERE {{
+              ?s <{EX}p> ?o OPTIONAL {{ ?o <{EX}q> ?v }}
+              VALUES ?v {{ "1" }}
+            }}""",
+        )
+    ok = sparql_query(
+        pipe,
+        f"""SELECT ?s ?o WHERE {{
+          ?s <{EX}p> ?o OPTIONAL {{ ?o <{EX}q> ?v }}
+          VALUES ?o {{ <{EX}b> }}
+        }}""",
+    )
+    assert [r.s for r in ok.collect()] == [EX + "a"]

@@ -773,3 +773,51 @@ def test_move_commits_one_atomic_stage(spark, tmp_path):
     assert sparql_query(
         pipe, f"SELECT ?s WHERE {{ GRAPH <{EX}dstg> {{ ?s ?p ?o }} }}"
     ).count() == 1  # dst := graph2's single triple
+
+
+def test_update_template_predicate_var_contract(spark, tmp_path):
+    """A template variable in predicate position is an IRI by
+    construction ONLY when bound in predicate position of a WHERE
+    pattern; BIND-bound text must stay a named error, not extend the
+    predicates dictionary with arbitrary strings."""
+    pipe = _kg(spark, tmp_path)
+    # pattern-pred-bound: allowed (archive every s1 statement as-is)
+    pipe.update(
+        f"INSERT {{ GRAPH <{EX}arch> {{ ?s ?p ?o }} }} "
+        f"WHERE {{ ?s ?p ?o . FILTER(?s = <{EX}s1>) }}"
+    )
+    n = sparql_query(
+        pipe, f"SELECT ?p WHERE {{ GRAPH <{EX}arch> {{ ?s ?p ?o }} }}"
+    ).count()
+    assert n == 2  # s1's name + age
+    with pytest.raises(SparqlUnsupported, match="statically-tracked"):
+        pipe.update(
+            f"INSERT {{ ?s ?p2 <{EX}o> }} "
+            f'WHERE {{ ?s <{EX}name> ?n . BIND(CONCAT("x ", ?n) AS ?p2) }}'
+        )
+
+
+def test_load_dedupes_document(spark, tmp_path):
+    """A document repeating the same triple LOADs as ONE triple (an RDF
+    graph is a set)."""
+    doc = tmp_path / "dup.nt"
+    doc.write_text(
+        f'<{EX}s9> <{EX}name> "zoe" .\n<{EX}s9> <{EX}name> "zoe" .\n'
+    )
+    pipe = _kg(spark, tmp_path)
+    pipe.update(f"LOAD <file://{doc}>")
+    out = sparql_query(pipe, f"SELECT ?n WHERE {{ <{EX}s9> <{EX}name> ?n }}")
+    assert [r.n for r in out.collect()] == ["zoe"]
+    assert pipe.triples().count() == 5
+
+
+def test_anon_bnode_label_no_collision(spark, tmp_path):
+    """'[]' anon bnodes mint in a namespace no user label can reach — a
+    user-written _:__anon1 stays a DISTINCT blank node."""
+    pipe = _kg(spark, tmp_path)
+    pipe.update(
+        f'INSERT DATA {{ [] <{EX}tag> "a" . _:__anon1 <{EX}tag> "b" }}'
+    )
+    rows = [r for r in pipe.triples().collect() if r.p == EX + "tag"]
+    assert len(rows) == 2
+    assert rows[0].s != rows[1].s  # two distinct bnodes
