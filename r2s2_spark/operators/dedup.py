@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 from ..functions import hashing, text
 
 
+def _pair_partitions(spark) -> int:
+    """Partition count for the candidate-pair self-joins: one wave over
+    the cluster's cores (defaultParallelism tracks the real executor
+    count — never a hard-coded local width). Overridable for A/B runs via
+    spark.r2s2.pairPartitions."""
+    v = spark.conf.get("spark.r2s2.pairPartitions", None)
+    return int(v) if v else 2 * spark.sparkContext.defaultParallelism
+
+
 def deterministic_shard(id_col: str) -> "F.Column":
     """Deterministic 16-way shard key from the first hex digit of
     md5(id) — replayable verbatim by a SQL oracle (DuckDB has the same
@@ -116,6 +125,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     id_col: str = "doc_id",
     max_bucket: int = 50,
+    chunk_rows: int = 2048,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band become a candidate pair (a < b).
 
@@ -125,27 +135,114 @@ def lsh_candidate_pairs(
     loses recall SILENTLY from this frame's point of view — run
     :func:`lsh_truncation_stats` with the same parameters to quantify it
     (north rule: no silent caps).
+
+    Pair generation never shuffles the pair set itself:
+
+    - cross-band duplicates are dropped by a FIRST-SHARED-BAND join filter
+      instead of a ``distinct()`` — a pair is emitted only by the lowest
+      band whose capped bucket both members share, so the result is the
+      same distinct set without an exchange over O(pairs) rows (the old
+      plan shuffled every generated pair; at hot-bucket corpora that
+      exchange was ~10x the cost of generating the pairs);
+    - within a bucket the self-join is CHUNKED: members are split into
+      ``ceil(max_bucket / chunk_rows)`` rank ranges and each chunk pair
+      becomes its own join key, so one hot bucket fans out to
+      O(n_chunks^2) parallel tasks instead of one straggler task. Task
+      work is bounded by chunk_rows^2 regardless of corpus size.
     """
+    n_bands = (k + rows_per_band - 1) // rows_per_band
+    n_chunks = max(1, -(-max_bucket // chunk_rows))
     buckets = _lsh_buckets(sigs, k, rows_per_band, id_col)
     w = Window.partitionBy("band_no", "band").orderBy(id_col)
-    capped = (
-        buckets.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= max_bucket)
-        .drop("rn")
+    capped = buckets.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= max_bucket
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col(f"a.band_no") == F.col(f"b.band_no"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # pivot to one row per doc: surviving bucket value + rank per band
+    # (NULL = truncated out of that band's bucket by the cap)
+    surv = capped.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("band_no") == b, F.col("band"))).alias(f"__sb{b}")
+            for b in range(n_bands)
+        ],
+        *[
+            F.max(F.when(F.col("band_no") == b, F.col("rn"))).alias(f"__rn{b}")
+            for b in range(n_bands)
+        ],
+    )
+    # re-explode to join rows. Each surviving (doc, band) emits its chunk
+    # keys for both join roles: role 0 rows carry (own_chunk, t) for every
+    # t >= own_chunk, role 1 rows carry (s, own_chunk) for every
+    # s <= own_chunk — a pair with chunks (ca <= cb) then matches on
+    # exactly one (ka, kb) = (ca, cb) key, once. Both join sides read the
+    # SAME frame (role is a join condition, not a pre-join filter), so the
+    # exchange is planned once and reused.
+    empty = F.expr("array()").cast(
+        "array<struct<__band_no:int,__band:string,__role:int,__ka:int,__kb:int>>"
+    )
+    def _band_entries(b):
+        cb = F.floor((F.col(f"__rn{b}") - F.lit(1)) / F.lit(chunk_rows)).cast("int")
+
+        def mk(role, ka, kb):
+            return F.struct(
+                F.lit(b).alias("__band_no"),
+                F.col(f"__sb{b}").alias("__band"),
+                F.lit(role).alias("__role"),
+                ka.cast("int").alias("__ka"),
+                kb.cast("int").alias("__kb"),
+            )
+
+        return F.concat(
+            F.transform(F.sequence(cb, F.lit(n_chunks - 1)), lambda t: mk(0, cb, t)),
+            F.transform(F.sequence(F.lit(0), cb), lambda s: mk(1, s, cb)),
         )
-        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
-        .distinct()
+
+    per_band = [F.coalesce(_band_entries(b), empty) for b in range(n_bands)]
+    rows = surv.select(
+        F.col(id_col),
+        *[F.col(f"__sb{b}") for b in range(n_bands)],
+        F.explode(F.concat(*per_band)).alias("__e"),
+    ).select(id_col, *[f"__sb{b}" for b in range(n_bands)], "__e.*")
+    # explicit keyed repartition on the join keys, with an explicit
+    # partition count (the session's configured shuffle parallelism, NOT a
+    # hard-coded core count): the bucket rows are tiny, so AQE would
+    # coalesce this exchange to ~1 partition and the O(pairs) join OUTPUT
+    # — the actual work — would run single-threaded. A user repartition
+    # with explicit N is exempt from AQE coalescing, satisfies the join's
+    # required distribution (no second exchange), and is planned ONCE for
+    # both sides (identical subtrees -> reused exchange).
+    rows = rows.repartition(
+        _pair_partitions(sigs.sparkSession),
+        "__band_no", "__band", "__ka", "__kb",
     )
-    return pairs
+    a = rows.alias("a")
+    b_ = rows.alias("b")
+    # role as a BOTH-SIDES comparison (roles are 0/1, so `<` means L-R
+    # exactly): a single-side `a.__role == 0` would be pushed down as a
+    # per-child filter, making the two join children differ and defeating
+    # exchange reuse (the whole sigs pipeline would compute twice)
+    cond = (
+        (F.col("a.__band_no") == F.col("b.__band_no"))
+        & (F.col("a.__band") == F.col("b.__band"))
+        & (F.col("a.__ka") == F.col("b.__ka"))
+        & (F.col("a.__kb") == F.col("b.__kb"))
+        & (F.col("a.__role") < F.col("b.__role"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    # first-shared-band dedup (replaces the full-width distinct): for
+    # every earlier band j, drop the pair iff BOTH members survived j's
+    # cap in the SAME bucket (they were emitted there already). A NULL
+    # survival (truncated at j) never suppresses — the pair was not
+    # emitted at j.
+    for j in range(n_bands - 1):
+        cond = cond & (
+            (F.col("a.__band_no") <= F.lit(j))
+            | ~F.coalesce(
+                F.col(f"a.__sb{j}") == F.col(f"b.__sb{j}"), F.lit(False)
+            )
+        )
+    return a.join(b_, cond).select(
+        F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+    )
 
 
 def _lsh_buckets(sigs: DataFrame, k: int, rows_per_band: int, id_col: str) -> DataFrame:
@@ -164,6 +261,64 @@ def _lsh_buckets(sigs: DataFrame, k: int, rows_per_band: int, id_col: str) -> Da
     return buckets
 
 
+def lsh_truncation_stats_multi(
+    sigs: DataFrame,
+    caps: tuple[int, ...],
+    k: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Recall-loss metrics for :func:`lsh_candidate_pairs` at SEVERAL caps
+    in one pass: (cap, n_buckets_truncated, n_members_dropped) per cap.
+
+    Widths come off the SAME (band_no, band) window shuffle the pair
+    generation uses (row_number + an unordered count over one partition
+    spec, then one row per bucket) — so when this frame is unioned with
+    the capped pairs in a single query, the bands/sigs subtree is planned
+    once and the exchange is reused instead of re-tokenizing the corpus
+    per cap."""
+    buckets = _lsh_buckets(sigs, k, rows_per_band, id_col)
+    w = Window.partitionBy("band_no", "band").orderBy(id_col)
+    ww = Window.partitionBy("band_no", "band")
+    widths = (
+        buckets.withColumn("rn", F.row_number().over(w))
+        .withColumn("width", F.count(F.lit(1)).over(ww))
+        .where(F.col("rn") == 1)
+        .select("width")
+    )
+    one = widths.agg(
+        *[
+            agg
+            for cap in caps
+            for agg in (
+                F.coalesce(
+                    F.sum((F.col("width") > cap).cast("bigint")), F.lit(0)
+                ).alias(f"__b{cap}"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("width") > cap, F.col("width") - cap).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias(f"__d{cap}"),
+            )
+        ]
+    )
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(cap).alias("cap"),
+                        F.col(f"__b{cap}").alias("n_buckets_truncated"),
+                        F.col(f"__d{cap}").alias("n_members_dropped"),
+                    )
+                    for cap in caps
+                ]
+            )
+        ).alias("__s")
+    ).select("__s.*")
+
+
 def lsh_truncation_stats(
     sigs: DataFrame,
     k: int = 8,
@@ -175,24 +330,9 @@ def lsh_truncation_stats(
     same parameters: how many buckets exceeded ``max_bucket`` and how many
     member rows the cap dropped. Emit/log this next to any capped run —
     a silent cap reads as full recall when it isn't."""
-    return (
-        _lsh_buckets(sigs, k, rows_per_band, id_col)
-        .groupBy("band_no", "band")
-        .agg(F.count(F.lit(1)).alias("width"))
-        .agg(
-            F.coalesce(
-                F.sum((F.col("width") > max_bucket).cast("bigint")), F.lit(0)
-            ).alias("n_buckets_truncated"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("width") > max_bucket, F.col("width") - max_bucket
-                    ).otherwise(0)
-                ),
-                F.lit(0),
-            ).alias("n_members_dropped"),
-        )
-    )
+    return lsh_truncation_stats_multi(
+        sigs, (max_bucket,), k=k, rows_per_band=rows_per_band, id_col=id_col
+    ).select("n_buckets_truncated", "n_members_dropped")
 
 
 def token_jaccard_pairs(
@@ -352,30 +492,63 @@ def embedding_candidate_pairs(
         hashing.rademacher_planes(n_bits, dim, band=band) for band in range(n_bands)
     ]
     if use_arrow:
-        buckets = hashing.hyperplane_buckets_pandas(emb, vec_col, bands_planes, id_col)
-    else:
-        pieces = [
-            emb.select(
-                F.lit(band).alias("band_no"),
-                hashing.hyperplane_bucket(F.col(vec_col), planes).alias("bkt"),
-                F.col(id_col),
-            )
-            for band, planes in enumerate(bands_planes)
-        ]
-        buckets = pieces[0]
-        for p in pieces[1:]:
-            buckets = buckets.unionByName(p)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        exploded = hashing.hyperplane_buckets_pandas(emb, vec_col, bands_planes, id_col)
+        wide = exploded.groupBy(id_col).agg(
+            *[
+                F.max(F.when(F.col("band_no") == i, F.col("bkt"))).alias(f"__bk{i}")
+                for i in range(n_bands)
+            ]
         )
-        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
-        .distinct()
+    else:
+        wide = emb.select(
+            F.col(id_col),
+            *[
+                hashing.hyperplane_bucket(F.col(vec_col), planes).alias(f"__bk{i}")
+                for i, planes in enumerate(bands_planes)
+            ],
+        )
+    # one row per (vec, band), every band's bucket carried alongside so
+    # cross-band duplicate pairs die to a FIRST-SHARED-BAND join filter
+    # instead of a distinct() exchange over the whole pair set (same
+    # rewrite as lsh_candidate_pairs; buckets are never NULL here, so no
+    # cap-survival bookkeeping is needed). Both join sides are the same
+    # frame — the exchange is planned once and reused.
+    rows = wide.select(
+        F.col(id_col),
+        *[F.col(f"__bk{i}") for i in range(n_bands)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("__band_no"),
+                        F.col(f"__bk{i}").alias("__bkt"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("__e"),
+    ).select(id_col, *[f"__bk{i}" for i in range(n_bands)], "__e.*")
+    # same explicit keyed repartition as lsh_candidate_pairs: the bucket
+    # rows are a few MB, AQE would coalesce the exchange to ~1 partition,
+    # and the pair GENERATION plus whatever scoring the caller fuses after
+    # it (cosine over millions of candidates) would run single-threaded
+    rows = rows.repartition(
+        _pair_partitions(emb.sparkSession), "__band_no", "__bkt"
+    )
+    a = rows.alias("a")
+    b = rows.alias("b")
+    cond = (
+        (F.col("a.__band_no") == F.col("b.__band_no"))
+        & (F.col("a.__bkt") == F.col("b.__bkt"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for j in range(n_bands - 1):
+        cond = cond & (
+            (F.col("a.__band_no") <= F.lit(j))
+            | ~F.coalesce(F.col(f"a.__bk{j}") == F.col(f"b.__bk{j}"), F.lit(False))
+        )
+    return a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
     )
 
 

@@ -766,15 +766,17 @@ def minhash_lsh_pairs_capped(spark, sf_dir):
             _tag("pair"), F.col("a_id").alias("a"), F.col("b_id").alias("b")
         )
     ]
-    for cap in (10, 50):
-        st = dedup.lsh_truncation_stats(sigs, k=4, rows_per_band=2, max_bucket=cap)
-        parts.append(
-            st.select(
-                _tag(f"trunc_cap{cap}"),
-                F.col("n_buckets_truncated").cast("bigint").alias("a"),
-                F.col("n_members_dropped").cast("bigint").alias("b"),
-            )
+    # both caps' stats come from ONE widths pass that shares the pairs
+    # branch's (band_no, band) exchange — the per-cap lsh_truncation_stats
+    # calls each re-tokenized the corpus (3 full sigs scans per query)
+    st = dedup.lsh_truncation_stats_multi(sigs, (10, 50), k=4, rows_per_band=2)
+    parts.append(
+        st.select(
+            F.concat(F.lit("trunc_cap"), F.col("cap").cast("string")).alias("probe"),
+            F.col("n_buckets_truncated").cast("bigint").alias("a"),
+            F.col("n_members_dropped").cast("bigint").alias("b"),
         )
+    )
     return _union_all(parts)
 
 
@@ -797,17 +799,13 @@ def lsh_truncation_stats_q(spark, sf_dir):
     window carries the same values inside minhash_lsh_pairs_capped)."""
     d = t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(d, k=4)
-    parts = []
-    for cap in (10, 50):
-        st = dedup.lsh_truncation_stats(sigs, k=4, rows_per_band=2, max_bucket=cap)
-        parts.append(
-            st.select(
-                F.lit(cap).alias("cap"),
-                F.col("n_buckets_truncated").cast("bigint"),
-                F.col("n_members_dropped").cast("bigint"),
-            )
-        )
-    return _union_all(parts)
+    return dedup.lsh_truncation_stats_multi(
+        sigs, (10, 50), k=4, rows_per_band=2
+    ).select(
+        F.col("cap").cast("int").alias("cap"),
+        F.col("n_buckets_truncated").cast("bigint"),
+        F.col("n_members_dropped").cast("bigint"),
+    )
 
 
 @q(
