@@ -182,6 +182,7 @@ def _fused_probe(
     spark: SparkSession,
     frames: dict[str, DataFrame],
     tables: list[TableSpec],
+    repeating_hint: dict[str, bool] | None = None,
 ) -> tuple[dict[str, bool], set[frozenset]]:
     """ONE pass over all tables answering both merge questions:
 
@@ -209,20 +210,38 @@ def _fused_probe(
     pool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", "stage_m")
     try:
-        per_key = (
-            _hashed_keys(_tagged_subject_keys(frames, tables))
-            .groupBy("tbl", "k", "k2")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .persist()
-        )
-        rep_rows = per_key.groupBy("tbl").agg(F.max("c").alias("mx")).collect()
-        mx = {r.tbl: r.mx for r in rep_rows}
-        # absent => empty table => trivially non-repeating (matches the
-        # per-table probe: zero groups exceed count 1)
-        repeating = {t.name: int(mx.get(t.name, 0) or 0) > 1 for t in tables}
+        per_key = None
+        if repeating_hint is None:
+            per_key = (
+                _hashed_keys(_tagged_subject_keys(frames, tables))
+                .groupBy("tbl", "k", "k2")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .persist()
+            )
+            rep_rows = per_key.groupBy("tbl").agg(F.max("c").alias("mx")).collect()
+            mx = {r.tbl: r.mx for r in rep_rows}
+            # absent => empty table => trivially non-repeating (matches the
+            # per-table probe: zero groups exceed count 1)
+            repeating = {t.name: int(mx.get(t.name, 0) or 0) > 1 for t in tables}
+        else:
+            # stage O already answered A2 for every table (catalog
+            # subject_repeating via the fused-probe subject-group count)
+            # — the most common outcome, all-tables-repeating, now costs
+            # ZERO stage-M jobs
+            repeating = {t.name: bool(repeating_hint[t.name]) for t in tables}
         cand = [t.name for t in tables if not repeating[t.name]]
         pairs = set()
         if len(cand) > 1:
+            if per_key is None:
+                # hinted path: scan ONLY the candidate tables for the
+                # overlap-pair probe (the full-catalog per_key scan was
+                # the hint's whole point to avoid)
+                cand_tables = [t for t in tables if t.name in set(cand)]
+                per_key = (
+                    _hashed_keys(_tagged_subject_keys(frames, cand_tables))
+                    .groupBy("tbl", "k", "k2")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                )
             sets = (
                 per_key.where(F.col("k").isNotNull() & F.col("tbl").isin(cand))
                 .groupBy("k", "k2")
@@ -237,7 +256,8 @@ def _fused_probe(
                 .collect()
             )
             pairs = {frozenset((r.a, r.b)) for r in pair_rows}
-        per_key.unpersist()
+        if per_key is not None and repeating_hint is None:
+            per_key.unpersist()
         return repeating, pairs
     finally:
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
@@ -248,6 +268,7 @@ def run_merges(
     catalog: Catalog,
     frames: dict[str, DataFrame],
     sizes: dict[str, int],
+    repeating_hint: dict[str, bool] | None = None,
 ) -> tuple[list[str], list[str], dict[str, bool]]:
     """The full TableMergingConcurence driver loop over in-memory (lazy)
     frames. Mutates ``catalog``/``frames``/``sizes``. Returns
@@ -278,7 +299,9 @@ def run_merges(
 
     tables = sorted(catalog.tables, key=order_key)
     t0 = _time.time()
-    repeating, overlap_pairs = _fused_probe(spark, frames, tables)
+    repeating, overlap_pairs = _fused_probe(
+        spark, frames, tables, repeating_hint=repeating_hint
+    )
     LAST_TIMINGS.clear()
     LAST_TIMINGS["probe"] = round(_time.time() - t0, 3)
     LAST_TIMINGS["merges"] = 0

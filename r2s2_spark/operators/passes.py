@@ -290,6 +290,27 @@ def _to_lexical_py(v) -> str | None:
     return str(v)
 
 
+def pass2_virtual_names(specs: list[ColumnSpec], stats: dict, n: int) -> set[str]:
+    """Names of the columns pass 2 (IntroduceVirtualColumns) will
+    virtualize, given probe stats — THE single definition of 'constant'
+    plus the never-empty-the-table guard. optimize_table applies it; the
+    stage-O merge-probe fold replays it to know which subject columns
+    stay physical (a physical column's NULL rows give the whole subject
+    key NULL semantics in the A2/J1 probes)."""
+    out: set[str] = set()
+    phys_remaining = sum(1 for cs in specs if cs.physical)
+    for cs in specs:
+        if not cs.physical or cs.encoding or cs.sql_type.startswith("array"):
+            continue
+        cnt = stats[f"{cs.name}\x00cnt"]
+        mn, mx = stats[f"{cs.name}\x00min"], stats[f"{cs.name}\x00max"]
+        constant = (cnt == 0) or (cnt == n and mn == mx)
+        if constant and phys_remaining > 1:
+            out.add(cs.name)
+            phys_remaining -= 1
+    return out
+
+
 def probe_table(df: DataFrame, table: TableSpec, mode: str = "full") -> dict:
     """ONE aggregation pass computing everything every pass needs:
     per physical column count/min/max plus narrowing guards (P1, P5, A9)."""
@@ -442,15 +463,46 @@ def fused_probe_tables(
         )
     )
 
+    # SUBJECT-GROUP job (stage-M merge-probe fold): per (table, subject
+    # null-bitmask) count the distinct 96-bit-hashed subject tuples and
+    # the rows. Driver-side, once pass-2 physicality is known, this
+    # resolves to the exact number of A2 subject-key GROUPS in the stored
+    # table (distinct non-NULL keys + one shared group for NULL-keyed
+    # rows) — pigeonhole against the written row count then gives the
+    # repeating-subject flag without stage M re-scanning anything. The
+    # bitmask keying defers the physical/virtual decision: equal hashed
+    # tuples share one bitmask (sentinel hashing covers the null pattern),
+    # so per-bitmask distinct counts add up disjointly.
+    s_cols = [f"s_{k}" for k in PART_KEYS] + ["s_bnode_id"]
+    sent = [F.coalesce(F.col(c).cast("string"), F.lit("\x00N")) for c in s_cols]
+    bits = None
+    for i, c in enumerate(s_cols):
+        term = F.when(F.col(c).isNull(), F.lit(1 << i)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    subj = u.select(
+        "__t",
+        F.xxhash64(*sent).alias("__sh1"),
+        F.hash(*sent).alias("__sh2"),
+        bits.cast("int").alias("__B"),
+    ).groupBy("__t", "__B").agg(
+        F.countDistinct("__sh1", "__sh2").alias("__nd"),
+        F.count(F.lit(1)).alias("__nr"),
+    )
+
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
+    with ThreadPoolExecutor(max_workers=3) as ex:
         f_stats = ex.submit(lambda: u.groupBy("__t").agg(*aggs).collect())
         f_coll = ex.submit(lambda: lvl2.collect())
+        f_subj = ex.submit(lambda: subj.collect())
         by_t = {r["__t"]: r.asDict() for r in f_stats.result()}
         for r in f_coll.result():
             by_t[r["__t"]]["__groups"] = r["__groups"]
             by_t[r["__t"]]["__max_graphs"] = r["__max_graphs"]
+        subj_by_t: dict[str, list] = {}
+        for r in f_subj.result():
+            subj_by_t.setdefault(r["__t"], []).append((r["__B"], r["__nd"], r["__nr"]))
+    s_bit = {c: i for i, c in enumerate(s_cols)}
 
     out: dict[str, dict] = {}
     for t in catalog.tables:
@@ -460,6 +512,7 @@ def fused_probe_tables(
             stats["__n"] = 0
             stats["__groups"] = 0
             stats["__max_graphs"] = 0
+            stats["__subject_groups"] = 0
             for cs in t.all_column_specs():
                 if cs.physical:
                     stats[f"{cs.name}\x00cnt"] = 0
@@ -479,6 +532,22 @@ def fused_probe_tables(
             target = _narrow_target(_table_dt_for(t, cs), cs)
             if target and cs.sql_type == "string":
                 stats[f"{cs.name}\x00ok"] = r[f"{cs.source}\x00ok\x00{target}"]
+        # resolve the deferred subject-group count: P = subject columns
+        # that SURVIVE pass 2 (the same simulation optimize_table applies)
+        # and hold NULLs — a row with a NULL in any of them takes a NULL
+        # subject key, and all NULL-keyed rows share ONE A2 group (exactly
+        # has_repeating_subjects' grouping). Equal hashed tuples share one
+        # bitmask, so the per-bitmask distinct counts are disjoint sums.
+        virt = pass2_virtual_names(t.all_column_specs(), stats, stats["__n"])
+        p_mask = 0
+        for cs in t.subject_columns:
+            if cs.name in virt or not cs.physical or not cs.source:
+                continue
+            if stats[f"{cs.name}\x00cnt"] < stats["__n"]:
+                p_mask |= 1 << s_bit[cs.source]
+        groups = sum(nd for b, nd, nr in subj_by_t.get(t.name, []) if not (b & p_mask))
+        has_null = any(nr for b, nd, nr in subj_by_t.get(t.name, []) if b & p_mask)
+        stats["__subject_groups"] = groups + (1 if has_null else 0)
         out[t.name] = stats
     return out
 
@@ -596,17 +665,16 @@ def optimize_table(
     specs = [cs for cs in table.all_column_specs()]
 
     # --- pass 2: virtual (constant) columns, never emptying the table ----
+    # (encoded ids / graph sets stay physical: a virtual id would need a
+    # decode lookup at reconstruction; the win is negligible)
+    virt = pass2_virtual_names(specs, stats, n)
     for cs in specs:
-        if not cs.physical or cs.encoding or cs.sql_type.startswith("array"):
-            # encoded ids / graph sets stay physical: a virtual id would
-            # need a decode lookup at reconstruction; the win is negligible
-            continue
-        cnt = stats[f"{cs.name}\x00cnt"]
-        mn, mx = stats[f"{cs.name}\x00min"], stats[f"{cs.name}\x00max"]
-        constant = (cnt == 0) or (cnt == n and mn == mx)
-        if constant and sum(1 for x in specs if x.physical) > 1:
+        if cs.name in virt:
+            cnt = stats[f"{cs.name}\x00cnt"]
             cs.physical = False
-            cs.virtual_value = _to_lexical_py(mn) if cnt else None
+            cs.virtual_value = (
+                _to_lexical_py(stats[f"{cs.name}\x00min"]) if cnt else None
+            )
 
     # --- pass 3: datatype narrowing (guarded) -----------------------------
     narrowed: dict[str, str] = {}
@@ -777,14 +845,43 @@ def _collapse(
 
 def build_scheme_host_dicts(
     spark: SparkSession, v_data_path: str
-) -> tuple[DataFrame, DataFrame]:
-    """Distinct object schemes/hosts across ALL tables in one scan of the
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Distinct object schemes/hosts across ALL tables in ONE scan of the
     V dataset (the reference unions per-table SELECT DISTINCTs,
-    IntroduceHostEnums.java:30-39)."""
+    IntroduceHostEnums.java:30-39).
+
+    The two domains share a single tagged distinct (explode to (kind,
+    value), distinct, persist): the previous per-dictionary builds cost
+    THREE full V scans (schemes write; hosts bucket-count collect; hosts
+    write) — the tagged distinct is dictionary-sized, so every downstream
+    job reads the cache instead of re-scanning V. Returns (schemes,
+    hosts, tagged); the CALLER must unpersist ``tagged`` after
+    materializing both dictionaries."""
     v = spark.read.parquet(v_data_path).select("o_scheme", "o_host")
-    schemes = build_dictionary(v, "o_scheme")
+    tagged = (
+        v.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("s").alias("k"), F.col("o_scheme").alias("v")),
+                    F.struct(F.lit("h").alias("k"), F.col("o_host").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .where(F.col("v").isNotNull())
+        .distinct()
+        .persist()
+    )
+    schemes = build_dictionary(
+        tagged.where(F.col("k") == "s").select(F.col("v").alias("o_scheme")),
+        "o_scheme",
+    )
     # hosts are closer to unbounded than vocabulary at web scale (every
     # crawled site is a host) -> two-level bucketed id assignment, no
     # global-window stage (schemes stay global: the IANA registry is tiny)
-    hosts = build_dictionary(v, "o_host", n_buckets=64)
-    return schemes, hosts
+    hosts = build_dictionary(
+        tagged.where(F.col("k") == "h").select(F.col("v").alias("o_host")),
+        "o_host",
+        n_buckets=64,
+    )
+    return schemes, hosts, tagged

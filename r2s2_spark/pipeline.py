@@ -387,11 +387,14 @@ class KgPipeline:
 
             def build_dicts():
                 t0 = time.time()
-                schemes, hosts = passes.build_scheme_host_dicts(self.spark, v_data)
+                schemes, hosts, tagged = passes.build_scheme_host_dicts(
+                    self.spark, v_data
+                )
                 schemes.coalesce(1).write.mode("overwrite").parquet(
                     io.path("O", "schemes")
                 )
                 hosts.coalesce(1).write.mode("overwrite").parquet(io.path("O", "hosts"))
+                tagged.unpersist()
                 TIMINGS["O.dicts"] = round(time.time() - t0, 3)
 
             def run_probe():
@@ -520,6 +523,14 @@ class KgPipeline:
             )
             for t in catalog.tables:
                 t.row_count = table_counts.get(t.name, 0)
+                # merge-probe fold: the fused probe counted this table's
+                # exact subject-key groups; strictly fewer groups than
+                # written rows == some subject repeats (pigeonhole). The
+                # flag rides the catalog so stage M's A2 probe costs
+                # zero jobs (merging._fused_probe repeating_hint).
+                sg = stats_all.get(t.name, {}).get("__subject_groups")
+                if sg is not None and t.row_count:
+                    t.subject_repeating = sg < t.row_count
             TIMINGS["O.optimize"] = round(time.time() - t0, 3)
             catalog.tables = [t for t in catalog.tables if t.row_count]
             io.write_catalog("O", catalog)
@@ -547,9 +558,17 @@ class KgPipeline:
             )
             TIMINGS["M.read"] = round(time.time() - t0, 3)
             sizes = {t.name: t.row_count or 0 for t in catalog.tables}
+            # stage O already computed every repeating-subject flag
+            # (catalog subject_repeating); with a complete hint the merge
+            # probe scans nothing unless merge CANDIDATES exist, and then
+            # only the candidate tables. A partial hint (resumed pre-fold
+            # work dir) falls back to the full fused probe.
+            hint = {t.name: t.subject_repeating for t in catalog.tables}
+            if any(v is None for v in hint.values()):
+                hint = None
             t0 = time.time()
             changed, dropped, unique_hint = merging.run_merges(
-                self.spark, catalog, frames, sizes
+                self.spark, catalog, frames, sizes, repeating_hint=hint
             )
             TIMINGS["M.merge"] = round(time.time() - t0, 3)
             for k, v in merging.LAST_TIMINGS.items():

@@ -78,6 +78,13 @@ class TableSpec:
     #: columns and records success/failure, IntroduceIndexes.java:22-46).
     #: None = not probed; True/False = subject key unique / repeating.
     subject_unique: bool | None = None
+    #: stage-O-computed repeating-subject flag (the A2 merge-candidacy
+    #: probe, folded into stage O's fused probe: distinct subject-key
+    #: groups < written rows). None = not computed (stage M falls back to
+    #: its own fused probe scan); True/False = exact verdict over the
+    #: stored table, same collision tolerance as the M probe (hash-merge
+    #: can only flag repeating, never falsely unique).
+    subject_repeating: bool | None = None
     #: set when the table's parquet files live inside a BATCHED
     #: generic-schema write (stage O/M small-table fusion): the files
     #: store positional names c0..cN and this list holds the REAL column
@@ -148,6 +155,7 @@ class Catalog:
                 row_count=t.get("row_count"),
                 path=t.get("path"),
                 subject_unique=t.get("subject_unique"),
+                subject_repeating=t.get("subject_repeating"),
                 storage_columns=t.get("storage_columns"),
             )
             for t in d["tables"]

@@ -89,6 +89,8 @@ def catalog_to_turtle(catalog: Catalog) -> str:
             t_pairs.append(("path", _lit(t.path)))
         if t.subject_unique is not None:
             t_pairs.append(("subjectUnique", _lit(t.subject_unique)))
+        if t.subject_repeating is not None:
+            t_pairs.append(("subjectRepeating", _lit(t.subject_repeating)))
         if t.storage_columns is not None:
             # real column names in storage position order (c0..cN),
             # \x00-joined like the namespace/dictionary pairs
@@ -192,6 +194,7 @@ def catalog_from_turtle(text: str) -> Catalog:
                 row_count=get(t_iri, "rowCount"),
                 path=get(t_iri, "path"),
                 subject_unique=get(t_iri, "subjectUnique"),
+                subject_repeating=get(t_iri, "subjectRepeating"),
                 storage_columns=(
                     get(t_iri, "storageColumns").split("\x00")
                     if get(t_iri, "storageColumns") is not None

@@ -95,3 +95,61 @@ def test_observed_row_counts_match_written(spark, tmp_path):
     for t in catalog.tables:
         actual = spark.read.parquet(os.path.join(pipe.io.root, t.path)).count()
         assert t.row_count == actual, t.name
+
+
+def test_subject_repeating_fold_matches_direct_probe(spark, tmp_path):
+    """Stage O's folded repeating-subject flags (catalog subject_repeating,
+    from the fused probe's subject-group count) must equal the direct A2
+    probe over the stored frames — including NULL subject parts (partial
+    fragments => NULL concat keys grouping as ONE A2 group) and
+    unique-subject tables."""
+    from r2s2_spark.operators import merging, vertical
+    from r2s2_spark.pipeline import _pooled_map
+
+    rows = [
+        (
+            "r", f"f{i}", "c0", "ntriples",
+            f"<http://ex.org/s{i % 5}{'#frag' if i % 3 == 0 else ''}> "
+            f'<http://ex.org/p> "v{i}" .',
+        )
+        for i in range(30)
+    ] + [
+        ("r", f"g{i}", "c0", "ntriples", f'<http://ex.org/u{i}> <http://ex.org/q> "w" .')
+        for i in range(20)
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    pipe.stage_e(src)
+    pipe.stage_d()
+    pipe.stage_v()
+    pipe.stage_o()
+    catalog = pipe.io.read_catalog("O")
+    frames = vertical.read_stored_frames(
+        spark, pipe.io.root, catalog.tables, pooled_map=_pooled_map
+    )
+    seen = set()
+    for t in catalog.tables:
+        assert t.subject_repeating is not None, t.name
+        direct = merging.has_repeating_subjects(frames[t.name], t)
+        assert t.subject_repeating == direct, t.name
+        seen.add(t.subject_repeating)
+    assert seen == {True, False}  # both verdicts exercised
+
+    # the hinted merge probe (stage M's path) must agree with the unhinted
+    # one AND submit zero Spark jobs when no candidates pair up
+    tables = sorted(catalog.tables, key=lambda t: t.name)
+    hint = {t.name: t.subject_repeating for t in tables}
+    rep_full, pairs_full = merging._fused_probe(spark, frames, tables)
+    sc = spark.sparkContext._jsc.sc()
+    j0 = sc.dagScheduler().nextJobId()
+    rep_hint, pairs_hint = merging._fused_probe(
+        spark, frames, tables, repeating_hint=hint
+    )
+    jobs = sc.dagScheduler().nextJobId() - j0
+    assert rep_hint == rep_full
+    assert pairs_hint == pairs_full
+    cand = [n for n, r in rep_full.items() if not r]
+    if len(cand) <= 1:
+        assert jobs == 0
