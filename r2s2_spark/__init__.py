@@ -7,7 +7,7 @@ passes dissolve into declarative DataFrame programs; Catalyst + AQE pick the
 physical plan. Architecture (SURVEY.md §7.0):
 
     source_files (repo, path, commit, lang, content)
-      E  extract      mapInPandas vectorized N-Triples/N-Quads parse
+      E  extract      mapInArrow RE2-vectorized N-Triples/N-Quads parse
       D  dictionaries predicates/graphs -> deterministic long ids
       V  vertical     one table per (predicate, subj kind, obj kind, lang, dt)
       O  layout       type-split, virtual cols, narrowing, LCP, set semantics

@@ -3,12 +3,15 @@
 Reference counterpart: ParseIntoSOGTables.java:100-124 (thread-pool Rio
 parse) + LoadIntoTable.java:283-368 (term decomposition). Here:
 
-  source_files --sha2(content,256) [JVM]--> mapInPandas(vectorized NT parse
-               + vectorized 9-part IRI decomposition) --> statements frame
+  source_files --sha2(content,256) [JVM]--> mapInArrow(RE2-vectorized NT
+               parse + 9-part IRI decomposition on Arrow kernels;
+               escaped/Turtle/RDF-XML files fall back per file to the
+               pandas twin) --> statements frame
 
 Scale notes:
 - the parser is the only Python boundary in the whole load path; it is
-  Arrow-batched and line-vectorized (no per-row Python).
+  Arrow-batched and line-vectorized (no per-row Python; the NT fast path
+  never materializes Python string objects at all).
 - IRI decomposition happens *inside the same batch* (functions.uri_pandas):
   doing it as a Catalyst projection expands to a >64KB generated method,
   kicking whole-stage codegen into interpreted fallback (observed OOM at
@@ -30,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.uri import decompose_iri
 from ..sources.fixtures import DEFAULT_GRAPH
-from ..sources.ntriples import DECOMPOSED_SCHEMA, STATEMENT_SCHEMA, parse_iterator
+from ..sources.ntriples import DECOMPOSED_SCHEMA, STATEMENT_SCHEMA
 
 META_COLS = ["file_sha256", "line_no"]
 LEX_COLS = ["s_kind", "s_lex", "p_iri", "o_kind", "o_lex", "o_lang", "o_datatype", "g_iri"]
@@ -47,6 +50,8 @@ def parse_statements(
     Rows that fail to parse are kept with ``parse_error`` set so lineage can
     count them; downstream stages filter them out.
     """
+    from ..sources.ntriples_arrow import parse_iterator_arrow
+
     spark = source_files.sparkSession
     target = spark.sparkContext.defaultParallelism * 3
     # File text compresses ~100x in parquet, so byte-based file splits can
@@ -56,10 +61,16 @@ def parse_statements(
     if not source_files.isStreaming and source_files.rdd.getNumPartitions() < target:
         source_files = source_files.repartition(target)
     with_sha = source_files.withColumn("file_sha256", F.sha2(F.col("content"), 256))
-    fn = functools.partial(parse_iterator, default_graph=default_graph, decompose=decompose)
+    # mapInArrow + the RE2/pyarrow parser: escape-free NT files parse on
+    # Arrow kernels end to end (no Python-object string columns, no
+    # pandas round-trip at the boundary); escaped/Turtle/RDF-XML files
+    # fall back per file to the pandas twin inside the same iterator
+    fn = functools.partial(
+        parse_iterator_arrow, default_graph=default_graph, decompose=decompose
+    )
     schema = DECOMPOSED_SCHEMA if decompose else STATEMENT_SCHEMA
     in_cols = ["content", "file_sha256"] + (["lang"] if "lang" in source_files.columns else [])
-    return with_sha.select(*in_cols).mapInPandas(fn, schema=schema)
+    return with_sha.select(*in_cols).mapInArrow(fn, schema=schema)
 
 
 def _bnode_ids(df: DataFrame) -> DataFrame:

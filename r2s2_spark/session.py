@@ -19,7 +19,7 @@ def get_spark(
     - AQE on, including skew-join handling: predicate frequency in real RDF
       is Zipfian (rdf:type, rdfs:label dominate), so the shuffle written by
       the vertical-partitioning stage is skewed by construction.
-    - Arrow on: the extraction parser is a vectorized ``mapInPandas``; Arrow
+    - Arrow on: the extraction parser is a vectorized ``mapInArrow``; Arrow
       batching is the only acceptable Python boundary (no per-row Python).
     - shuffle partitions 4x cores locally (measured: the routed V shuffle
       runs ~20% faster at 4x than 2x on 8 pinned cores — finer reduce
