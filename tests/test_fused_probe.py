@@ -1,6 +1,6 @@
 """Fused stage-O probe parity: the one-job fused_probe_tables must agree
 key-for-key with the per-table probe_table it replaces, including the
-collapse stats (__groups = post-collapse row count, __max_graphs = the
+collapse stats (__groups = post-collapse row count, __max_graphs = a >1-
 max-graphs probe) — across type-split children, multi-graph data, and
 numeric narrowing guards."""
 
@@ -57,7 +57,8 @@ def _fused_vs_per_table(spark, tmp_path, fixture):
             n_groups = df.dropDuplicates().count()
             max_graphs = 0
         assert got["__groups"] == n_groups, t.name
-        assert got["__max_graphs"] == max_graphs, t.name
+        # __max_graphs is an indicator (only >1 is consulted downstream)
+        assert (got["__max_graphs"] > 1) == (max_graphs > 1), t.name
     return catalog
 
 
