@@ -344,37 +344,62 @@ def token_jaccard_pairs(
     use_bigrams: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard scoring of candidate pairs (n=1 tokens or n=2
-    shingles): |A ∩ B| / |A ∪ B| computed via exploded joins — distributed,
-    no arrays collected to the driver."""
+    shingles): |A ∩ B| / |A ∪ B|.
+
+    Each document's distinct gram set travels as ONE array row of
+    xxhash64'd grams; a pair's intersection is
+    ``size(array_intersect(A, B))`` computed after two id-equi joins. The
+    previous exploded-join formulation fanned every pair out to one row
+    PER GRAM of its left member before the gram-match filter — O(sum over
+    pairs of |A|) intermediate rows (~375M at sf0.1's 7.5M uncapped
+    pairs; 34 s noop) — then shuffled that for the b-side join and again
+    for the count groupBy. The array form shuffles one row per pair per
+    side and drops both gram-fanout exchanges (34 s -> 6.4 s noop).
+
+    Two deliberate shapes:
+    - grams are hashed to LONGS before the set ops: long-array
+      intersection is ~3x cheaper than string intersection (no per-token
+      string hashing/equality inside the per-row hash set). A gram-hash
+      collision would alter a count — odds are |grams|^2 / 2^64 per
+      document (~1e-8 for the whole corpus), the same accepted trade as
+      the xxhash64 node ids in :func:`duplicate_clusters`. Verified
+      value-identical to the string form on every oracle SF.
+    - the score is wrapped in a single-group aggregation
+      (``groupBy(pair).min``) — an OPTIMIZATION BARRIER, not a
+      computation: pairs are distinct by construction, so min(jac) == jac.
+      Without it the threshold filter is pushed into the b-side join as a
+      residual condition and the projection above recomputes it, so the
+      expensive intersect runs TWICE per pair (measured ~2x the whole
+      query). Predicates do not push through aggregations, so the filter
+      applies to the agg output attribute and the intersect runs once,
+      map-side, in the partial aggregate.
+
+    Same result set: both forms count distinct shared grams over
+    per-document distinct gram sets, and a pair whose member has a NULL
+    gram set (NULL text) is dropped by the inner joins exactly as the
+    inner size join dropped it before."""
     toks = text.tokens(F.col(text_col))
     grams = hashing.token_bigrams(toks) if use_bigrams else toks
-    sets = docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("g"))
-    set_sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-
-    # intersection size: join each pair with both gram sets, equi-joining on
-    # the gram value itself (NOT a blind b_id join, which would fan out
-    # |A|x|B| rows per pair before filtering)
-    a_sets = sets.select(F.col(id_col).alias("a_id"), "g")
-    b_sets = sets.select(F.col(id_col).alias("bb_id"), F.col("g").alias("g_b"))
-    inter = (
-        pairs.join(a_sets, "a_id")
-        .join(b_sets, (F.col("b_id") == F.col("bb_id")) & (F.col("g") == F.col("g_b")))
+    hashed = F.array_distinct(F.transform(grams, lambda x: F.xxhash64(x)))
+    # size > 0 replicates the exploded form's inner-join semantics: a doc
+    # with NULL text (NULL set) or no grams at all (empty bigram set of a
+    # single-token doc) contributed no ``sets`` rows, so its pairs were
+    # dropped by the inner size join — and an empty set would divide by
+    # zero (ANSI) in the jaccard below
+    gsets = docs.select(F.col(id_col), hashed.alias("__gs")).where(
+        F.size("__gs") > 0
+    )
+    a_g = gsets.select(F.col(id_col).alias("a_id"), F.col("__gs").alias("__ga"))
+    b_g = gsets.select(F.col(id_col).alias("b_id"), F.col("__gs").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    jac = F.round(inter / (F.size("__ga") + F.size("__gb") - inter), 4)
+    return (
+        pairs.join(a_g, "a_id")
+        .join(b_g, "b_id")
         .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    out = (
-        pairs.join(inter, ["a_id", "b_id"], "left")
-        .na.fill({"inter": 0})
-        .join(set_sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
-        .join(set_sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("a_sz") + F.col("b_sz") - F.col("inter")), 4),
-        )
+        .agg(F.min(jac).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
     )
-    return out
 
 
 def duplicate_clusters(
@@ -401,6 +426,12 @@ def duplicate_clusters(
 
     sigs = minhash_signatures(docs, k=k, id_col=id_col, text_col=text_col)
     if log_truncation:
+        # the stats collect below is a SEPARATE action from the cluster
+        # computation; without a lineage cut it re-tokenizes the corpus
+        # (the most expensive pass here) once per action. The lazy local
+        # checkpoint materializes the tiny signature frame (id + k 16-char
+        # hashes) on first use and every later action reads it back.
+        sigs = sigs.localCheckpoint(eager=False)
         ts = lsh_truncation_stats(
             sigs, k=k, rows_per_band=rows_per_band,
             id_col=id_col, max_bucket=max_bucket,
@@ -447,8 +478,10 @@ def duplicate_clusters(
 
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash bitstring): bit-majority over token hashes."""
-    toks = docs.select(F.col(id_col), F.explode(text.tokens(F.col(text_col))).alias("tok"))
-    bits = toks.groupBy(id_col).agg(*hashing.simhash16(F.col("tok")))
+    toks = docs.select(
+        F.col(id_col), F.explode(text.tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), F.md5(F.col("tok")).alias("__m"))
+    bits = toks.groupBy(id_col).agg(*hashing.simhash16(F.col("__m")))
     return bits.select(F.col(id_col), hashing.simhash_from_bits().alias("simhash"))
 
 
@@ -569,17 +602,22 @@ def embedding_near_duplicates(
     pairs = embedding_candidate_pairs(
         emb, id_col, vec_col, n_bits, n_bands, dim, use_arrow
     )
-    va = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"))
-    vb = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"))
+    # norms are projected once per VECTOR below the join; the per-pair
+    # work is then a single dot fold. Expression is dot / (na * nb) —
+    # the exact association of hashing.cosine_similarity, bit-identical
+    # doubles (the fold ran 3x per pair before: dot + both norms).
+    va = emb.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va")
+    ).withColumn("__na", hashing.norm_fold(F.col("__va")))
+    vb = emb.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb")
+    ).withColumn("__nb", hashing.norm_fold(F.col("__vb")))
+    cos = hashing.dot_fold(F.col("__va"), F.col("__vb")) / (
+        F.col("__na") * F.col("__nb")
+    )
     return (
         pairs.join(va, "a_id")
         .join(vb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            F.round(hashing.cosine_similarity(F.col("__va"), F.col("__vb")), 4).alias(
-                "cosine"
-            ),
-        )
+        .select("a_id", "b_id", F.round(cos, 4).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
