@@ -43,41 +43,57 @@ def decompose_iri(iri: Column) -> dict[str, Column]:
 
     Returns ``{part_key: Column}`` in :data:`PART_KEYS` order. NULL iri ->
     all parts NULL (used for non-IRI rows in a mixed statement frame).
+
+    Every intermediate here is a SHORT chain over the base ``iri``
+    attribute (2-4 linear string/regex ops), never a reference to another
+    intermediate's ``when`` tree. Column expressions inline every
+    reference, so the previous level-chained form (after_scheme built
+    from scheme, authority from after_scheme, host from authority, and a
+    final ``has_host`` guard referencing host in six outputs) expanded to
+    an exponentially duplicated tree — and past the 64KB codegen method
+    limit the interpreted fallback really evaluated every copy:
+    thousands of regex executions per row (f1_url_decompose 26.3 s noop
+    for 15k rows at sf0.1; this form: sub-second). Identities used, all
+    parity-tested against the pandas twin on the edge corpus + fuzz:
+    - the first '#' of the iri is the fragment split (scheme and ssp
+      cannot contain '#'), so ``substring_index(iri, '#', 1)`` is the
+      fragment-free body without knowing the scheme;
+    - the scheme prefix regex is anchored and '#'-free, so stripping it
+      from the body equals stripping it after the fragment split;
+    - ``substring_index(s, '@', -1)`` returns ``s`` unchanged when there
+      is no '@' — the has_at branch collapses;
+    - the authority cannot contain '/', '?' or '#', so the FIRST '?' of a
+      hierarchical ssp lies after the authority, and path/query regexes
+      can anchor over ssp directly.
     """
     scheme = _nullif_empty(F.regexp_extract(iri, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
-    # everything after the first ':' (only defined when a scheme exists)
-    after_scheme = F.when(
-        scheme.isNotNull(),
-        iri.substr(F.length(scheme) + F.lit(2), F.length(iri)),
-    ).otherwise(iri)
-
-    has_fragment = F.instr(after_scheme, "#") > 0
-    fragment = F.when(has_fragment, F.regexp_extract(after_scheme, r"#(.*)$", 1))
-    ssp = F.when(has_fragment, F.substring_index(after_scheme, "#", 1)).otherwise(
-        after_scheme
+    has_fragment = F.instr(iri, "#") > 0
+    fragment = F.when(has_fragment, F.regexp_extract(iri, r"#(.*)$", 1))
+    # body (iri minus fragment) minus the scheme prefix; anchored regex,
+    # single possible match
+    ssp = F.regexp_replace(
+        F.substring_index(iri, "#", 1), r"^[A-Za-z][A-Za-z0-9+.\-]*:", ""
     )
 
     hierarchical = ssp.startswith("//")
-    auth_rest = ssp.substr(F.lit(3), F.length(ssp))
-    authority_raw = F.regexp_extract(auth_rest, r"^([^/?#]*)", 1)
-    after_auth = auth_rest.substr(F.length(authority_raw) + F.lit(1), F.length(auth_rest))
-    path_h = F.regexp_extract(after_auth, r"^([^?]*)", 1)
+    authority_raw = F.regexp_extract(ssp, r"^//([^/?#]*)", 1)
+    path_h = F.regexp_extract(ssp, r"^//[^/?#]*([^?]*)", 1)
     query = F.when(
-        hierarchical & (F.instr(after_auth, "?") > 0),
-        F.regexp_extract(after_auth, r"\?(.*)$", 1),
+        hierarchical & (F.instr(ssp, "?") > 0),
+        F.regexp_extract(ssp, r"\?(.*)$", 1),
     )
     has_at = F.instr(authority_raw, "@") > 0
     # greedy: everything before the LAST '@' (matches the pandas twin)
     user_info = F.when(hierarchical & has_at, F.regexp_extract(authority_raw, r"^(.*)@", 1))
-    hostport = F.when(has_at, F.substring_index(authority_raw, "@", -1)).otherwise(
-        authority_raw
-    )
+    hostport = F.substring_index(authority_raw, "@", -1)
     port = _nullif_empty(F.regexp_extract(hostport, r":([0-9]+)$", 1))
     host = F.when(hierarchical, _nullif_empty(F.regexp_replace(hostport, r":[0-9]+$", "")))
 
     # exclusivity rule: host non-null -> ssp/authority NULL; host null ->
     # only ssp/authority carry the information (plus fragment).
-    has_host = host.isNotNull()
+    # host.isNotNull() would re-inline the whole host chain per guarded
+    # output; this is the same predicate over the cheaper pieces.
+    has_host = hierarchical & (F.regexp_replace(hostport, r":[0-9]+$", "") != "")
     out = {
         "scheme": scheme,
         "ssp": F.when(~has_host, ssp),
