@@ -118,12 +118,38 @@ def build_catalog(
     return Catalog(tables=tables, namespaces=ns, default_graph=default_graph)
 
 
+def table_salts(
+    spark: SparkSession, table_rows: dict[str, int], max_salt: int = 64
+) -> dict[str, int]:
+    """Size-derived salt width per table for the routed (t, salt) shuffle.
+
+    A FIXED files-per-table salt writes salt-many near-empty files for
+    every small table — at a 10^4-10^5-table real-KG vocabulary that is
+    the classic small-files problem (measured: the 64-table bench corpus
+    wrote 501 files averaging 34 KB, and every downstream scan — the 3
+    fused stage-O probe jobs, the dicts scan, stage M reads, triples
+    reconstruction — paid the per-file open cost). Salt width scales with
+    the table's row count instead: small tables take 1 file, hot
+    (Zipf-head) tables fan out over up to ``max_salt`` tasks, and the
+    rows-per-file target floors at 64k rows but grows with corpus size so
+    total write parallelism stays ~4x the cluster width."""
+    total = sum(table_rows.values()) or 1
+    per_file = max(
+        65536, total // (4 * spark.sparkContext.defaultParallelism)
+    )
+    return {
+        name: max(1, min(max_salt, -(-n // per_file)))
+        for name, n in table_rows.items()
+    }
+
+
 def route_statements(
     spark: SparkSession,
     stmts: DataFrame,
     catalog: Catalog,
     graphs_dict: DataFrame,
     files_per_table: int = 8,
+    table_rows: dict[str, int] | None = None,
 ) -> DataFrame:
     """Assign each statement its table name and produce the generic frame.
 
@@ -131,20 +157,32 @@ def route_statements(
     handled with a sentinel, avoiding a null-unsafe join miss). Statements
     then shuffle once on (t, salt).
 
+    ``table_rows`` (per-table statement counts, discovered by stage D's
+    fused scan) sizes each table's salt via :func:`table_salts`; without
+    it (resumed pre-count work dirs, update deltas) every table falls
+    back to the fixed ``files_per_table`` width.
+
     The graphs dictionary is NOT force-broadcast: the graph domain is
     unbounded by design (per-file graphs at 10^12-file scale — the same
     reason stage D two-level-buckets graph ids). AQE broadcasts when the
     measured size is actually small; a forced broadcast OOMs the driver at
     web scale. Mirrors triples_with_graph_iri / _encode / _decode_encoded.
     """
+    salts = table_salts(spark, table_rows) if table_rows else {}
     routing_rows = []
     for t in catalog.tables:
         pm = t.predicates[0]
         routing_rows.append(
-            (pm.predicate, t.subject_kind, pm.obj_kind, pm.lang or _NULL, pm.datatype or _NULL, t.name)
+            (
+                pm.predicate, t.subject_kind, pm.obj_kind,
+                pm.lang or _NULL, pm.datatype or _NULL, t.name,
+                salts.get(t.name, files_per_table),
+            )
         )
     routing = spark.createDataFrame(
-        routing_rows, "p_iri string, s_kind string, o_kind string, lang_k string, dt_k string, t string"
+        routing_rows,
+        "p_iri string, s_kind string, o_kind string, lang_k string, "
+        "dt_k string, t string, _nsalt int",
     )
     g_dim = graphs_dict.select(F.col("iri").alias("g_iri"), F.col("id").alias("g_id"))
     keyed = (
@@ -154,7 +192,7 @@ def route_statements(
         .join(g_dim, "g_iri", "left")
         .withColumn("o_lit", F.when(F.col("o_kind") == "literal", F.col("o_lex")))
     )
-    salt = F.pmod(F.xxhash64("file_id", "line_no"), F.lit(files_per_table)).alias("_salt")
+    salt = F.pmod(F.xxhash64("file_id", "line_no"), F.col("_nsalt")).alias("_salt")
     routed = keyed.select("t", salt, "file_id", *GENERIC_COLUMNS)
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return routed.repartition(n, "t", "_salt").drop("_salt")

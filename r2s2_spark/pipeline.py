@@ -286,7 +286,13 @@ class KgPipeline:
                 )
                 .select("kv.*")
                 .where((F.col("k") == "t") | F.col("v").isNotNull())
-                .distinct()
+                # groupBy-count instead of distinct: identical shuffle
+                # (both partial-hash-aggregate map-side), but the 't'
+                # rows' counts are the per-table statement totals stage V
+                # needs to SIZE each table's write salt (small tables one
+                # file, Zipf-head tables fanned out — vertical.table_salts)
+                .groupBy("k", "v", "s_kind", "o_kind", "o_lang", "o_datatype")
+                .agg(F.count(F.lit(1)).alias("n_rows"))
                 .persist()
             )
             preds = build_dictionary(
@@ -304,7 +310,8 @@ class KgPipeline:
             graphs.write.mode("overwrite").parquet(io.path("D", "graphs"))
             # vocabulary-sized; stage V collects it instead of re-scanning E
             pairs.where(F.col("k") == "t").select(
-                F.col("v").alias("p_iri"), "s_kind", "o_kind", "o_lang", "o_datatype"
+                F.col("v").alias("p_iri"), "s_kind", "o_kind", "o_lang",
+                "o_datatype", "n_rows",
             ).coalesce(1).write.mode("overwrite").parquet(io.path("D", "target_keys"))
             pairs.unpersist()
 
@@ -322,6 +329,7 @@ class KgPipeline:
             # scan (vocabulary-sized parquet); re-deriving them here would
             # be one more full pass over a 100 TB E
             tk = os.path.join(io.path("D", "target_keys"))
+            key_rows: dict[tuple, int] = {}
             if os.path.exists(tk):
                 rows = self.spark.read.parquet(tk).collect()
                 keys = sorted(
@@ -331,11 +339,38 @@ class KgPipeline:
                     ],
                     key=lambda k: tuple("" if x is None else x for x in k),
                 )
+                # per-key statement counts (absent on resumed pre-count
+                # work dirs): size each table's write salt from its
+                # measured row count instead of a fixed files-per-table
+                key_rows = {
+                    (r.p_iri, r.s_kind, r.o_kind, r.o_lang, r.o_datatype):
+                        int(r["n_rows"])
+                    for r in rows
+                    if "n_rows" in r.__fields__ and r["n_rows"] is not None
+                }
             else:  # pre-fusion work dir resumed mid-pipeline
                 keys = vertical.discover_target_keys(stmts)
             catalog = vertical.build_catalog(keys, self.namespaces, self.default_graph)
             catalog.dictionaries = {"predicates": "D/predicates", "graphs": "D/graphs"}
-            routed = vertical.route_statements(self.spark, stmts, catalog, self.graphs())
+            table_rows = {
+                t.name: key_rows[
+                    (
+                        t.predicates[0].predicate, t.subject_kind,
+                        t.predicates[0].obj_kind, t.predicates[0].lang,
+                        t.predicates[0].datatype,
+                    )
+                ]
+                for t in catalog.tables
+                if (
+                    t.predicates[0].predicate, t.subject_kind,
+                    t.predicates[0].obj_kind, t.predicates[0].lang,
+                    t.predicates[0].datatype,
+                ) in key_rows
+            } if key_rows else None
+            routed = vertical.route_statements(
+                self.spark, stmts, catalog, self.graphs(),
+                table_rows=table_rows,
+            )
             io.write_parquet("V", routed, partition_by=["t"])
             written = io.read_parquet("V")
             files = self.spark.read.parquet(io.path("E", "files"))
