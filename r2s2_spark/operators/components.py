@@ -9,10 +9,12 @@ DataFrame programs — the same plan GraphFrames produces:
   large-star: for each node u, attach every neighbor v > u to min(N(u)∪{u})
   small-star: for each node u, attach every neighbor v <= u to the minimum
 
-Each round is two shuffles on the node id; convergence is detected by an
-edge-set checksum; ``localCheckpoint`` every round truncates the plan/
-lineage (an iterative algorithm would otherwise compound the DAG).
-Deterministic: ids are longs, min-based, no randomness.
+Each round is two shuffles on the node id; convergence is detected by a
+star-forest test on the round's own output (no member is also a parent —
+the algorithm's fixed point, checked without re-running a confirm round);
+``localCheckpoint`` every round truncates the plan/lineage (an iterative
+algorithm would otherwise compound the DAG). Deterministic: ids are
+longs, min-based, no randomness.
 """
 
 from __future__ import annotations
@@ -31,13 +33,17 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
+    # no trailing distinct: the only consumer is _small_star, whose
+    # groupBy-min is duplicate-insensitive and whose own distinct
+    # canonicalizes the round's output — dropping it removes one
+    # exchange per round (duplicate inflation here is bounded by node
+    # degree, and round boundaries stay distinct via _small_star)
     nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
     return (
         nbrs.join(m, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -67,23 +73,23 @@ def connected_components(
     """Edge list -> (node, component) with component = min node id of the
     cluster. Converges in O(log n) alternating rounds."""
     e = _canonical_edges(edges, src, dst).localCheckpoint()
-    prev_sum = None
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint()
-        # cheap convergence checksum: count + decimal sum of endpoints
-        # (node ids span the full int64 range — hashed ids — so a bigint
-        # sum overflows under ANSI; decimal(38) cannot)
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.col("u").cast("decimal(38,0)") + F.col("v").cast("decimal(38,0)")),
-                F.lit(0),
-            ).alias("s"),
-        ).first()
-        checksum = (row["n"], row["s"])
-        if checksum == prev_sum:
+        # convergence = the edge set is a STAR FOREST: no member (v) is
+        # also a parent (u). LS/SS preserve per-component connectivity
+        # and canonical edges keep u < v, so two-level + connected means
+        # one root per component — exactly the algorithm's fixed point.
+        # Testing the round's OWN output this way saves the +1 confirm
+        # round the previous checksum-equality test needed (it could
+        # only see the fixed point by re-running a full round and
+        # observing no change); the semi join costs one exchange against
+        # the round's ~6, and short-circuits via isEmpty's limit-1 on
+        # non-converged rounds.
+        chains = e.alias("a").join(
+            e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi"
+        )
+        if chains.isEmpty():
             break
-        prev_sum = checksum
     else:
         raise RuntimeError(f"connected components did not converge in {max_iterations} rounds")
     # converged edges are canonical (u = cluster minimum = root, v = member)
