@@ -770,6 +770,19 @@ class KgPipeline:
         def compact_one(t):
             self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", "vacuum")
             d = os.path.join(self.io.root, t.path or f"{stage}/tables/{t.name}")
+            base0 = os.path.dirname(d)
+            # crash recovery (ADVICE r5): a crash between rename(d->trash)
+            # and rename(tmp->d) leaves the live dir MISSING with the full
+            # committed data in the hidden trash sibling. Restore it before
+            # anything else — dir_stats on the missing d would read 0 files
+            # and return early, and the idempotent leftover sweep below
+            # would delete the only remaining copy. Only .trash is a safe
+            # source (it is the original moved atomically; .vacuum may be
+            # a partial write), and d-missing implies .trash exists: trash
+            # is only removed after tmp->d restores the live dir.
+            prev = os.path.join(base0, f".{os.path.basename(d)}.trash")
+            if not os.path.exists(d) and os.path.exists(prev):
+                os.rename(prev, d)
             n_files, size = dir_stats(d)
             target = max(1, math.ceil(size / (compact_target_mb * 1024 * 1024)))
             if n_files <= target:

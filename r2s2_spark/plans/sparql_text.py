@@ -922,8 +922,14 @@ class _Parser:
                     if tdt == _NUMERIC_UNKNOWN:
                         # ABS/CEIL/FLOOR/ROUND/RAND: the result is
                         # numeric whenever the function returned at all
-                        # (§17.4.4) — numeric iff the inner didn't error
-                        return lambda df, e=expr: e(df).isNotNull()
+                        # (§17.4.4) — numeric iff the inner didn't error.
+                        # An inner ERROR must stay NULL (not become
+                        # false), matching SPARQL error semantics under
+                        # !/IF/COALESCE and the sibling constant-fold
+                        # branch (ADVICE r5)
+                        return lambda df, e=expr: F.when(
+                            e(df).isNotNull(), F.lit(True)
+                        )
                     ok = tdt is not None and tdt in _NUMERIC_DTS
                 else:
                     want = {

@@ -448,6 +448,7 @@ def _template_quads(
     with_g,
     stage: str | None = None,
     pred_vars: frozenset = frozenset(),
+    graph_scope_vars: frozenset = frozenset(),
 ) -> DataFrame:
     """Instantiate tagged quad templates against a solution frame ->
     lexical quad frame. Variable term kinds come from the hidden
@@ -537,8 +538,12 @@ def _template_quads(
         """-> (g_iri column, g_kind column). A variable graph instantiates
         per solution: graph-SCOPE-bound variables carry no hidden metadata
         but are IRIs by construction (the graphs dictionary holds IRIs
-        only); term-position-bound variables use their tracked kind so a
-        literal binding skips the row (RDF-invalid graph name)."""
+        only, and predicate-position bindings likewise); term-position-
+        bound variables use their tracked kind so a literal binding skips
+        the row (RDF-invalid graph name). A variable bound only by
+        BIND/VALUES has NO statically-tracked kind — mirroring the
+        term-position contract, that raises the named error instead of
+        silently storing arbitrary text as a graph name (ADVICE r5)."""
         if isinstance(g, str) and g.startswith("?"):
             n = g[1:]
             if n not in cols:
@@ -546,7 +551,12 @@ def _template_quads(
                 return null, null
             if META_KIND + n in cols:
                 return F.col(n), F.col(META_KIND + n)
-            return F.col(n), F.lit("iri")
+            if g in graph_scope_vars or g in pred_vars:
+                return F.col(n), F.lit("iri")
+            raise SparqlUnsupported(
+                f"update template graph variable {g} has no statically-"
+                "tracked term kind (bound only by BIND/VALUES?)"
+            )
         return F.lit(g or with_g or pipe.default_graph), F.lit("iri")
 
     pieces = []
@@ -978,13 +988,17 @@ def _graph_nonempty(pipe, g_iri: str) -> bool:
 
 def _file_iri_path(iri: str) -> str | None:
     """``file:`` IRI -> local path (RFC 8089 forms: ``file:///p``,
-    ``file:/p``, ``file:p``); None for any other scheme."""
+    ``file:/p``, ``file:p``); None for any other scheme. Percent-escapes
+    are decoded (ADVICE r5: a spec-legal ``<file:///tmp/my%20file.nt>``
+    must resolve to the actual path, not a literal ``%20``)."""
+    from urllib.parse import unquote
+
     if iri.startswith("file://"):
         rest = iri[len("file://"):]
         # file://host/p is out of scope; accept only an empty authority
-        return rest if rest.startswith("/") else None
+        return unquote(rest) if rest.startswith("/") else None
     if iri.startswith("file:"):
-        return iri[len("file:"):]
+        return unquote(iri[len("file:"):])
     return None
 
 
@@ -1149,7 +1163,7 @@ def _run_op(pipe, op: dict) -> str:
     # reject it by name, as the module contract promises
     from .sparql_text import _group_patterns_text
 
-    path_vars, pred_vars = set(), set()
+    path_vars, pred_vars, graph_scope_vars = set(), set(), set()
     for pat in _group_patterns_text(op["where"]):
         if len(pat) < 3:
             continue
@@ -1158,9 +1172,25 @@ def _run_op(pipe, op: dict) -> str:
                 x for x in (pat[0], pat[2])
                 if isinstance(x, str) and x.startswith("?")
             }
-        elif pat[1].startswith("?"):
+    # the IRI-by-construction grants come from the REQUIRED part only
+    # (top-level patterns; GRAPH blocks fold their scoped patterns in
+    # there): a variable predicate-bound in one UNION branch can be
+    # BIND-bound to a literal in another, and the blanket grant would let
+    # that literal into the predicates dictionary — exactly what the
+    # named-error guard exists to block (ADVICE r5). Required-part
+    # bindings hold in EVERY solution, so the grant is sound there.
+    for pat in op["where"].get("patterns") or []:
+        if len(pat) >= 3 and isinstance(pat[1], str) and pat[1].startswith("?"):
             # bound in predicate position: an IRI by construction
             pred_vars.add(pat[1])
+        if (
+            len(pat) == 4
+            and isinstance(pat[3], str)
+            and pat[3].startswith("?")
+        ):
+            # bound in graph-scope position: the graphs dictionary holds
+            # IRIs only
+            graph_scope_vars.add(pat[3])
     bad = sorted(tmpl_vars & path_vars)
     if bad:
         raise SparqlUnsupported(
@@ -1196,13 +1226,18 @@ def _run_op(pipe, op: dict) -> str:
         # retries identical
         k = _next_update_index(pipe)
         deletes = (
-            _template_quads(pipe, op["delete"], sol, op["with"], pred_vars=frozenset(pred_vars))
+            _template_quads(
+                pipe, op["delete"], sol, op["with"],
+                pred_vars=frozenset(pred_vars),
+                graph_scope_vars=frozenset(graph_scope_vars),
+            )
             if op["delete"] else None
         )
         inserts = (
             _template_quads(
                 pipe, op["insert"], sol, op["with"], stage=f"U{k}",
                 pred_vars=frozenset(pred_vars),
+                graph_scope_vars=frozenset(graph_scope_vars),
             )
             if op["insert"] else None
         )

@@ -223,3 +223,32 @@ def test_vacuum_sweeps_uncommitted_update_stage(spark, tmp_path):
     assert not os.path.exists(orphan)
     # committed stages stay
     assert pipe.triples().count() == 1
+
+
+def test_vacuum_restores_trash_after_rename_crash(spark, tmp_path):
+    """ADVICE r6: a crash between compaction's rename(d->trash) and
+    rename(tmp->d) leaves the live table dir missing with the committed
+    data in the hidden .trash sibling. The next vacuum must restore it
+    (previously it saw 0 files and returned early; the leftover sweep
+    would then delete the only copy)."""
+    import os
+    import shutil
+
+    from r2s2_spark.pipeline import KgPipeline
+    from r2s2_spark.sources import fixtures as fx
+    from tests.test_pipeline_ev import expected_triples_loading, reconstructed_set
+
+    pipe = KgPipeline(spark, str(tmp_path / "wd"))
+    pipe.load(fx.fixture_loading(spark))
+    before = reconstructed_set(pipe)
+    # simulate the crash window on one committed table dir
+    t = pipe.catalog("M").tables[0]
+    d = os.path.join(pipe.io.root, t.path)
+    trash = os.path.join(
+        os.path.dirname(d), f".{os.path.basename(d)}.trash"
+    )
+    os.rename(d, trash)
+    assert not os.path.exists(d)
+    pipe.vacuum(compact_target_mb=128)
+    assert os.path.exists(d) and not os.path.exists(trash)
+    assert reconstructed_set(pipe) == before == expected_triples_loading()

@@ -2661,3 +2661,17 @@ def test_values_only_optional_bound_is_named_error(spark, tmp_path):
         }}""",
     )
     assert [r.s for r in ok.collect()] == [EX + "a"]
+
+
+def test_isnumeric_inner_error_stays_null(oddeven):
+    """ADVICE r6: ISNUMERIC over ABS/CEIL/... whose inner errored must be
+    an ERROR (NULL), not false — under negation the old false kept rows
+    SPARQL drops: !ISNUMERIC(ABS("label text")) is an error, filtered."""
+    out = sparql_query(
+        oddeven,
+        f"""PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?s WHERE {{
+          ?s rdfs:label ?l . FILTER(!ISNUMERIC(ABS(?l)))
+        }}""",
+    ).collect()
+    assert out == []

@@ -821,3 +821,43 @@ def test_anon_bnode_label_no_collision(spark, tmp_path):
     rows = [r for r in pipe.triples().collect() if r.p == EX + "tag"]
     assert len(rows) == 2
     assert rows[0].s != rows[1].s  # two distinct bnodes
+
+
+def test_template_graph_var_bind_bound_is_named_error(spark, tmp_path):
+    """ADVICE r6: a template GRAPH ?var bound only by BIND/VALUES has no
+    statically-tracked term kind — it must raise the same named error as
+    term positions, NOT fall back to kind 'iri' and store literal text
+    as a graph name. Graph-scope-bound and predicate-bound variables
+    keep the IRI-by-construction fast path."""
+    pipe = _kg(spark, tmp_path)
+    # graph-scope-bound: still allowed (copy s2's graph1 statement into
+    # a per-solution target graph named by the source graph)
+    pipe.update(
+        f"INSERT {{ GRAPH ?g {{ ?s <{EX}seen> ?o }} }} "
+        f"WHERE {{ GRAPH ?g {{ ?s <{EX}in> ?o }} }}"
+    )
+    n = sparql_query(
+        pipe,
+        f"SELECT ?s WHERE {{ GRAPH <{EX}graph1> {{ ?s <{EX}seen> ?o }} }}",
+    ).count()
+    assert n == 1
+    with pytest.raises(SparqlUnsupported, match="graph variable"):
+        pipe.update(
+            f"INSERT {{ GRAPH ?g {{ ?s <{EX}flag> \"y\" }} }} "
+            f'WHERE {{ ?s <{EX}name> ?n . BIND(CONCAT("not ", "an iri") AS ?g) }}'
+        )
+
+
+def test_load_percent_encoded_file_iri(spark, tmp_path):
+    """ADVICE r6: a spec-legal percent-encoded file IRI
+    (<file:///tmp/my%20file.nt>) must resolve to the decoded local path."""
+    pipe = _kg(spark, tmp_path)
+    doc = tmp_path / "my file.nt"
+    doc.write_text(f'<{EX}s9> <{EX}zone> "z9" .\n')
+    from urllib.parse import quote
+
+    pipe.update(f"LOAD <file://{quote(str(doc))}> INTO GRAPH <{EX}loaded>")
+    got = sparql_query(
+        pipe, f"SELECT ?o WHERE {{ GRAPH <{EX}loaded> {{ ?s <{EX}zone> ?o }} }}"
+    ).collect()
+    assert [r["o"] for r in got] == ["z9"]
