@@ -261,14 +261,19 @@ def parse_iterator_arrow(
     batches: Iterator[pa.RecordBatch], default_graph: str, decompose: bool = False
 ) -> Iterator[pa.RecordBatch]:
     """Adapter for ``DataFrame.mapInArrow``: escape-free NT files take the
-    Arrow fast path; escaped files and Turtle/RDF-XML files take the
-    pandas/per-file twin — routed per FILE within each batch."""
+    Arrow fast path, escape-free LINE-ORIENTED Turtle files the vectorized
+    Turtle subset (:mod:`turtle_arrow` — files it cannot prove eligible
+    fall through to the tokenizer); escaped files, remaining Turtle and
+    RDF-XML take the pandas/per-file twin — all routed per FILE."""
+    from .turtle_arrow import parse_turtle_arrow
+
     for batch in batches:
         if batch.num_rows == 0:
             continue
         content = batch.column("content")
         sha = batch.column("file_sha256")
         is_nt = None
+        is_ttl = None
         if "lang" in batch.schema.names:
             lang = batch.column("lang")
             is_nt = pc.invert(
@@ -281,6 +286,9 @@ def parse_iterator_arrow(
             )
             # NULL lang -> NT (matches the pandas dispatch's isin defaults)
             is_nt = pc.fill_null(is_nt, True)
+            is_ttl = pc.fill_null(
+                pc.is_in(lang, value_set=pa.array(["turtle", "ttl"])), False
+            )
         no_esc = pc.invert(pc.match_substring(content, "\\"))
         fast = no_esc if is_nt is None else pc.and_(is_nt, no_esc)
         n_fast = pc.sum(fast).as_py() or 0
@@ -291,6 +299,23 @@ def parse_iterator_arrow(
             yield parse_nt_arrow(
                 pc.filter(content, fast), pc.filter(sha, fast), default_graph, decompose
             )
-        slow = batch.filter(pc.invert(fast))
+        slow_mask = pc.invert(fast)
+        if is_ttl is not None:
+            ttl_try = pc.and_(is_ttl, no_esc)
+            if pc.sum(ttl_try).as_py() or 0:
+                ttl_content = pc.filter(content, ttl_try)
+                ttl_sha = pc.filter(sha, ttl_try)
+                rb, ok_ttl = parse_turtle_arrow(
+                    ttl_content, ttl_sha, default_graph, decompose
+                )
+                if rb.num_rows:
+                    yield rb
+                # files the fast path proved eligible leave the slow set
+                ok_np = ok_ttl.to_numpy(zero_copy_only=False)
+                try_np = ttl_try.to_numpy(zero_copy_only=False)
+                slow_np = slow_mask.to_numpy(zero_copy_only=False).copy()
+                slow_np[try_np] = ~ok_np
+                slow_mask = pa.array(slow_np)
+        slow = batch.filter(slow_mask)
         if slow.num_rows:
             yield _pandas_fallback(slow, default_graph, decompose)
